@@ -1,0 +1,691 @@
+"""Query registry: every implemented SURVEY.md §2 capability as a named
+query over the driver's test tables, each paired (where SQL-expressible)
+with an ANSI-SQL oracle that DuckDB runs on the same parquet.
+
+Conventions (driver contract, __spark_entry__.py):
+- every computed column is aliased IDENTICALLY in Spark and oracle SQL;
+- floating aggregates are rounded (both sides) so cross-engine summation
+  order cannot flip the value hash;
+- timestamps in outputs are formatted to strings (Spark session TZ is
+  pinned UTC; duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators import (
+    anti_join,
+    completeness_filter,
+    conditional_frequency_filter,
+    dense_ids,
+    drop_incomplete_windows,
+    grouped_max_pad,
+    ordered_collect,
+    partition_max,
+    recode_with_fallthrough,
+    split_status,
+    tumbling_bucket,
+    with_scalar,
+    zip_explode,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dog_data_pipeline_spark.tables import load
+
+    return load(spark, sf_dir, name)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for duckdb; None → rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's signature shape (raw_to_samples.py core) on events
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_segment_stats",
+    """
+    WITH seg AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+             user_id, event_type, value
+      FROM events
+    )
+    SELECT win_start, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 4) AS click_freq,
+           round(max(value) + 10.0, 2) AS padded_max
+    FROM seg
+    GROUP BY win_start, user_id
+    HAVING avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) > 0.3
+       AND count(*) >= 2
+    """,
+    "Tumbling 1h windows per user: conditional frequency (A2) + completeness "
+    "threshold (A3) + padded max (A1) — the raw_to_samples.py:147-216 shape "
+    "(tumbling seg :330-336, dog-freq :147-153, completeness :211-216, "
+    "max+pad :59-72) on the events table.",
+)
+def flagship_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seg = tumbling_bucket(events, "ts", 3600, out="win_start")
+    grouped = (
+        seg.groupBy("win_start", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)).alias(
+                "__freq"
+            ),
+            F.max("value").alias("__maxv"),
+        )
+        .filter((F.col("__freq") > 0.3) & (F.col("n_events") >= 2))
+    )
+    return grouped.select(
+        "win_start",
+        "user_id",
+        "n_events",
+        F.round("__freq", 4).alias("click_freq"),
+        F.round(F.col("__maxv") + 10.0, 2).alias("padded_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_project_in",
+    """
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 1000.0
+    """,
+    "Projection + IN-list predicate (P1/P2; preprocess_dataset.py:98-101). "
+    "Filter reaches the parquet scan as PushedFilters.",
+)
+def filter_project_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "recode_fallthrough",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'interaction'
+             WHEN 'view' THEN 'impression'
+             ELSE event_type
+           END AS kind,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    "Value recode with pass-through for unmapped keys (P5; pandas replace "
+    "semantics at preprocess_dataset.py:103-113 — unmapped 71/74 pass "
+    "through). Compiled to CASE WHEN, zero shuffle for the recode itself.",
+)
+def recode_fallthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    recoded = recode_with_fallthrough(
+        events, "event_type", {"click": "interaction", "view": "impression"}, out="kind"
+    )
+    return recoded.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "derived_keys",
+    """
+    SELECT source,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS source_num,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    "Derived-key projection from string components (P6/P7; split/regex path "
+    "derivations at preprocess_dataset.py:44-49, raw_to_samples.py:326).",
+)
+def derived_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint").alias("source_num"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "broadcast_dim_join",
+    """
+    SELECT p.p_brand AS brand, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY p.p_brand, n.n_name
+    """,
+    "Broadcast hash lookup joins (J1/J2; the {sub_id: max_wh} probe at "
+    "raw_to_samples.py:63-88 and dict recodes generalized): fact lineitem "
+    "probes broadcast part/supplier/nation dims — no fact-side shuffle "
+    "until the final agg.",
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "anti_join_idempotence",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "Left anti-join (J5/S12; skip-already-converted at "
+    "preprocess_dataset.py:54-56): customers with no orders.",
+)
+def anti_join_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "scalar_subquery_filter",
+    """
+    WITH s AS (SELECT avg(l_quantity) AS avg_qty FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_above,
+           round(sum(l_extendedprice), 2) AS price_sum
+    FROM lineitem, s
+    WHERE l_quantity > s.avg_qty
+    GROUP BY l_returnflag
+    """,
+    "Scalar-subquery join (J6; max-index seed at preprocessed_to_raw.py:26-29): "
+    "1-row aggregate broadcast-crossed onto the fact, then filtered.",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    avg_qty = l.agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        with_scalar(l, avg_qty)
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )
+
+
+@query(
+    "zip_join_positional",
+    """
+    WITH ordered AS (
+      SELECT l_orderkey,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice) - 1 AS INT) AS pos,
+             CAST(l_quantity AS BIGINT) AS qty,
+             round(l_extendedprice, 2) AS price
+      FROM lineitem
+    )
+    SELECT l_orderkey, pos, qty, price FROM ordered WHERE l_orderkey % 10 = 0
+    """,
+    "Positional zip join (J3; zip(ids, boxes) at raw_to_samples.py:156-164): "
+    "parallel per-order arrays zipped by position and re-exploded.",
+)
+def zip_join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    # (l_orderkey, l_linenumber) is NOT unique in the test data, so both
+    # arrays are collected under the same fully-deterministic order —
+    # otherwise positional alignment would be engine-dependent.
+    order = ["l_linenumber", "l_quantity", "l_extendedprice"]
+    collected = (
+        ordered_collect(l, ["l_orderkey"], order, "l_quantity", out="qtys")
+        .join(
+            ordered_collect(l, ["l_orderkey"], order, "l_extendedprice", out="prices"),
+            "l_orderkey",
+        )
+    )
+    z = zip_explode(collected, ["l_orderkey"], ["qtys", "prices"], pos_col="pos")
+    return z.select(
+        "l_orderkey",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("qtys").cast("bigint").alias("qty"),
+        F.round("prices", 2).alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-shaped pricing summary: the generic grouped-agg surface "
+    "(SURVEY §2.4 'not present' extensions — multi-measure partial+final agg).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "conditional_freq_users",
+    """
+    SELECT user_id, round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 4) AS freq
+    FROM events
+    GROUP BY user_id
+    HAVING avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) > 0.15
+    """,
+    "Conditional frequency + HAVING (A2; dog-class frequency > 0.3 at "
+    "raw_to_samples.py:147-153).",
+)
+def conditional_freq_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = conditional_frequency_filter(
+        events, ["user_id"], F.col("event_type") == "click", 0.15, freq_col="freq"
+    )
+    return out.select("user_id", F.round("freq", 4).alias("freq"))
+
+
+@query(
+    "completeness_users",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    ), total AS (SELECT count(DISTINCT event_type) AS all_types FROM events)
+    SELECT p.user_id, CAST(p.n_types AS BIGINT) AS n_types
+    FROM per_user p, total t
+    WHERE p.n_types = t.all_types
+    """,
+    "Completeness filter (A3; subject-present-in-every-frame at "
+    "raw_to_samples.py:211-216): users who produced every event type.",
+)
+def completeness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    total = events.agg(F.countDistinct("event_type").alias("all_types"))
+    return (
+        with_scalar(per_user, total)
+        .filter(F.col("n_types") == F.col("all_types"))
+        .select("user_id", "n_types")
+    )
+
+
+@query(
+    "group_max_pad",
+    """
+    SELECT l_suppkey,
+           round(max(l_extendedprice) + 10.0, 2) AS padded_max_price,
+           round(max(l_quantity) + 10.0, 2) AS padded_max_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    "Group-by max of two measures + constant pad (A1; max bbox extent +10px "
+    "at raw_to_samples.py:59-72).",
+)
+def group_max_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    out = grouped_max_pad(
+        l,
+        ["l_suppkey"],
+        {"padded_max_price": F.col("l_extendedprice"), "padded_max_qty": F.col("l_quantity")},
+        pad=10.0,
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("padded_max_price", 2).alias("padded_max_price"),
+        F.round("padded_max_qty", 2).alias("padded_max_qty"),
+    )
+
+
+@query(
+    "ordered_collect_seq",
+    """
+    SELECT l_orderkey,
+           array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)), ',') AS qty_seq
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    "Order-forced collect per key (A5; {sub_id: [bbox per frame in order]} at "
+    "raw_to_samples.py:156-164). Engine invariant: bare collect_list is "
+    "nondeterministic; we always sort_array(collect_list(struct(...))).",
+)
+def ordered_collect_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("bigint")
+    )
+    seq = ordered_collect(l, ["l_orderkey"], "l_linenumber", "qty_int", out="seq")
+    return seq.select(
+        "l_orderkey", F.array_join(F.col("seq").cast("array<string>"), ",").alias("qty_seq")
+    )
+
+
+@query(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Distinct aggregation (SURVEY §2.4 generic surface; not in reference but "
+    "part of the engine's agg API).",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_partition_max",
+    """
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             max(l_quantity) OVER (PARTITION BY l_orderkey) AS order_max_qty
+      FROM lineitem
+    )
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_at_max
+    FROM w
+    WHERE l_quantity = order_max_qty
+    GROUP BY l_orderkey
+    """,
+    "Partition-wide max joined back to rows (W1; max-extent resize at "
+    "raw_to_samples.py:59-90): lines at their order's max quantity.",
+)
+def window_partition_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    w = partition_max(l, ["l_orderkey"], {"order_max_qty": F.col("l_quantity")})
+    return (
+        w.filter(F.col("l_quantity") == F.col("order_max_qty"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_at_max"))
+    )
+
+
+@query(
+    "dense_sequential_ids",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 + 1000 AS BIGINT) AS file_index,
+           o_orderkey
+    FROM orders
+    """,
+    "Dense sequential IDs (W2; max+1 catalog numbering at "
+    "preprocessed_to_raw.py:37-46) via the scalable zipWithIndex pattern — "
+    "range partition + per-partition offsets, NO single-partition global "
+    "window (the 100-TB hazard flagged in SURVEY §7.4).",
+)
+def dense_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return dense_ids(o, "o_orderkey", out="file_index", offset=1000).select(
+        "file_index", "o_orderkey"
+    )
+
+
+@query(
+    "window_rank_latest",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+           round(o_totalprice, 2) AS total
+    FROM ranked WHERE rn = 1
+    """,
+    "Ranking window (§2.5 generic surface: row_number/rank/lag exposed by "
+    "the engine): each customer's latest order.",
+)
+def window_rank_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 / §2.7 Sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "Top-K (O1/§2.6 generic surface; deterministic tie-break on key). Spark "
+    "plans TakeOrderedAndProject — no global sort materialization.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "union_ledger",
+    """
+    SELECT o_orderkey, 'high_value' AS bucket FROM orders WHERE o_totalprice > 5000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "Union-all ledger append (U1; pd.concat catalog append at "
+    "preprocessed_to_raw.py:51) — unionByName of two branch selects.",
+)
+def union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 5000).select(
+        "o_orderkey", F.lit("high_value").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Streaming-shaped (batch forms)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_daily_counts",
+    """
+    WITH seg AS (
+      SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start, event_type, value
+      FROM events
+    ), agg AS (
+      SELECT day_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS value_sum
+      FROM seg GROUP BY day_start, event_type
+    )
+    SELECT * FROM agg WHERE n >= 3
+    """,
+    "Tumbling daily windows + incomplete-window drop (T1/T2; 2-s segments "
+    "with trailing-partial drop at raw_to_samples.py:330-341).",
+)
+def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seg = tumbling_bucket(events, "ts", 86400, out="day_start")
+    agg = seg.groupBy("day_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("value_sum")
+    )
+    return agg.filter(F.col("n") >= 3)
+
+
+@query(
+    "dead_letter_split",
+    """
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_type = 'error' THEN 'error event'
+                ELSE 'value out of range' END AS error
+    FROM events
+    WHERE event_type = 'error' OR value < 1.0
+    """,
+    "Dead-letter routing (T5; try/except ledgers at "
+    "raw_to_samples.py:357-396): the error branch of a status split.",
+)
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ok = (F.col("event_type") != "error") & (F.col("value") >= 1.0)
+    _, errs = split_status(
+        events,
+        ok,
+        F.when(F.col("event_type") == "error", "error event").otherwise(
+            "value out of range"
+        ),
+    )
+    return errs.select("event_id", "user_id", "event_type", "error")
+
+
+@query(
+    "resume_offset",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey >= (SELECT CAST(max(o_orderkey) * 0.9 AS BIGINT) FROM orders)
+    """,
+    "Resumable offset filter on a dense key (P4/T4; start_index resume at "
+    "raw_to_samples.py:310-313).",
+)
+def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    thresh = o.agg((F.max("o_orderkey") * 0.9).cast("bigint").alias("__thresh"))
+    return (
+        with_scalar(o, thresh)
+        .filter(F.col("o_orderkey") >= F.col("__thresh"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[N] testing but every knob is chosen for cluster
+scale: AQE on (runtime join-strategy switching, skew splitting, partition
+coalescing), UTC session timezone (oracle comparability; duckdb timestamps
+are UTC-naive), Arrow for any pandas exchange, and shuffle partitions
+sized to cores locally (on a real cluster this is overridden to ~2-3x
+total cores or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dog-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable configs to an existing session.
+
+    The driver harness constructs its own SparkSession; this applies the
+    subset of our tuning that can be set post-startup (timezone, AQE,
+    shuffle partitions). Static configs (memory, master) are left alone.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", str(cpus)),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session; keep going
+    return spark

@@ -1,0 +1,62 @@
+"""Schema-declared loaders for the driver's test tables (TESTDATA.md).
+
+Schemas are declared explicitly (never inferred) so scans prune columns
+and push filters; see FIXTURES.md §A for the verified parquet footers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Parquet carries its own schema; Catalyst
+    prunes columns / pushes predicates into the scan automatically.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects by default; we read it as long (legacy conf) and
+    normalize to a proper TimestampType column (micros precision — the
+    sub-microsecond part is irrelevant to every windowing op here, and
+    DuckDB oracles compare on epoch-second arithmetic).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive: oracle SQL compares epoch/date arithmetic; pin UTC even
+    # when the caller's session (e.g. the driver's) didn't.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL API surface."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
