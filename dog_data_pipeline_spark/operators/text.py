@@ -1,0 +1,119 @@
+"""Text-analysis operators for LLM-training-data pipelines (north-star
+ops, SURVEY §7.2 step 5): tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path logic is pure column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs. Each operator has an exact ANSI-SQL
+counterpart used by the DuckDB oracles in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deterministic and SQL-replicable; order of LANGS is the tie-break.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para"],
+}
+LANGS = list(LANG_STOPWORDS)
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), TOKEN_SPLIT)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a combined score.
+
+    Components (each SQL-replicable):
+    - n_tokens: whitespace token count
+    - avg_token_len: n_chars-without-spaces / n_tokens
+    - stopword_ratio: fraction of tokens in the english stopword list
+    - alpha_ratio: fraction of characters that are a-z/space
+    quality = stopword_ratio * 0.3 + least(n_tokens,100)/100 * 0.4 + alpha_ratio * 0.3
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    no_space = F.regexp_replace(F.col(text_col), r"\s", "")
+    avg_len = F.length(no_space) / n_tokens
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_tokens
+    alpha = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", "")
+    alpha_ratio = F.length(alpha) / F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn(
+            "quality",
+            stop_ratio * 0.3
+            + F.least(n_tokens, F.lit(100)) / 100.0 * 0.4
+            + alpha_ratio * 0.3,
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Language ID via stopword-hit-rate heuristic.
+
+    Per language: fraction of tokens found in that language's stopword
+    list; predict the argmax (ties broken by LANGS order; all-zero →
+    'und'). Pure column expressions — a greatest()/CASE cascade.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        scores[lang] = (F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n)
+    best = F.greatest(*[scores[lang] for lang in LANGS])
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in LANGS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn(out, pred)
+
+
+def normalized_text(text: Column) -> Column:
+    """Normalization used by exact-dedup fingerprints: lowercase +
+    collapse whitespace runs + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of normalized text (exact-dup key)."""
+    return df.withColumn(out, F.md5(normalized_text(F.col(text_col))))
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "rfp", base: int = 1_000_003
+) -> DataFrame:
+    """Polynomial rolling hash over token hashes (order-sensitive
+    fingerprint; two docs with the same tokens in different order get
+    different fingerprints, unlike a token-set hash).
+
+    rfp = fold(tokens, acc -> acc*base + xxhash64(token)) in 64-bit
+    wrap-around arithmetic. Spark-only (no SQL oracle: xxhash64 seeds
+    differ across engines) → rows-only correctness check.
+    """
+    toks = tokens(F.col(text_col))
+    return df.withColumn(
+        out,
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc * base + F.xxhash64(t),
+        ),
+    )

@@ -681,6 +681,309 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# North-star: text analysis over documents
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','for']"
+
+
+@query(
+    "text_quality_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+           round(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE / len(toks) * 0.3
+                 + least(len(toks), 100)::DOUBLE / 100 * 0.4
+                 + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text) * 0.3, 4) AS quality
+    FROM t
+    """,
+    "Token counting + quality scoring (north-star text analysis): "
+    "length/stopword/alpha ratios combined into a quality score — all "
+    "JVM-side column expressions, no UDF.",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("quality", 4).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','for'], x)))::DOUBLE / len(toks) AS s_en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x)))::DOUBLE / len(toks) AS s_de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','pour'], x)))::DOUBLE / len(toks) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','para'], x)))::DOUBLE / len(toks) AS s_es
+      FROM t
+    )
+    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1
+    """,
+    "Language-ID n-gram/stopword heuristic (north-star text analysis): "
+    "per-language stopword hit rate, argmax with deterministic tie-break.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_id(docs, "text", out="pred_lang")
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    "Document fingerprinting (north-star text analysis): md5 of "
+    "normalized (lowercased, whitespace-collapsed) text — the exact-dedup key.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication over documents
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    "Exact deduplication via hash-groupBy (north-star dedup): duplicate "
+    "groups keyed by normalized-content fingerprint, min-id winner. The "
+    "test corpus has no exact dups, so a deterministic re-injection "
+    "(every 10th doc) exercises the non-empty path in both engines.",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    return exact_dup_groups(corpus, "doc_id", "text")
+
+
+@query(
+    "ngram_jaccard_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    """,
+    "EXACT n-gram Jaccard near-dedup via inverted-index self-join on "
+    "3-gram shingles (north-star dedup). Exact for threshold > 0 — pairs "
+    "sharing no shingle have jaccard 0 — and sub-quadratic: only the "
+    "(id, shingle) inverted index is joined, never doc pairs.",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query(
+    "minhash_lsh_dedup",
+    None,  # hash family is engine-specific → rows-only check
+    "MinHash+LSH near-dedup (north-star dedup): 64 minhashes from "
+    "seed-parameterized xxhash64, 16 bands, bucket self-join, "
+    "signature-estimated jaccard >= 0.35. The sub-quadratic scale path — "
+    "the shuffle carries (band_hash, id) rows only.",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.35
+    )
+    return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+@query(
+    "simhash_dedup",
+    None,  # xxhash64 is engine-specific → rows-only check
+    "SimHash near-dedup (north-star dedup): 64-bit signatures from "
+    "token-hash bit votes, blocked self-join on top-16 signature bits, "
+    "hamming distance <= 12 via bit_count(xor).",
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=12, block_bits=16)
+
+
+@query(
+    "embedding_near_dups",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, label, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.norm * b.norm), 6) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.norm * b.norm) > 0.4
+    """,
+    "Embedding-cosine near-dup pairs (north-star dedup): label-blocked "
+    "pairwise cosine via JVM-side zip_with/aggregate folds — blocking "
+    "caps the pair count; the unblocked scale path is RP-LSH "
+    "(knn_cosine_lsh).",
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, "vec_id", "embedding", "label", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "knn_cosine_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]))
+               / (qnorm * c.norm) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+    "Brute-force exact top-k cosine similarity search (north-star "
+    "similarity baseline): broadcast query set x corpus, dot products as "
+    "zip_with/aggregate folds, per-query ranking window with "
+    "deterministic tie-break.",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@query(
+    "knn_cosine_lsh",
+    None,  # approximate (bucket-dependent recall) → rows-only check
+    "Approximate top-k cosine via multi-table random-hyperplane LSH "
+    "(12 tables x 4 bits), exact rerank within candidate buckets "
+    "(north-star similarity scale path — replaces the full cross "
+    "product with bucket joins; ~0.88 recall@10 on this corpus).",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(
+        emb, queries_df, k=10, id_col="vec_id", vec_col="embedding",
+        bits_per_table=4, num_tables=12, dim=64,
+    )
+
+
+@query(
+    "rolling_fingerprint",
+    None,  # xxhash64 is engine-specific → rows-only check
+    "Order-sensitive document fingerprint: polynomial rolling hash over "
+    "token hashes via an aggregate fold (north-star text analysis).",
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_rolling_fingerprint(docs, "text").select("doc_id", "rfp")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

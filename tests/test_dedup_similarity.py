@@ -1,0 +1,94 @@
+"""Property tests for the north-star dedup/similarity operators
+(SURVEY §5.4): recall of approximate paths vs exact baselines,
+idempotence/self-similarity invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_pairs,
+)
+from dog_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from dog_data_pipeline_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = docs.limit(5).select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    groups = exact_dup_groups(docs.unionByName(dup), "doc_id", "text")
+    assert groups.count() == 5
+    assert groups.filter(F.col("keep_id") >= 10**6).count() == 0  # min-id wins
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    assert exact_dup_groups(docs, "doc_id", "text").count() == 0  # no dups → stable
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "a b c d")], "id INT, text STRING")
+    out = shingles(df, "id", "text", n=3)
+    got = {(r["id"], r["shingle"]) for r in out.collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short → no shingles
+
+
+def test_minhash_recall_of_true_near_dups(spark):
+    docs = load(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+    }
+    assert true_pairs, "test data should contain planted near-dups"
+    est_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.35
+        ).collect()
+    }
+    recall = len(true_pairs & est_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall} on jaccard>0.6 pairs"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = load(spark, SF_DIR, "documents").limit(20).select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    pairs = simhash_pairs(
+        docs.unionByName(dup), "doc_id", "text", max_hamming=0, block_bits=16
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted identical pair must be found at hamming 0
+    expected = {(r["doc_id"], r["doc_id"] + 10**6) for r in docs.collect()}
+    assert expected <= found
+
+
+def test_embedding_near_dup_self_similarity(spark):
+    emb = load(spark, SF_DIR, "embeddings").limit(10)
+    dup = emb.select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dups(
+        emb.unionByName(dup), "vec_id", "embedding", "label", threshold=0.999999
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["vec_id"], r["vec_id"] + 10**6) for r in emb.collect()}
+    assert expected <= found  # self-join similarity == 1 >= threshold
+
+
+def test_lsh_knn_recall_vs_exact(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = cosine_topk_lsh(emb, queries, k=10, bits_per_table=4, num_tables=12, dim=64)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH knn recall@10 = {recall}"
+    # top-1 must also be correct cosine ordering within the approx set
+    assert approx.filter(F.col("rank") == 1).count() == 5
