@@ -1,0 +1,196 @@
+"""Video operators over BINARY columns (SURVEY S7-S9, F1-F5).
+
+Partitioning contract (SURVEY §4.2 / §7.4): inference state must never
+cross a (video, segment) boundary — every UDF here is either per-row
+(probe) or explicitly repartitioned on its state key before a
+mapInPandas/applyInPandas whose iterator owns the model lifecycle:
+the model loads ONCE per task, not once per segment (the reference
+reloads per segment, its own comment flags it —
+``raw_to_samples.py:169-170``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from dog_data_pipeline_spark.multimodal import codec
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("frame_count", IntegerType()),
+        StructField("frame_height", IntegerType()),
+        StructField("frame_width", IntegerType()),
+        StructField("video_fps", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = (
+    "video_id STRING, frame_idx INT, frame BINARY, frame_width INT, frame_height INT"
+)
+
+DETECTIONS_SCHEMA = (
+    "video_id STRING, frame_idx INT, subject_id INT, bbox ARRAY<DOUBLE>, cls INT"
+)
+
+ENCODED_SCHEMA = "video_id STRING, subject_id INT, n_frames INT, video BINARY"
+
+
+def probe_metadata(binary_df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Metadata probe (S8/F5): one struct per video WITHOUT decoding
+    frames — the reference decodes everything twice (probe then re-read,
+    ``raw_to_samples.py:328-329,349-353``); here the probe reads only
+    the header bytes, vectorized over Arrow batches."""
+
+    @F.pandas_udf(METADATA_SCHEMA)
+    def _probe(content: pd.Series) -> pd.DataFrame:
+        rows = [codec.probe(c) for c in content]
+        return pd.DataFrame(rows, columns=["frame_count", "frame_height", "frame_width", "video_fps"])
+
+    return binary_df.withColumn("meta", _probe(F.col(content_col))).select(
+        "*", "meta.*"
+    ).drop("meta")
+
+
+def decode_frames(
+    binary_df: DataFrame,
+    video_id_col: str = "video_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-iterator scan (S7): 1 video row → N frame rows via
+    mapInPandas (UDTF shape — output cardinality independent of input)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for vid, content in zip(pdf[video_id_col], pdf[content_col]):
+                n, h, w, _fps = codec.probe(content)
+                _fps, frames = codec.decode_video(content)
+                yield pd.DataFrame(
+                    {
+                        "video_id": [vid] * len(frames),
+                        "frame_idx": range(len(frames)),
+                        "frame": frames,
+                        "frame_width": [w] * len(frames),
+                        "frame_height": [h] * len(frames),
+                    }
+                )
+
+    return binary_df.select(video_id_col, content_col).mapInPandas(
+        _decode, FRAMES_SCHEMA
+    )
+
+
+def fake_detector_factory() -> Callable[[bytes, int, int], list[tuple[int, list[float], int]]]:
+    """Deterministic stand-in for a YOLO tracker: detects one 'subject'
+    whose bbox derives from the frame's byte content (so tests can
+    assert real data flow). Returns (subject_id, bbox, cls) tuples."""
+
+    def detect(frame: bytes, width: int, height: int):
+        if not frame:
+            return []
+        s = sum(frame[:16])
+        x1 = float(s % max(width - 4, 1))
+        y1 = float((s // 7) % max(height - 4, 1))
+        return [(1 + s % 3, [x1, y1, x1 + 4.0, y1 + 4.0], 16 if s % 5 else 0)]
+
+    return detect
+
+
+def run_tracking(
+    frames_df: DataFrame,
+    detector_factory: Callable[[], Callable] = fake_detector_factory,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tracking-inference UDTF (F1): frame rows → detection rows.
+
+    - repartition on video_id so one task owns a video's full frame
+      sequence (tracker identity state stays in-task, SURVEY T3);
+    - the detector is constructed ONCE per task inside the iterator —
+      the load-once-per-partition fix for the reference's per-segment
+      model reload;
+    - frames are sorted by frame_idx within the task before inference:
+      tracking is order-sensitive (SURVEY §7.4 order hazard).
+    """
+    parted = frames_df.repartition(
+        num_partitions or frames_df.sparkSession.sparkContext.defaultParallelism,
+        "video_id",
+    ).sortWithinPartitions("video_id", "frame_idx")
+
+    def _track(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = detector_factory()  # once per task
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "subject_id": [], "bbox": [], "cls": []}
+            for vid, idx, frame, w, h in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["frame"], pdf["frame_width"], pdf["frame_height"]
+            ):
+                for sub, bbox, cls in model(bytes(frame), int(w), int(h)):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(idx)
+                    out["subject_id"].append(sub)
+                    out["bbox"].append(bbox)
+                    out["cls"].append(cls)
+            yield pd.DataFrame(out)
+
+    return parted.mapInPandas(_track, DETECTIONS_SCHEMA)
+
+
+def crop_tracks(frames_df: DataFrame, tracks_df: DataFrame) -> DataFrame:
+    """Crop UDF (F3): (frame, bbox) → crop bytes. The join key
+    (video_id, frame_idx) co-locates each frame with its per-subject
+    boxes; the crop itself is an Arrow-batched scalar UDF."""
+
+    @F.pandas_udf(BinaryType())
+    def _crop(frame: pd.Series, width: pd.Series, bbox: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                codec.crop_frame(bytes(f), int(w), tuple(int(v) for v in b))
+                for f, w, b in zip(frame, width, bbox)
+            ]
+        )
+
+    joined = frames_df.join(tracks_df, ["video_id", "frame_idx"])
+    return joined.withColumn(
+        "crop", _crop(F.col("frame"), F.col("frame_width"), F.col("new_bbox"))
+    )
+
+
+def encode_tracks(
+    crops_df: DataFrame,
+    fps: int = 30,
+) -> DataFrame:
+    """Encode UDAF (F4/S9): ordered (video, subject) crop rows → one
+    encoded video blob per track via applyInPandas. Frames are sorted by
+    frame_idx inside the group — the zero-padded-filename sort the
+    reference leans on (``raw_to_samples.py:126,254``) made explicit."""
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        frames = [bytes(c) for c in pdf["crop"]]
+        w = int(pdf["crop_w"].iloc[0])
+        h = int(pdf["crop_h"].iloc[0])
+        blob = codec.encode_video(fps, w, h, frames)
+        return pd.DataFrame(
+            {
+                "video_id": [pdf["video_id"].iloc[0]],
+                "subject_id": [int(pdf["subject_id"].iloc[0])],
+                "n_frames": [len(frames)],
+                "video": [blob],
+            }
+        )
+
+    with_dims = crops_df.withColumn(
+        "crop_w", F.col("new_bbox")[2] - F.col("new_bbox")[0]
+    ).withColumn("crop_h", F.col("new_bbox")[3] - F.col("new_bbox")[1])
+    return with_dims.groupBy("video_id", "subject_id").applyInPandas(
+        _encode, ENCODED_SCHEMA
+    )

@@ -1,0 +1,14 @@
+"""Sources & sinks (SURVEY §2.1)."""
+
+from dog_data_pipeline_spark.sources.catalog import (  # noqa: F401
+    read_catalog_csv,
+    write_catalog_atomic,
+)
+from dog_data_pipeline_spark.sources.json_map import (  # noqa: F401
+    read_json_map,
+    write_json_map,
+)
+from dog_data_pipeline_spark.sources.files import (  # noqa: F401
+    list_binary_files,
+    parse_path_components,
+)

@@ -1,0 +1,11 @@
+"""Structured Streaming variants of the windowed operators (SURVEY §2.9)."""
+
+from dog_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+from dog_data_pipeline_spark.streaming.routing import (  # noqa: F401
+    dead_letter_for_each_batch,
+)

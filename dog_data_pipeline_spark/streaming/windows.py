@@ -1,0 +1,116 @@
+"""Streaming window operators over event-time (SURVEY T1/T2/T6 + the
+sliding/session extensions the reference lacks).
+
+The batch forms (operators/windows.py) bucket with epoch arithmetic; the
+streaming forms here use ``F.window``/``F.session_window`` + watermarks
+so state is bounded and late data is handled by the engine: a watermark
+of W means windows close once event-time passes window_end + W — the
+streaming version of the reference's drop-incomplete-trailing-segment
+rule (``raw_to_samples.py:339-341``), generalized to out-of-order input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over events-shaped parquet.
+
+    NOTE: the driver's events.parquet stores ts as TIMESTAMP(NANOS);
+    streaming reads declare the schema with ts LONG + convert, mirroring
+    tables.load.
+    """
+    schema = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_STREAM_SCHEMA]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    duration: str = "2 seconds",
+    watermark: str = "10 seconds",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window grouped aggregation with watermark (T1/T2/T6)."""
+    keys = keys or ["user_id"]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "value_sum",
+            "value_max",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Sliding-window aggregation (not in the reference; part of the
+    engine's generic streaming surface)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Session-window aggregation keyed by user (generic surface)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,81 @@
+"""Multimodal plumbing e2e: fake-codec videos through probe → decode →
+track (load-once detector) → crop → encode, verifying real byte flow."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.multimodal import codec
+from dog_data_pipeline_spark.multimodal.video import (
+    crop_tracks,
+    decode_frames,
+    encode_tracks,
+    probe_metadata,
+    run_tracking,
+)
+
+
+@pytest.fixture(scope="module")
+def videos_df(spark):
+    def frames(vid_seed, n, w, h):
+        return [bytes([(vid_seed * 31 + i * 7 + j) % 251 for j in range(w * h)]) for i in range(n)]
+
+    rows = [
+        ("v1", codec.make_fake_video(2, 8, 6, frames(1, 5, 8, 6))),
+        ("v2", codec.make_fake_video(3, 10, 4, frames(2, 7, 10, 4))),
+    ]
+    return spark.createDataFrame(rows, "video_id STRING, content BINARY")
+
+
+def test_probe_metadata(spark, videos_df):
+    got = {
+        r["video_id"]: (r["frame_count"], r["frame_height"], r["frame_width"], r["video_fps"])
+        for r in probe_metadata(videos_df).drop("content").collect()
+    }
+    assert got == {"v1": (5, 6, 8, 2), "v2": (7, 4, 10, 3)}
+
+
+def test_decode_frames_order_and_bytes(spark, videos_df):
+    frames = decode_frames(videos_df)
+    v1 = frames.filter(F.col("video_id") == "v1").orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in v1] == [0, 1, 2, 3, 4]
+    assert all(len(r["frame"]) == 8 * 6 for r in v1)
+    # frame content round-trips exactly
+    expected0 = bytes([(1 * 31 + 0 * 7 + j) % 251 for j in range(48)])
+    assert bytes(v1[0]["frame"]) == expected0
+
+
+def test_tracking_deterministic_and_partition_safe(spark, videos_df):
+    frames = decode_frames(videos_df)
+    det1 = run_tracking(frames, num_partitions=1).collect()
+    det8 = run_tracking(frames, num_partitions=8).collect()
+    k = lambda r: (r["video_id"], r["frame_idx"], r["subject_id"])
+    assert sorted(map(k, det1)) == sorted(map(k, det8))  # parallelism-invariant
+    assert len(det1) == 12  # one detection per frame
+
+
+def test_crop_and_encode_roundtrip(spark, videos_df):
+    frames = decode_frames(videos_df).filter(F.col("video_id") == "v1")
+    tracks = frames.select(
+        "video_id", "frame_idx", F.lit(7).alias("subject_id"),
+        F.array(F.lit(2), F.lit(1), F.lit(6), F.lit(5)).alias("new_bbox"),
+    )
+    crops = crop_tracks(frames, tracks)
+    r0 = crops.filter(F.col("frame_idx") == 0).collect()[0]
+    frame0 = bytes([(1 * 31 + 0 * 7 + j) % 251 for j in range(48)])
+    expected_crop = b"".join(frame0[y * 8 + 2 : y * 8 + 6] for y in range(1, 5))
+    assert bytes(r0["crop"]) == expected_crop  # real byte-grid crop
+
+    encoded = encode_tracks(crops, fps=2).collect()
+    assert len(encoded) == 1
+    blob = bytes(encoded[0]["video"])
+    fps, dec = codec.decode_video(blob)
+    assert (fps, len(dec)) == (2, 5)
+    assert bytes(dec[0]) == expected_crop  # encode → decode round-trip
+
+
+def test_real_codec_is_cleanly_stubbed():
+    with pytest.raises(NotImplementedError):
+        codec.probe(b"\x00\x00notfake")

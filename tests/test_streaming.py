@@ -1,0 +1,100 @@
+"""Streaming tests: drive the streaming operators to completion with a
+file source + memory sink (synchronous via processAllAvailable)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.streaming import (
+    dead_letter_for_each_batch,
+    stream_events,
+    tumbling_agg,
+)
+from dog_data_pipeline_spark.streaming.stateful import running_track_state
+from dog_data_pipeline_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # copy the events parquet into a dir the file-stream source can list
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    agg = tumbling_agg(stream, duration="1 hour", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT CAST(unix_timestamp(win_start) AS BIGINT) w, user_id, n_events FROM tumbling_out"
+    )
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # watermark: windows at the stream's tail may be unclosed in append
+    # mode only if no later data arrived; availableNow + final commit
+    # flushes all — compare as sets, allowing the final window to lag
+    g = {(r["w"], r["user_id"], r["n_events"]) for r in got.collect()}
+    b = {(r["w"], r["user_id"], r["n_events"]) for r in batch.collect()}
+    missing = b - g
+    max_w = max(w for w, _, _ in b)
+    assert all(w == max_w for w, _, _ in missing), f"non-tail windows missing: {missing}"
+    assert not (g - b), "streaming produced windows batch did not"
+
+
+def test_streaming_dead_letter_foreach_batch(spark, events_dir):
+    ok_rows, err_rows = [], []
+    route = dead_letter_for_each_batch(
+        ok=(F.col("event_type") != "error"),
+        error_expr=F.lit("error event"),
+        ok_sink=lambda df, _e: ok_rows.append(df.count()),
+        err_sink=lambda df, _e: err_rows.append(df.count()),
+    )
+    stream = stream_events(spark, events_dir)
+    q = stream.writeStream.foreachBatch(route).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    batch = load(spark, SF_DIR, "events")
+    n_err = batch.filter(F.col("event_type") == "error").count()
+    assert sum(err_rows) == n_err
+    assert sum(ok_rows) == batch.count() - n_err
+
+
+def test_streaming_stateful_running_track(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    out = running_track_state(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("track_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["value_max"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, value_max FROM track_out"
+        ).collect()
+    }
+    batch = load(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("m")
+    )
+    expected = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
+    assert got == expected
