@@ -1,0 +1,110 @@
+"""Temporal join operators Spark lacks natively: as-of join and bounded
+range self-join (SURVEY §2.3 'not present' extensions; cf. PAPERS.md
+"A Scalable and Generic Approach to Range Joins").
+
+Both avoid the naive theta-join blow-up:
+- as-of join: union the two sides, one sort per key, carry the last
+  right-side row forward — a single shuffle+sort, no range explosion,
+  no per-key driver loop. This is the classic sort-merge as-of.
+- range self-join: bucketize the time axis at the range width; matching
+  pairs can only live in the same or adjacent buckets, so the equi-join
+  on (key, bucket) bounds the candidate set, then the exact predicate
+  filters. Candidate cost ~ bucket occupancy², not N².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time (or < when `strict`) per key. Right columns
+    arrive null when no prior right row exists (left join semantics).
+
+    Implementation: tag + union both sides, sort within key by (time,
+    tag) — right rows sort BEFORE left rows at equal time unless
+    `strict`, so ties attach — then last(ignorenulls) over an unbounded
+    preceding frame carries right values forward; finally keep left rows.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lt, rt = F.col(left_time), F.col(right_time)
+
+    r = right.select(
+        *keys,
+        rt.alias("__t"),
+        F.lit(0 if not strict else 2).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    l = left.select(
+        "*",
+        lt.alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[f"__rv_{c}"].dataType).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = l.unionByName(r.select(*keys, "__t", "__side", *[f"__rv_{c}" for c in right_values]), allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_values
+        ],
+    )
+    drop = ["__t", "__side"] + [f"__rv_{c}" for c in right_values]
+    return carried.filter(F.col("__side") == 1).drop(*drop)
+
+
+def range_self_join_pairs(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    id_col: str,
+    max_delta_sec: int,
+) -> DataFrame:
+    """All pairs (a, b) within the same key group with
+    0 < t_b - t_a <= max_delta_sec and id_a < id_b ordering by time.
+
+    Bucketize at max_delta_sec: a qualifying pair's buckets differ by at
+    most 1, so the left side probes buckets {b, b+1} (explode) and an
+    equi-join on (keys, bucket) bounds candidates before the exact
+    range predicate.
+    """
+    t = F.unix_timestamp(F.col(time_col))
+    bucket = F.floor(t / max_delta_sec)
+    base = df.select(
+        *keys, F.col(id_col).alias("id"), t.alias("t"), bucket.alias("b")
+    )
+    a = base.select(
+        *keys,
+        F.col("id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b"),
+    )
+    bb = base.select(
+        *keys, F.col("id").alias("id_b"), F.col("t").alias("t_b"), "b"
+    )
+    return (
+        a.join(bb, [*keys, "b"])
+        .filter(
+            (F.col("t_b") > F.col("t_a"))
+            & (F.col("t_b") - F.col("t_a") <= max_delta_sec)
+        )
+        .select(*keys, "id_a", "id_b", (F.col("t_b") - F.col("t_a")).alias("delta_sec"))
+    )

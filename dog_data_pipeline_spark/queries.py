@@ -682,6 +682,292 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Generic OLAP surface (§2.4-§2.7 'not present' extensions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy aggregation (generic agg surface; partial+final "
+    "split automatic).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "CUBE aggregation over two dimensions (generic agg surface).",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "percentile_quantities",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Exact percentiles (generic agg surface; linear interpolation matches "
+    "quantile_cont). approx_percentile/approx_count_distinct exist as the "
+    "approximate variants but are sketch-specific, hence not oracle-compared.",
+)
+def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )
+
+
+@query(
+    "approx_distinct_parts",
+    None,  # HLL sketches are engine-specific → rows-only check
+    "Approximate distinct counting via HyperLogLog++ "
+    "(approx_count_distinct; generic agg surface scale path — constant "
+    "memory per group vs exact distinct's shuffle of every key).",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    "Pivot (long→wide) with an explicit value list — explicit values keep "
+    "the pivot one-pass (no distinct-values pre-scan) and the schema stable.",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@query(
+    "sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 3600 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    "Sessionization via lag + gap-flag cumulative sum (guide OLAP "
+    "pattern; batch analog of session_window): 1h inactivity gap.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch - F.unix_timestamp(F.lag("ts").over(w)) > 3600),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(epoch) - F.min(epoch)).cast("bigint").alias("duration_sec"),
+    )
+
+
+@query(
+    "asof_join_latest_event",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           e.event_id AS last_event_id, e.event_type AS last_event_type
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+    "As-of join (SURVEY §2.3 extension; PAPERS.md range-join family): for "
+    "each order, its customer's latest event at or before the order time. "
+    "Sort-merge carry-forward implementation — one shuffle+sort, no range "
+    "blow-up, no per-key loop.",
+)
+def asof_join_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import asof_join
+
+    o = _t(spark, sf_dir, "orders").withColumn("user_id", F.col("o_custkey"))
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+    out = asof_join(
+        o, e, on="user_id", left_time="o_orderdate", right_time="ts",
+        right_values=["last_event_id", "last_event_type"],
+    )
+    return out.select("o_orderkey", "o_custkey", "last_event_id", "last_event_type")
+
+
+@query(
+    "range_join_event_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delta_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND floor(epoch(b.ts)) > floor(epoch(a.ts))
+     AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 300
+    """,
+    "Bounded range self-join (PAPERS.md 'Scalable and Generic Approach to "
+    "Range Joins'): event pairs within 5 minutes per user. Bucketized at "
+    "the range width — candidates limited to same/adjacent buckets, cost "
+    "~ bucket occupancy squared instead of N^2 per key.",
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import range_self_join_pairs
+
+    events = _t(spark, sf_dir, "events")
+    out = range_self_join_pairs(events, ["user_id"], "ts", "event_id", 300)
+    return out.select("user_id", "id_a", "id_b", F.col("delta_sec").cast("bigint").alias("delta_sec"))
+
+
+@query(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+    FROM orders
+    """,
+    "Running cumulative sum per key (§2.5 generic surface: ordered frame "
+    "windows).",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+@query(
+    "lead_lag_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey, o_orderkey,
+             epoch(o_orderdate) - epoch(lag(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap_sec
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(gap_sec AS BIGINT) AS gap_sec
+    FROM g WHERE gap_sec IS NOT NULL
+    """,
+    "lead/lag analytics (§2.5 generic surface): seconds between a "
+    "customer's consecutive orders.",
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.unix_timestamp("o_orderdate") - F.unix_timestamp(
+        F.lag("o_orderdate").over(w)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", gap.cast("bigint").alias("gap_sec"))
+        .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+@query(
+    "intersect_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "INTERSECT set operation (§2.7 generic surface): customers with both "
+    "open and fulfilled orders.",
+)
+def intersect_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # North-star: text analysis over documents
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,68 @@
+"""Unit tests for as-of and range joins (temporal operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_self_join_pairs,
+)
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    )
+
+
+def test_asof_join_basic_ties_and_missing(spark):
+    left = _ts(
+        spark,
+        [(1, 100, "a"), (1, 50, "b"), (2, 10, "c"), (3, 99, "d")],
+        "k INT, sec INT, tag STRING",
+    ).withColumnRenamed("ts", "lts")
+    right = _ts(
+        spark,
+        [(1, 100, 10.0), (1, 60, 20.0), (1, 40, 30.0), (2, 11, 40.0)],
+        "k INT, sec INT, v DOUBLE",
+    ).withColumnRenamed("ts", "rts")
+
+    out = asof_join(
+        left.select("k", "lts", "tag"),
+        right.select("k", "rts", "v"),
+        on="k", left_time="lts", right_time="rts", right_values=["v"],
+    )
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # a@100: right@100 attaches on tie; b@50: right@40; c@10: none; d: no rights
+    assert got == {"a": 10.0, "b": 30.0, "c": None, "d": None}
+
+
+def test_asof_join_strict_excludes_ties(spark):
+    left = _ts(spark, [(1, 100, "a")], "k INT, sec INT, tag STRING").withColumnRenamed("ts", "lts")
+    right = _ts(spark, [(1, 100, 1.0), (1, 90, 2.0)], "k INT, sec INT, v DOUBLE").withColumnRenamed("ts", "rts")
+    out = asof_join(
+        left.select("k", "lts", "tag"), right.select("k", "rts", "v"),
+        on="k", left_time="lts", right_time="rts", right_values=["v"], strict=True,
+    )
+    assert out.collect()[0]["v"] == 2.0  # tie at 100 excluded under strict <
+
+
+def test_range_self_join_bucket_boundaries(spark):
+    # deltas: exactly max_delta (kept), just over (dropped), cross-bucket
+    # adjacency (2@300 and 3@301 are in different buckets but pair up),
+    # different key never pairs
+    df = _ts(
+        spark,
+        [(1, 0, 1), (1, 300, 2), (1, 301, 3), (1, 650, 4), (2, 5, 5)],
+        "k INT, sec INT, event_id INT",
+    )
+    out = range_self_join_pairs(df, ["k"], "ts", "event_id", 300)
+    got = {(r["id_a"], r["id_b"]): r["delta_sec"] for r in out.collect()}
+    assert got == {(1, 2): 300, (2, 3): 1}
+
+
+def test_range_self_join_excludes_over_limit(spark):
+    df = _ts(spark, [(1, 0, 1), (1, 301, 2)], "k INT, sec INT, event_id INT")
+    out = range_self_join_pairs(df, ["k"], "ts", "event_id", 300)
+    assert out.count() == 0
