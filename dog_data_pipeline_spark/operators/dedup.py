@@ -131,15 +131,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (id, sig ARRAY<BIGINT>[num_hashes]).
 
-    h_i(doc) = min over shingles of xxhash64(i, shingle) — the seed is a
-    literal first argument, so all hash families ride one JVM-side
-    xxhash64. One groupBy(id) with num_hashes min() partial aggregates:
-    the shuffle carries only (id, 64 longs) per doc regardless of doc
-    size.
+    Hash family: the shingle STRING is hashed once to a long, then
+    h_i = xxhash64(i, base) re-hashes the cheap fixed-width long per
+    family member — 64 string hashes per row would dominate the cost,
+    and a linear family (h1 + i*h2) is NOT admissible for MinHash: its
+    argmin shingle is correlated across i, which inflates the agreement
+    estimate (observed: ~50x false-pair blow-up). One groupBy(id) with
+    num_hashes min() partial aggregates: the shuffle carries only
+    (id, 64 longs) per doc regardless of doc size.
     """
-    sh = shingles(df, id_col, text_col, n)
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # hash the shingle to a long BEFORE the distinct: the dedup shuffle
+    # then moves (id, long) rows, not (id, string) — ~3x narrower
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__h"))
+        .distinct()
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
@@ -171,34 +187,36 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.lit("band"), b, F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
-        ),
+    # xxhash64 hashes the long-array slice directly — no string casting
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
     )
-    banded = sig.select(
-        "id", "sig", F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
-    )
+    # the bucket join and pair-dedup move ONLY (band, id) rows; the
+    # 64-long signatures join back afterwards at candidate cardinality
+    # (orders of magnitude smaller than the banded index)
+    banded = sig.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     cand = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
