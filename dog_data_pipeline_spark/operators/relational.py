@@ -98,6 +98,36 @@ def zip_explode(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join by key salting.
+
+    When one join key dominates (a hot video, a viral document), the
+    task owning that key becomes the straggler. Salting splits each hot
+    key across `salt` tasks: the skewed side gets a random salt in
+    [0, salt); the other side is replicated `salt` times (explode), and
+    the join runs on (key..., salt). AQE's skew-join handles moderate
+    skew automatically; this is the explicit tool for extreme key skew
+    or for engines/paths where AQE can't split (e.g. bucketed tables).
+
+    Replication multiplies the other side by `salt` — use with a small
+    or pre-filtered right side.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return left.join(right, [*keys, "__salt"], how).drop("__salt")
+
+
 def dense_ids(
     df: DataFrame,
     order_by: str,

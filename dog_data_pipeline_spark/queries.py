@@ -682,6 +682,45 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL API surface: the same engine through spark.sql over registered views
+# ---------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 20
+"""
+
+
+@query(
+    "sql_shipping_priority",
+    _SHIPPING_PRIORITY_SQL,
+    "TPC-H Q3-shaped join-agg-topk THROUGH THE SQL API (spark.sql over "
+    "registered temp views — same Catalyst plan as the DataFrame form; "
+    "SURVEY §3 engine lifecycle). Spark SQL text differs from the oracle "
+    "only in the date formatter.",
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _SHIPPING_PRIORITY_SQL.replace(
+            "strftime(o.o_orderdate, '%Y-%m-%d')",
+            "date_format(o.o_orderdate, 'yyyy-MM-dd')",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Generic OLAP surface (§2.4-§2.7 'not present' extensions)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,96 @@
+"""Physical-plan shape tests (SURVEY §4.2): the engine's scale claims,
+asserted against `.explain` output — pushdown reaches the scan, small
+dims broadcast, aggregates split partial/final, whole-stage codegen
+covers the hot path, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.queries import REGISTRY
+from dog_data_pipeline_spark.operators.relational import salted_join
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "filter_project_in")
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(o_totalprice)" in plan or "GreaterThan(o_totalprice" in plan
+    # column pruning: the scan must not read unused columns
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_for_small_dims(spark):
+    plan = plan_of(spark, "broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_partial_final_aggregation_split(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # map-side combine: a partial_ function before the exchange
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution; codegen subtrees
+    # only exist in the final plan
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "Found" in plan and "WholeStageCodegen subtrees" in plan
+    n = int(plan.split("Found ")[1].split(" ")[0])
+    assert n >= 1
+
+
+def test_scalar_subquery_stays_broadcast(spark):
+    plan = plan_of(spark, "scalar_subquery_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no full global sort materialization
+
+
+def test_dense_ids_small_path_is_guarded_not_global(spark):
+    # the partitioned path must not appear for small inputs (one window
+    # is fine there), and the operator must keep the global window OUT of
+    # large plans — asserted via the operator's own branch, exercised in
+    # test_operators; here: ensure no Exchange SinglePartition for the
+    # range-join / asof plans which must stay parallel
+    for name in ["asof_join_latest_event", "range_join_event_pairs"]:
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_salted_join_distributes_hot_key(spark):
+    hot = spark.range(0, 10000).select(F.lit("hot").alias("k"), F.col("id"))
+    dim = spark.createDataFrame([("hot", 99)], "k STRING, v INT")
+    out = salted_join(hot, dim, "k")
+    assert out.count() == 10000
+    assert {r["v"] for r in out.select("v").distinct().collect()} == {99}
+    # the skewed side must spread across salt buckets
+    spread = (
+        hot.withColumn("__salt", (F.rand(seed=42) * 16).cast("int"))
+        .groupBy("__salt").count().count()
+    )
+    assert spread > 8
+
+
+@pytest.mark.parametrize("name", ["flagship_segment_stats", "minhash_lsh_dedup"])
+def test_no_cartesian_products_anywhere(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from dog_data_pipeline_spark.streaming import (
     dead_letter_for_each_batch,
+    session_agg,
+    sliding_agg,
     stream_events,
     tumbling_agg,
 )
@@ -57,6 +59,50 @@ def test_streaming_tumbling_matches_batch(spark, events_dir):
     max_w = max(w for w, _, _ in b)
     assert all(w == max_w for w, _, _ in missing), f"non-tail windows missing: {missing}"
     assert not (g - b), "streaming produced windows batch did not"
+
+
+def test_streaming_sliding_windows_overlap(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    agg = sliding_agg(stream, duration="2 hours", slide="1 hour", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sliding_out")
+    # every event lands in exactly 2 sliding windows -> total count ~ 2x
+    batch_n = load(spark, SF_DIR, "events").count()
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total >= int(batch_n * 1.9)  # tail windows may lag the watermark
+    assert total <= batch_n * 2
+
+
+def test_streaming_session_windows(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    agg = session_agg(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM session_out")
+    assert got.count() > 0
+    # sessions per user are disjoint: session end = last event + gap, so
+    # the next session must START strictly after the previous END (its
+    # first event is > gap after the previous session's last event)
+    r = got.orderBy("user_id", "session_start").collect()
+    by_user: dict[int, list] = {}
+    for row in r:
+        by_user.setdefault(row["user_id"], []).append(row)
+    for rows in by_user.values():
+        for a, b in zip(rows, rows[1:]):
+            assert (b["session_start"] - a["session_end"]).total_seconds() > 0
 
 
 def test_streaming_dead_letter_foreach_batch(spark, events_dir):
