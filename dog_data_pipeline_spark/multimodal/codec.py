@@ -50,8 +50,18 @@ def encode_video(fps: int, width: int, height: int, frames: list[bytes]) -> byte
 
 def crop_frame(frame: bytes, width: int, bbox: tuple[int, int, int, int]) -> bytes:
     """Row-major byte-grid crop — real slicing on the fake format; the
-    cv2 path would be ``frame[y1:y2, x1:x2]`` (``raw_to_samples.py:251``)."""
+    cv2 path would be ``frame[y1:y2, x1:x2]`` (``raw_to_samples.py:251``).
+
+    Coordinates are clipped to the frame: a max-extent box larger than
+    the frame legitimately carries out-of-frame corners after the
+    extent-preserving clamp (negative x1/y1), and slicing must not wrap
+    (numpy's negative-index slicing silently would — a latent reference
+    bug we do not reproduce).
+    """
     x1, y1, x2, y2 = (int(v) for v in bbox)
+    height = len(frame) // width if width else 0
+    x1, x2 = max(x1, 0), min(x2, width)
+    y1, y2 = max(y1, 0), min(y2, height)
     rows = []
     for y in range(y1, y2):
         rows.append(frame[y * width + x1 : y * width + x2])

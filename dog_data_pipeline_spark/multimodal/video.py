@@ -164,14 +164,30 @@ def crop_tracks(frames_df: DataFrame, tracks_df: DataFrame) -> DataFrame:
     )
 
 
+SEGMENT_ENCODED_SCHEMA = (
+    "video_id STRING, segment_id INT, subject_id INT, n_frames INT, video BINARY"
+)
+
+
 def encode_tracks(
     crops_df: DataFrame,
     fps: int = 30,
 ) -> DataFrame:
-    """Encode UDAF (F4/S9): ordered (video, subject) crop rows → one
-    encoded video blob per track via applyInPandas. Frames are sorted by
-    frame_idx inside the group — the zero-padded-filename sort the
-    reference leans on (``raw_to_samples.py:126,254``) made explicit."""
+    """Encode UDAF (F4/S9): ordered crop rows → one encoded video blob
+    per track via applyInPandas. The track key is (video, segment,
+    subject) when a segment_id column is present — one sample clip per
+    segment-track, matching the reference's
+    '{video}_{seg:03}_{sub:03}.mp4' outputs (``raw_to_samples.py:366``) —
+    else (video, subject). Frames are sorted by frame_idx inside the
+    group: the zero-padded-filename sort the reference leans on
+    (``raw_to_samples.py:126,254``) made explicit."""
+
+    has_segment = "segment_id" in crops_df.columns
+    keys = (
+        ["video_id", "segment_id", "subject_id"]
+        if has_segment
+        else ["video_id", "subject_id"]
+    )
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_idx")
@@ -179,18 +195,18 @@ def encode_tracks(
         w = int(pdf["crop_w"].iloc[0])
         h = int(pdf["crop_h"].iloc[0])
         blob = codec.encode_video(fps, w, h, frames)
-        return pd.DataFrame(
-            {
-                "video_id": [pdf["video_id"].iloc[0]],
-                "subject_id": [int(pdf["subject_id"].iloc[0])],
-                "n_frames": [len(frames)],
-                "video": [blob],
-            }
-        )
+        out = {
+            "video_id": [pdf["video_id"].iloc[0]],
+            "subject_id": [int(pdf["subject_id"].iloc[0])],
+            "n_frames": [len(frames)],
+            "video": [blob],
+        }
+        if has_segment:
+            out["segment_id"] = [int(pdf["segment_id"].iloc[0])]
+        return pd.DataFrame(out)
 
     with_dims = crops_df.withColumn(
         "crop_w", F.col("new_bbox")[2] - F.col("new_bbox")[0]
     ).withColumn("crop_h", F.col("new_bbox")[3] - F.col("new_bbox")[1])
-    return with_dims.groupBy("video_id", "subject_id").applyInPandas(
-        _encode, ENCODED_SCHEMA
-    )
+    schema = SEGMENT_ENCODED_SCHEMA if has_segment else ENCODED_SCHEMA
+    return with_dims.groupBy(*keys).applyInPandas(_encode, schema)

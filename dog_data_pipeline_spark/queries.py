@@ -666,7 +666,7 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_orderstatus
     FROM orders
-    WHERE o_orderkey >= (SELECT CAST(max(o_orderkey) * 0.9 AS BIGINT) FROM orders)
+    WHERE o_orderkey >= (SELECT CAST(floor(max(o_orderkey) * 0.9) AS BIGINT) FROM orders)
     """,
     "Resumable offset filter on a dense key (P4/T4; start_index resume at "
     "raw_to_samples.py:310-313).",
@@ -678,6 +678,130 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_scalar(o, thresh)
         .filter(F.col("o_orderkey") >= F.col("__thresh"))
         .select("o_orderkey", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity: the stage-3 tracking pipeline under the oracle gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "tracking_pipeline_samples",
+    """
+    -- deterministic detections synthesized from events (same mapping as
+    -- the Spark side), then the reference's stage-3 semantics:
+    -- +1-overlap tumbling segments, trailing-short drop, dog-frequency
+    -- > 0.3, completeness, int(max)+10 pad, ceil recenter + ordered clamp
+    WITH det AS (
+      SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS video_id,
+             CAST(event_id % 100 AS INT) AS frame_idx,
+             CAST(user_id % 4 AS INT) AS subject_id,
+             CAST(1 + mod(value, 500.0) AS DOUBLE) AS x1,
+             CAST(1 + mod(value, 350.0) AS DOUBLE) AS y1,
+             CAST(1 + mod(value, 500.0) + 20 + mod(event_id, 60) AS DOUBLE) AS x2,
+             CAST(1 + mod(value, 350.0) + 15 + mod(event_id, 45) AS DOUBLE) AS y2,
+             CASE WHEN event_type = 'error' THEN 0 ELSE 16 END AS cls
+      FROM events
+    ), seg0 AS (
+      SELECT *, CAST(floor(frame_idx / 20) AS INT) AS seg FROM det
+    ), seg AS (  -- +1 overlap: frame at seg boundary also closes previous segment
+      SELECT video_id, frame_idx, subject_id, x1, y1, x2, y2, cls, seg AS segment_id FROM seg0
+      UNION ALL
+      SELECT video_id, frame_idx, subject_id, x1, y1, x2, y2, cls, seg - 1 FROM seg0
+      WHERE frame_idx % 20 = 0 AND seg >= 1
+    ), segv AS (  -- frame_count=100 → segments 0..3 full (21), seg 4 len 20 kept
+      SELECT *, least(segment_id * 20 + 21, 100) - segment_id * 20 AS seg_n
+      FROM seg
+      WHERE least(segment_id * 20 + 21, 100) - segment_id * 20 >= 20
+    ), stats AS (
+      SELECT video_id, segment_id, subject_id,
+             count(*) AS n_det,
+             avg(CASE WHEN cls = 16 THEN 1.0 ELSE 0.0 END) AS freq,
+             max(seg_n) AS seg_n,
+             CAST(trunc(max(abs(x2 - x1))) AS INT) + 10 AS pad_w,  -- trunc: duckdb CAST rounds, the reference's int() truncates
+             CAST(trunc(max(abs(y2 - y1))) AS INT) + 10 AS pad_h
+      FROM segv GROUP BY 1, 2, 3
+    ), selected AS (
+      SELECT * FROM stats WHERE freq > 0.3 AND n_det = seg_n
+    ), transformed AS (
+      SELECT s.video_id, s.segment_id, s.subject_id, d.frame_idx,
+             s.pad_w, s.pad_h,
+             ceil((d.x1 + d.x2) / 2 - s.pad_w / 2.0) AS nx1,
+             ceil((d.y1 + d.y2) / 2 - s.pad_h / 2.0) AS ny1,
+             ceil((d.x1 + d.x2) / 2 + s.pad_w / 2.0) AS nx2,
+             ceil((d.y1 + d.y2) / 2 + s.pad_h / 2.0) AS ny2
+      FROM selected s
+      JOIN segv d USING (video_id, segment_id, subject_id)
+    ), clamped AS (
+      SELECT video_id, segment_id, subject_id, frame_idx,
+             CASE WHEN c1x1 < 0 THEN 0
+                  WHEN (CASE WHEN c1x1 < 0 THEN pad_w ELSE nx2 END) > 640 THEN 640 - pad_w
+                  ELSE c1x1 END AS fx1,
+             CASE WHEN (CASE WHEN c1x1 < 0 THEN pad_w ELSE nx2 END) > 640 THEN 640
+                  ELSE (CASE WHEN c1x1 < 0 THEN pad_w ELSE nx2 END) END AS fx2,
+             CASE WHEN c1y1 < 0 THEN 0
+                  WHEN (CASE WHEN c1y1 < 0 THEN pad_h ELSE ny2 END) > 480 THEN 480 - pad_h
+                  ELSE c1y1 END AS fy1,
+             CASE WHEN (CASE WHEN c1y1 < 0 THEN pad_h ELSE ny2 END) > 480 THEN 480
+                  ELSE (CASE WHEN c1y1 < 0 THEN pad_h ELSE ny2 END) END AS fy2
+      FROM (SELECT *, nx1 AS c1x1, ny1 AS c1y1 FROM transformed) t
+    )
+    SELECT video_id, CAST(segment_id AS INT) AS segment_id,
+           CAST(subject_id AS INT) AS subject_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(fx1 + fy1 + fx2 + fy2) AS BIGINT) AS bbox_checksum
+    FROM clamped
+    GROUP BY 1, 2, 3
+    """,
+    "The FULL stage-3 tracking pipeline (segmentation with +1 overlap and "
+    "trailing drop, frequency + completeness selection, int+10 max-extent "
+    "pad, ceil recenter + extent-preserving ordered clamp) run on "
+    "deterministic detections derived from events, reduced to per-track "
+    "frame counts + bbox checksums — the reference's exact edge semantics "
+    "under the driver's differential gate, not just unit tests.",
+)
+def tracking_pipeline_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.pipelines.tracking import (
+        segment_frames,
+        select_complete_dog_tracks,
+        transform_tracks_max_extent,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    det = events.select(
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias("video_id"),
+        (F.col("event_id") % 100).cast("int").alias("frame_idx"),
+        (F.col("user_id") % 4).cast("int").alias("subject_id"),
+        F.array(
+            1 + F.col("value") % 500.0,
+            1 + F.col("value") % 350.0,
+            1 + F.col("value") % 500.0 + 20 + F.col("event_id") % 60,
+            1 + F.col("value") % 350.0 + 15 + F.col("event_id") % 45,
+        ).alias("bbox"),
+        F.when(F.col("event_type") == "error", 0).otherwise(16).alias("cls"),
+    )
+    metadata = det.select("video_id").distinct().select(
+        "video_id",
+        F.lit(100).alias("frame_count"),
+        F.lit(480).alias("frame_height"),
+        F.lit(640).alias("frame_width"),
+        F.lit(10).alias("video_fps"),
+    )
+    segmented = segment_frames(det, metadata, segment_length_sec=2)
+    selected = select_complete_dog_tracks(segmented, label=16, threshold=0.3)
+    transformed = transform_tracks_max_extent(segmented, selected)
+    return transformed.groupBy(
+        "video_id",
+        F.col("segment_id").cast("int").alias("segment_id"),
+        F.col("subject_id").cast("int").alias("subject_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.col("new_bbox")[0]
+            + F.col("new_bbox")[1]
+            + F.col("new_bbox")[2]
+            + F.col("new_bbox")[3]
+        ).cast("bigint").alias("bbox_checksum"),
     )
 
 
@@ -984,6 +1108,27 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select("o_custkey", "o_orderkey", gap.cast("bigint").alias("gap_sec"))
         .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+@query(
+    "except_all_lines",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    "EXCEPT ALL multiset difference (§2.7 generic surface) — bag "
+    "semantics preserved, unlike EXCEPT's implicit distinct.",
+)
+def except_all_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_returnflag") == "N")
+        .select("l_orderkey", "l_partkey")
+        .exceptAll(
+            l.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_partkey")
+        )
     )
 
 

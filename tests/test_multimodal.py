@@ -76,6 +76,48 @@ def test_crop_and_encode_roundtrip(spark, videos_df):
     assert bytes(dec[0]) == expected_crop  # encode → decode round-trip
 
 
+def test_full_video_chain_decode_track_segment_crop_encode(spark):
+    """The complete stage-3 flow over real bytes: fake videos → decode →
+    tracking inference → tumbling segmentation (+1 overlap) → frequency +
+    completeness selection → max-extent clamp transform → crop → encode."""
+    from dog_data_pipeline_spark.pipelines.tracking import (
+        segment_frames,
+        select_complete_dog_tracks,
+        transform_tracks_max_extent,
+    )
+
+    w, h, fps, n = 40, 30, 2, 13  # fps*2=4 frames/segment; pad 17x17 fits
+    frames = [bytes([(i * 7 + j) % 251 for j in range(w * h)]) for i in range(n)]
+    videos = spark.createDataFrame(
+        [("v1", codec.make_fake_video(fps, w, h, frames))],
+        "video_id STRING, content BINARY",
+    )
+    meta = probe_metadata(videos).select(
+        "video_id", "frame_count", "frame_height", "frame_width", "video_fps"
+    )
+    decoded = decode_frames(videos)
+    # constant-subject detector: complete track, always class 16
+    det_factory = lambda: (lambda frame, width, height: [(1, [2.0, 1.0, 9.0, 8.0], 16)])
+    detections = run_tracking(decoded, det_factory)
+    segmented = segment_frames(detections, meta, segment_length_sec=2)
+    selected = select_complete_dog_tracks(segmented, 16, 0.3)
+    transformed = transform_tracks_max_extent(segmented, selected)
+    crops = crop_tracks(
+        decoded,
+        transformed.select("video_id", "frame_idx", "segment_id", "subject_id", "new_bbox"),
+    )
+    encoded = encode_tracks(crops, fps=fps).collect()
+    # one clip per (segment, subject): segments 0,1,2 qualify (13 frames,
+    # n=4: starts 0,4,8 full; trailing start 12 short → dropped)
+    got = {(r["segment_id"], r["subject_id"]): r for r in encoded}
+    assert set(got) == {(0, 1), (1, 1), (2, 1)}
+    for (seg, _), r in got.items():
+        fps_out, dec_frames = codec.decode_video(bytes(r["video"]))
+        assert fps_out == fps
+        assert all(len(f) == 17 * 17 for f in dec_frames)  # uniform pad 7+10
+        assert len(dec_frames) == 5  # 4 + the +1 overlap frame
+
+
 def test_real_codec_is_cleanly_stubbed():
     with pytest.raises(NotImplementedError):
         codec.probe(b"\x00\x00notfake")
