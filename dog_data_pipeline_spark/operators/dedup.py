@@ -88,8 +88,21 @@ def jaccard_pairs(
     more than that many documents before the join — the skew/fan-out
     guard for web-scale corpora (makes the result a lower bound on
     |A∩B|; leave None for exact parity with the oracle).
+
+    The join key is xxhash64(shingle), not the string: the self-join
+    shuffle then moves 8-byte longs instead of ~n-word strings. A hash
+    collision would merge two shingles (P ≈ d²/2⁶⁵ for d distinct
+    shingles — ~1e-9 at d=1e5, still < 1e-4 at a billion); acceptable
+    for near-dup DETECTION where the downstream exact verifier re-checks
+    candidates.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    # NOTE: the inverted index feeds three plan subtrees (sizes + both
+    # join sides); Spark reuses the shuffle stage across them, so an
+    # explicit persist() only adds cache-write overhead on one-shot runs
+    # (measured) — callers looping over thresholds should persist.
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -159,6 +172,10 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
+    # the signature feeds three subtrees downstream (banding + both
+    # rerank sides); the shuffle-stage reuse makes an operator-level
+    # persist() a wash on one-shot runs — persist at the call site when
+    # reusing signatures across multiple queries
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

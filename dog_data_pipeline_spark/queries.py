@@ -849,6 +849,97 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    "JSON scalar functions (§2.8; the reference's json.load manifest "
+    "parsing generalized): extract a field from the props JSON column "
+    "and aggregate — get_json_object stays JVM-side, no UDF.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@query(
+    "key_formatting",
+    """
+    SELECT printf('%06d.mp4', o_orderkey) AS file_name,
+           printf('%s_%03d_%03d', o_orderstatus, o_orderkey % 1000, CAST(o_custkey % 1000 AS INT)) AS sample_key,
+           lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS padded_cust
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+    "Zero-padded key formatting (§2.8; '%06d.mp4' at "
+    "preprocessed_to_raw.py:40, '{video}_{seg:03}_{sub:03}' at "
+    "raw_to_samples.py:366): format_string/lpad/concat_ws.",
+)
+def key_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        F.format_string("%06d.mp4", F.col("o_orderkey")).alias("file_name"),
+        F.format_string(
+            "%s_%03d_%03d",
+            F.col("o_orderstatus"),
+            F.col("o_orderkey") % 1000,
+            (F.col("o_custkey") % 1000).cast("int"),
+        ).alias("sample_key"),
+        F.lpad(F.col("o_custkey").cast("string"), 8, "0").alias("padded_cust"),
+    )
+
+
+@query(
+    "map_array_functions",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT) AS n_items,
+           CAST(len(list_filter(qtys, q -> q > 25)) AS INT) AS n_large,
+           CAST(list_sum(list_transform(qtys, q -> q * 2)) AS BIGINT) AS doubled_sum,
+           CAST(qtys[1] AS BIGINT) AS first_qty
+    FROM per_order WHERE l_orderkey % 20 = 0
+    """,
+    "Array higher-order functions (§2.8: size/filter/transform/aggregate/"
+    "element_at — the reference's per-frame list manipulations at "
+    "raw_to_samples.py:151,215,78-88 generalized).",
+)
+def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    per_order = ordered_collect(
+        l.withColumn("q", F.col("l_quantity").cast("bigint")),
+        ["l_orderkey"],
+        ["l_linenumber", "q"],
+        "q",
+        out="qtys",
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.size(F.filter("qtys", lambda q: q > 25)).cast("int").alias("n_large"),
+        F.aggregate(
+            F.transform("qtys", lambda q: q * 2),
+            F.lit(0).cast("bigint"),
+            lambda acc, q: acc + q,
+        ).alias("doubled_sum"),
+        F.element_at("qtys", 1).alias("first_qty"),
+    )
+
+
+@query(
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
