@@ -12,3 +12,7 @@ from dog_data_pipeline_spark.sources.files import (  # noqa: F401
     list_binary_files,
     parse_path_components,
 )
+from dog_data_pipeline_spark.sources.copy import (  # noqa: F401
+    execute_copies,
+    plan_copies,
+)

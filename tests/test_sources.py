@@ -55,6 +55,36 @@ def test_json_map_roundtrip(spark, tmp_path):
         assert json.load(f) == {"a/b.mp4": "eat", "c/d.mp4": "walk"}
 
 
+def test_distributed_copy_with_idempotence(spark, tmp_path):
+    from dog_data_pipeline_spark.sources import execute_copies, plan_copies
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+    for i in range(5):
+        (src / f"{i}.mp4").write_bytes(bytes([i] * 10))
+    (dst / "000001.mp4").write_bytes(bytes([1] * 10))  # already copied
+
+    listing = list_binary_files(spark, str(src), glob="*.mp4")
+    named = parse_path_components(listing).select(
+        "path", F.format_string("%06d.mp4", F.col("stem").cast("int")).alias("dst_name")
+    )
+    done = spark.createDataFrame(
+        [(str(dst / "000001.mp4"),)], "dst_path STRING"
+    )
+    plan = plan_copies(named, str(dst), done=done)
+    n = execute_copies(plan)
+    assert n == 4  # idempotent skip of the pre-existing file
+    assert sorted(p.name for p in dst.iterdir()) == [
+        "000000.mp4", "000001.mp4", "000002.mp4", "000003.mp4", "000004.mp4",
+    ]
+    assert (dst / "000003.mp4").read_bytes() == bytes([3] * 10)
+    # re-running the full plan is a no-op result-wise
+    n2 = execute_copies(plan_copies(named, str(dst), done=done))
+    assert (dst / "000003.mp4").read_bytes() == bytes([3] * 10)
+
+
 def test_binary_listing_and_path_parse(spark, tmp_path):
     (tmp_path / "dogs_eating").mkdir()
     (tmp_path / "dogs_eating" / "a.mp4").write_bytes(b"\x00fakevideo")
