@@ -1015,6 +1015,9 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_median_price"
+        ),
     )
 
 

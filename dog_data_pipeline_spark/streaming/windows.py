@@ -81,6 +81,42 @@ def tumbling_agg(
     )
 
 
+def flagship_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    freq_type: str = "click",
+    threshold: float = 0.3,
+    min_events: int = 2,
+) -> DataFrame:
+    """Streaming twin of the flagship batch query: per (window, user),
+    conditional frequency (A2) + completeness threshold (A3) + padded max
+    (A1) — same expressions, incremental execution with watermark-bounded
+    state. Demonstrates the engine's batch/streaming unification: the
+    aggregation expressions are identical to queries.flagship_segment_stats.
+    """
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(F.when(F.col("event_type") == freq_type, 1.0).otherwise(0.0)).alias(
+                "freq"
+            ),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return agg.filter(
+        (F.col("freq") > threshold) & (F.col("n_events") >= min_events)
+    ).select(
+        F.col("win.start").alias("win_start"),
+        "user_id",
+        "n_events",
+        F.round("freq", 4).alias("click_freq"),
+        F.round(F.col("max_value") + 10.0, 2).alias("padded_max"),
+    )
+
+
 def sliding_agg(
     events: DataFrame,
     duration: str = "10 seconds",

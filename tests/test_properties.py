@@ -1,0 +1,95 @@
+"""Hypothesis property tests (SURVEY §5.4): geometry clamp vs an
+independent oracle over generated boxes; ordered-collect determinism
+under arbitrary row order."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.functions.geometry import recenter_clamp
+from dog_data_pipeline_spark.operators.aggregates import ordered_collect
+
+
+def _oracle_clamp(bbox, w, h, mw, mh):
+    mw, mh = int(mw), int(mh)
+    cx, cy = (bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2
+    x1, y1 = math.ceil(cx - w / 2), math.ceil(cy - h / 2)
+    x2, y2 = math.ceil(cx + w / 2), math.ceil(cy + h / 2)
+    if x1 < 0:
+        x1, x2 = 0, w
+    if y1 < 0:
+        y1, y2 = 0, h
+    if x2 > mw:
+        x2, x1 = mw, mw - w
+    if y2 > mh:
+        y2, y1 = mh, mh - h
+    return [x1, y1, x2, y2]
+
+
+coord = st.floats(min_value=-50, max_value=750, allow_nan=False)
+dim = st.integers(min_value=1, max_value=800)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(coord, coord, st.floats(0.1, 400), st.floats(0.1, 300), dim, dim),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_recenter_clamp_property(spark_prop, data):
+    rows = [
+        (i, [x1, y1, x1 + bw, y1 + bh], w, h)
+        for i, (x1, y1, bw, bh, w, h) in enumerate(data)
+    ]
+    df = spark_prop.createDataFrame(rows, "i INT, bbox ARRAY<DOUBLE>, w INT, h INT")
+    out = df.withColumn(
+        "nb",
+        recenter_clamp(F.col("bbox"), F.col("w"), F.col("h"), F.lit(640), F.lit(480)),
+    )
+    for r in out.collect():
+        i = r["i"]
+        bbox = rows[i][1]
+        expected = _oracle_clamp(bbox, rows[i][2], rows[i][3], 640, 480)
+        assert list(r["nb"]) == expected, (bbox, rows[i][2], rows[i][3])
+        # invariant: extent is always preserved
+        assert r["nb"][2] - r["nb"][0] == rows[i][2]
+        assert r["nb"][3] - r["nb"][1] == rows[i][3]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.text("ab", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=30,
+    ),
+    parts=st.integers(1, 6),
+)
+def test_ordered_collect_partition_invariant(spark_prop, vals, parts):
+    df = spark_prop.createDataFrame(vals, "k INT, o INT, v STRING").repartition(parts)
+    out = {
+        r["k"]: r["seq"]
+        for r in ordered_collect(df, ["k"], ["o", "v"], "v").collect()
+    }
+    expected: dict[int, list[str]] = {}
+    for k, o, v in sorted(vals, key=lambda t: (t[0], t[1], t[2])):
+        expected.setdefault(k, []).append(v)
+    assert out == expected
+
+
+# session-scoped spark fixture adapted for hypothesis (function-scoped
+# fixtures interact badly with @given)
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_prop():
+    from dog_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="prop-tests", shuffle_partitions=4)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dog_data_pipeline_spark.streaming import (
     dead_letter_for_each_batch,
+    flagship_stream,
     session_agg,
     sliding_agg,
     stream_events,
@@ -120,6 +121,75 @@ def test_streaming_dead_letter_foreach_batch(spark, events_dir):
     n_err = batch.filter(F.col("event_type") == "error").count()
     assert sum(err_rows) == n_err
     assert sum(ok_rows) == batch.count() - n_err
+
+
+def test_streaming_flagship_matches_batch_query(spark, events_dir):
+    """The streaming flagship must agree with the batch flagship for all
+    watermark-closed windows — batch/streaming unification of the
+    engine's signature query."""
+    from dog_data_pipeline_spark.queries import REGISTRY
+
+    stream = stream_events(spark, events_dir)
+    out = flagship_stream(stream, duration="1 hour", watermark="1 minute")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("flagship_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r["w"]), r["user_id"], r["n_events"], r["click_freq"], r["padded_max"])
+        for r in spark.sql(
+            "SELECT CAST(unix_timestamp(win_start) AS BIGINT) w, user_id, n_events,"
+            " click_freq, padded_max FROM flagship_out"
+        ).collect()
+    }
+    batch = {
+        (r["win_start"], r["user_id"], r["n_events"], r["click_freq"], r["padded_max"])
+        for r in REGISTRY["flagship_segment_stats"].fn(spark, SF_DIR).collect()
+    }
+    missing = batch - got
+    max_w = max(w for w, *_ in batch)
+    assert all(w == max_w for w, *_ in missing), f"non-tail window diff: {missing}"
+    assert not (got - batch)
+
+
+def test_streaming_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """T4: checkpointed restart continues from the recorded offset —
+    re-running the stream with the same checkpoint must not reprocess."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    from dog_data_pipeline_spark.tables import load
+
+    events = load(spark, SF_DIR, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src / "batch1"))
+
+    counts = []
+    route = lambda df, _e: counts.append(df.count())
+
+    def run_once():
+        stream = spark.readStream.schema(half1.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = sum(counts)
+    assert n1 == half1.count()
+    half2.write.parquet(str(src / "batch2"))
+    run_once()  # restart with same checkpoint: only the new file
+    assert sum(counts) == events.count()  # no reprocessing of batch1
 
 
 def test_streaming_stateful_running_track(spark, events_dir):
