@@ -94,3 +94,18 @@ def test_salted_join_distributes_hot_key(spark):
 def test_no_cartesian_products_anywhere(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_reuses_shared_subtrees_in_tracking_pipeline(spark):
+    """The tracking pipeline references the segmented subtree from three
+    downstream consumers; AQE must materialize the shared shuffle once
+    and reuse it (an explicit persist() was measured to be strictly
+    worse — cache-write overhead with no extra reuse)."""
+    df = REGISTRY["tracking_pipeline_samples"].fn(spark, SF_DIR)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("Initial Plan")[0]
+    reused = final.count("ReusedQueryStage") + final.count("ReusedExchange")
+    assert reused >= 1, "expected AQE stage reuse for the shared segmented subtree"
