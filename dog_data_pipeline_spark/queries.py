@@ -681,6 +681,132 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    "TPC-H Q5-shaped 5-table snowflake join: fact lineitem through orders "
+    "to customer/nation/region dims — dims broadcast, fact shuffles only "
+    "for the orders join and final agg.",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "correlated_subquery_above_avg",
+    """
+    SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    "Correlated scalar subquery (SQL surface; Catalyst decorrelates to an "
+    "aggregate + join — no per-row re-execution).",
+)
+def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "multimodal_track_summary",
+    None,  # binary video chain — no SQL analog; rows-only check
+    "The full multimodal chain as a query: deterministic FAKEVID videos "
+    "(count scaled by sf) -> header-only probe -> frame-decode UDTF -> "
+    "load-once-per-partition tracking inference -> (video, segment) "
+    "tumbling selection -> max-extent clamp -> crop -> per-track encode, "
+    "reduced to per-track frame counts and crop byte sizes.",
+)
+def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.multimodal import codec
+    from dog_data_pipeline_spark.multimodal.video import (
+        crop_tracks,
+        decode_frames,
+        encode_tracks,
+        probe_metadata,
+        run_tracking,
+    )
+    from dog_data_pipeline_spark.pipelines.tracking import (
+        segment_frames,
+        select_complete_dog_tracks,
+        transform_tracks_max_extent,
+    )
+
+    n_videos = 8 if sf_dir.rstrip("/").endswith("0.001") else 16
+    w, h, fps, n_frames = 64, 48, 2, 13
+
+    def frames(seed: int) -> list[bytes]:
+        return [
+            bytes([(seed * 31 + i * 7 + j) % 251 for j in range(w * h)])
+            for i in range(n_frames)
+        ]
+
+    videos = spark.createDataFrame(
+        [(f"v{k}", codec.make_fake_video(fps, w, h, frames(k))) for k in range(n_videos)],
+        "video_id STRING, content BINARY",
+    )
+    meta = probe_metadata(videos).select(
+        "video_id", "frame_count", "frame_height", "frame_width", "video_fps"
+    )
+    decoded = decode_frames(videos)
+    detections = run_tracking(decoded)
+    segmented = segment_frames(detections, meta, segment_length_sec=2)
+    selected = select_complete_dog_tracks(segmented, label=16, threshold=0.3)
+    transformed = transform_tracks_max_extent(segmented, selected)
+    crops = crop_tracks(
+        decoded,
+        transformed.select("video_id", "frame_idx", "segment_id", "subject_id", "new_bbox"),
+    )
+    encoded = encode_tracks(crops, fps=fps)
+    return encoded.select(
+        "video_id",
+        "segment_id",
+        "subject_id",
+        "n_frames",
+        F.length("video").alias("encoded_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity: the stage-3 tracking pipeline under the oracle gate
 # ---------------------------------------------------------------------------

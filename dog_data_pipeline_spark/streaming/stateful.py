@@ -77,3 +77,62 @@ def running_track_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- the modern Spark 4 typed-state API (transformWithStateInPandas) ------
+
+PEAK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def new_peak_events(events: DataFrame) -> DataFrame:
+    """Per-key 'new peak' detector via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState: typed state handles,
+    explicit lifecycle): emits only events that exceed their key's
+    running maximum — the kind of per-track threshold logic a tracker
+    applies frame-over-frame, with state owned by the engine's RocksDB
+    store and partitioned by key.
+
+    Environment note: the TWS state protocol needs the ``protobuf``
+    python package (absent from this image) and the RocksDB state store
+    provider — ``running_track_state`` (applyInPandasWithState) is the
+    dependency-free equivalent.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._peak = handle.getValueState(
+                "peak", StructType([StructField("v", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            peak = self._peak.get()[0] if self._peak.exists() else float("-inf")
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_id")
+                for eid, v in zip(pdf["event_id"], pdf["value"]):
+                    if float(v) > peak:
+                        peak = float(v)
+                        out.append((key[0], int(eid), float(v)))
+            self._peak.update((peak,))
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "event_id", "value"])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PeakProcessor(),
+        outputStructType=PEAK_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -192,6 +192,44 @@ def test_streaming_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert sum(counts) == events.count()  # no reprocessing of batch1
 
 
+def test_streaming_transform_with_state_new_peaks(spark, events_dir):
+    # transformWithStateInPandas needs google.protobuf (state protocol) —
+    # not shipped in this image; the operator is implemented and this
+    # test runs wherever protobuf is available
+    pytest.importorskip("google.protobuf.descriptor")
+    from dog_data_pipeline_spark.streaming.stateful import new_peak_events
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = stream_events(spark, events_dir)
+    out = new_peak_events(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("peaks_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.sql("SELECT user_id, event_id FROM peaks_out").collect()
+    }
+    # independent re-derivation: an event is a peak iff its value exceeds
+    # every earlier (by event_id) value of the same user
+    rows = load(spark, SF_DIR, "events").select("user_id", "event_id", "value").collect()
+    expected = set()
+    best: dict[int, float] = {}
+    for r in sorted(rows, key=lambda r: r["event_id"]):
+        if r["value"] > best.get(r["user_id"], float("-inf")):
+            best[r["user_id"]] = r["value"]
+            expected.add((r["user_id"], r["event_id"]))
+    assert got == expected
+
+
 def test_streaming_stateful_running_track(spark, events_dir):
     stream = stream_events(spark, events_dir)
     out = running_track_state(stream)
