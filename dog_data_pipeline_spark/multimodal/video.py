@@ -91,17 +91,30 @@ def decode_frames(
 
 
 def fake_detector_factory() -> Callable[[bytes, int, int], list[tuple[int, list[float], int]]]:
-    """Deterministic stand-in for a YOLO tracker: detects one 'subject'
-    whose bbox derives from the frame's byte content (so tests can
-    assert real data flow). Returns (subject_id, bbox, cls) tuples."""
+    """Deterministic stand-in for a YOLO tracker: emits stable subject
+    identities with bboxes derived from the frame's byte content (so
+    tests can assert real data flow). Per frame:
+    - subject 1: always present, always class 16 (a complete dog track);
+    - subject 2: always present, class 16 in ~3/4 of frames (exercises
+      the frequency threshold);
+    - subject 3: present only in ~half the frames (dropped by the
+      completeness filter).
+    Returns (subject_id, bbox, cls) tuples.
+    """
 
     def detect(frame: bytes, width: int, height: int):
         if not frame:
             return []
         s = sum(frame[:16])
-        x1 = float(s % max(width - 4, 1))
-        y1 = float((s // 7) % max(height - 4, 1))
-        return [(1 + s % 3, [x1, y1, x1 + 4.0, y1 + 4.0], 16 if s % 5 else 0)]
+        x1 = float(s % max(width - 8, 1))
+        y1 = float((s // 7) % max(height - 8, 1))
+        out = [
+            (1, [x1, y1, x1 + 6.0, y1 + 5.0], 16),
+            (2, [x1 / 2, y1 / 2, x1 / 2 + 4.0, y1 / 2 + 4.0], 16 if s % 4 else 0),
+        ]
+        if s % 2:
+            out.append((3, [1.0, 1.0, 3.0, 3.0], 16))
+        return out
 
     return detect
 

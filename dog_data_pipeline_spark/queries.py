@@ -682,6 +682,49 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semi_join_active_customers",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 4000
+    """,
+    "Left semi-join (§2.3 'not present' extension): customers with at "
+    "least one qualifying order — no duplication, no right columns.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "salted_skew_join",
+    """
+    SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice), 2) AS price_sum
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "Skew-salted equi-join (the explicit hot-key tool beside AQE's "
+    "skew-join): salting must be RESULT-INVARIANT — the oracle is the "
+    "plain join, proving the salt changes the distribution, never the "
+    "answer.",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.relational import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    p = _t(spark, sf_dir, "part")
+    joined = salted_join(l, p, on="p_partkey", salt=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+    )
+
+
+@query(
     "regional_revenue",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
@@ -758,6 +801,9 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     "reduced to per-track frame counts and crop byte sizes.",
 )
 def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     from dog_data_pipeline_spark.multimodal import codec
     from dog_data_pipeline_spark.multimodal.video import (
         crop_tracks,
@@ -781,15 +827,25 @@ def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_frames)
         ]
 
+    # partition count sized to the payload, not the session default: every
+    # Python-UDF stage pays a worker round-trip per partition, so 16 tiny
+    # videos across 32 shuffle partitions is pure overhead (at real scale
+    # the video count drives this number)
+    n_parts = max(2, min(8, n_videos))
     videos = spark.createDataFrame(
         [(f"v{k}", codec.make_fake_video(fps, w, h, frames(k))) for k in range(n_videos)],
         "video_id STRING, content BINARY",
-    )
+    ).repartition(n_parts, "video_id")
     meta = probe_metadata(videos).select(
         "video_id", "frame_count", "frame_height", "frame_width", "video_fps"
     )
-    decoded = decode_frames(videos)
-    detections = run_tracking(decoded)
+    # decode is a NARROW Python-UDF map — unlike shuffle subtrees (which
+    # AQE reuses), a map is recomputed per consumer, and it feeds both
+    # the tracking path and the crop join. Persist the decoded frames:
+    # this is the multimodal analog of not re-decoding the video per
+    # stage (the reference decodes everything twice).
+    decoded = decode_frames(videos).persist()
+    detections = run_tracking(decoded, num_partitions=n_parts)
     segmented = segment_frames(detections, meta, segment_length_sec=2)
     selected = select_complete_dog_tracks(segmented, label=16, threshold=0.3)
     transformed = transform_tracks_max_extent(segmented, selected)

@@ -37,6 +37,33 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor python workers via ``addPyFile``.
+
+    Column-expression operators never need it, but Python UDFs whose
+    closures reference package modules (the multimodal codec) require
+    the package importable ON THE WORKERS — which a driver that merely
+    put the repo on ITS OWN sys.path does not guarantee. This is the
+    same mechanism used to ship application code to a real cluster.
+    Idempotent per session.
+    """
+    marker = "_ddps_pyfile_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"dog_data_pipeline_spark_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable configs to an existing session.
 

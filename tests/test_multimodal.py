@@ -53,7 +53,12 @@ def test_tracking_deterministic_and_partition_safe(spark, videos_df):
     det8 = run_tracking(frames, num_partitions=8).collect()
     k = lambda r: (r["video_id"], r["frame_idx"], r["subject_id"])
     assert sorted(map(k, det1)) == sorted(map(k, det8))  # parallelism-invariant
-    assert len(det1) == 12  # one detection per frame
+    # subjects 1 and 2 on every frame (12 frames total), subject 3 on ~half
+    assert 24 <= len(det1) <= 36
+    per_frame = {}
+    for r in det1:
+        per_frame.setdefault((r["video_id"], r["frame_idx"]), set()).add(r["subject_id"])
+    assert all({1, 2} <= subs for subs in per_frame.values())
 
 
 def test_crop_and_encode_roundtrip(spark, videos_df):
