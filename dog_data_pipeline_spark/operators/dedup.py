@@ -18,6 +18,12 @@ Scale design (the point of this module — see each docstring):
   pair blow-up; the unblocked scale path is the LSH variant in
   similarity.py).
 
+Pipeline ordering matters at scale: pair-enumeration inside a group of k
+IDENTICAL documents is O(k²) — no candidate scheme avoids it, because
+every pair genuinely qualifies. Run ``exact_dup_groups`` FIRST and
+near-dup only the surviving representatives (the standard web-corpus
+ordering); the near-dup operators assume an exact-deduped input.
+
 Everything is DataFrame-native column expressions — no Python UDFs.
 """
 
@@ -122,8 +128,12 @@ def jaccard_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # merge hint: `common` is an agg output whose size Spark misestimates —
+    # on a 50k-doc stress corpus the planner tried to BROADCAST it and
+    # OOM'd. Neither side is broadcastable at corpus scale (sizes is
+    # |docs| rows); sort-merge is the only strategy that never falls over.
     return (
-        common.join(sz_a, "id_a")
+        common.hint("merge").join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
@@ -230,8 +240,10 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
+    # merge hint: same misestimation hazard as jaccard_pairs — cand and
+    # sig are both corpus-sized; never let the planner broadcast either
     return (
-        cand.join(sig_a, "id_a")
+        cand.hint("merge").join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= est_threshold)

@@ -682,6 +682,60 @@ def resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_measures",
+    """
+    SELECT l_returnflag, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_returnflag, 'qty' AS measure, sum(l_quantity) AS val
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'price', sum(l_extendedprice) FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'tax', sum(l_tax) FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    "Unpivot / wide-to-long (§2.6-§2.7 generic surface): stack() melts "
+    "measure columns into (measure, val) rows in one pass — the oracle "
+    "spells it as UNION ALL.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("price"),
+        F.sum("l_tax").alias("tax"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, val)",
+    ).select("l_returnflag", "measure", F.round("val", 2).alias("val"))
+
+
+@query(
+    "busy_window_detail",
+    """
+    WITH seg AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start
+      FROM events
+    ), counted AS (
+      SELECT *, count(*) OVER (PARTITION BY win_start) AS wn FROM seg
+    )
+    SELECT event_id, user_id, win_start FROM counted WHERE wn >= 8
+    """,
+    "Incomplete-window drop returning DETAIL rows (T2 operator form; "
+    "trailing-segment drop at raw_to_samples.py:339-341): events in hourly "
+    "windows that reached >= 8 events, via a window count — survivors keep "
+    "full row detail, unlike the aggregated HAVING form.",
+)
+def busy_window_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seg = tumbling_bucket(events, "ts", 3600, out="win_start")
+    kept = drop_incomplete_windows(seg, ["win_start"], 8)
+    return kept.select("event_id", "user_id", "win_start")
+
+
+@query(
     "semi_join_active_customers",
     """
     SELECT c.c_custkey, c.c_name
@@ -1015,9 +1069,12 @@ _SHIPPING_PRIORITY_SQL = """
     "only in the date formatter.",
 )
 def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.tables import register_views
+    from dog_data_pipeline_spark.tables import load
 
-    register_views(spark, sf_dir)
+    # register only the referenced tables (a full register_views pass
+    # costs 10 parquet-footer reads per call)
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         _SHIPPING_PRIORITY_SQL.replace(
             "strftime(o.o_orderdate, '%Y-%m-%d')",

@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: driver == executor, and Spark's 1g default heap is
+        # the first thing to fall over on join fan-outs; size it to the
+        # box (this is a build-time conf — no effect on running sessions)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
