@@ -1261,6 +1261,36 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           CAST(round(var_samp(l_extendedprice), 0) AS BIGINT) AS price_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar,
+           CAST(min_by(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS BIGINT) AS cheapest_order,
+           CAST(max_by(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS BIGINT) AS priciest_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Statistical aggregates (§2.4 generic surface): stddev/variance/"
+    "correlation/covariance + argmin/argmax (min_by/max_by with a "
+    "unique-ified ordering key so ties cannot diverge across engines).",
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    tiebreak = F.col("l_extendedprice") + F.col("l_orderkey") * 1e-9
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 0).cast("bigint").alias("price_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+        F.min_by("l_orderkey", tiebreak).alias("cheapest_order"),
+        F.max_by("l_orderkey", tiebreak).alias("priciest_order"),
+    )
+
+
+@query(
     "pivot_event_counts",
     """
     SELECT user_id,
