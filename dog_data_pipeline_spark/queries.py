@@ -1739,6 +1739,84 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "dedup_clusters",
+    None,  # iterative fixpoint algorithm — no SQL analog; rows-only check
+    "Connected components over near-dup pairs (iterative min-label "
+    "propagation, localCheckpoint-truncated lineage): A~B + B~C collapse "
+    "into one cluster with a min-id representative — the step that turns "
+    "pair detectors into an actual corpus curation decision.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.clustering import (
+        cluster_representatives,
+        connected_components,
+    )
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    return cluster_representatives(comps)
+
+
+@query(
+    "corpus_curation",
+    """
+    WITH q AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','for'], x)))::DOUBLE / len(toks) * 0.3
+             + least(len(toks), 100)::DOUBLE / 100 * 0.4
+             + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text) * 0.3 AS quality,
+             len(toks) AS n_tokens
+      FROM q
+    ), kept_quality AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ), dup_pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c::DOUBLE / (sa.n + sb.n - c) > 0.5
+    )
+    SELECT k.doc_id, CAST(k.n_tokens AS INT) AS n_tokens, round(k.quality, 4) AS quality
+    FROM kept_quality k
+    ANTI JOIN dup_pairs p ON k.doc_id = p.id_b
+    """,
+    "End-to-end training-data curation: quality-score filter (>= 0.5) + "
+    "near-dup removal (drop the higher id of every jaccard>0.5 pair — "
+    "the greedy keep-first policy) — the composed operators an LLM "
+    "corpus pipeline actually runs, under the oracle gate.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from dog_data_pipeline_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text")
+    kept = scored.filter(F.col("quality") >= 0.5)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    dup_b = pairs.select(F.col("id_b").alias("doc_id"))
+    from dog_data_pipeline_spark.operators import anti_join
+
+    survivors = anti_join(kept, dup_b, "doc_id")
+    return survivors.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("quality", 4).alias("quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Connected-components clustering tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.clustering import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def test_transitive_chain_collapses(spark):
+    # A-B, B-C, C-D → one cluster; E-F separate
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    comps = connected_components(pairs)
+    got = {r["id"]: r["cluster"] for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    reps = {
+        r["cluster"]: (r["keep_id"], r["n_members"])
+        for r in cluster_representatives(comps).collect()
+    }
+    assert reps == {1: (1, 4), 10: (10, 2)}
+
+
+def test_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a BIGINT, id_b BIGINT"
+    )
+    comps = connected_components(pairs)
+    assert {r["cluster"] for r in comps.collect()} == {0}
+
+
+def test_clusters_on_planted_near_dups(spark):
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    reps = cluster_representatives(comps)
+    n_pairs = pairs.count()
+    n_nodes = comps.count()
+    n_clusters = reps.count()
+    assert n_clusters < n_nodes  # something actually merged
+    # every cluster representative is a member of its own cluster
+    member = comps.select(F.col("id"), F.col("cluster").alias("member_cluster"))
+    joined = reps.join(member, reps.keep_id == member.id)
+    assert joined.filter(F.col("member_cluster") != F.col("cluster")).count() == 0
+    assert n_pairs >= n_nodes - n_clusters  # spanning-forest lower bound
