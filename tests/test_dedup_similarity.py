@@ -81,6 +81,20 @@ def test_embedding_near_dup_self_similarity(spark):
     assert expected <= found  # self-join similarity == 1 >= threshold
 
 
+def test_ivf_knn_recall_vs_exact(spark):
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = cosine_topk_ivf(emb, queries, k=10, n_lists=8, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF knn recall@10 = {recall}"
+    assert approx.filter(F.col("rank") == 1).count() == 5
+
+
 def test_lsh_knn_recall_vs_exact(spark):
     emb = load(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
