@@ -1422,6 +1422,62 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                               RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
+                AS BIGINT) AS n_nearby
+    FROM orders
+    """,
+    "RANGE-frame window (§2.5 'not present' extension): per order, how "
+    "many of the same customer's orders fall within ±30 days — a "
+    "value-range frame over epoch seconds, not a row frame.",
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 2592000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_nearby"),
+    )
+
+
+@query(
+    "ntile_value_quartiles",
+    """
+    WITH t AS (
+      SELECT event_type, event_id,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+             value
+      FROM events
+    )
+    SELECT event_type, CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM t GROUP BY event_type, quartile
+    """,
+    "ntile bucketing (§2.5 'not present' extension): per-type value "
+    "quartiles with a unique tie-break (event_id) so bucket assignment "
+    "is engine-independent.",
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = events.withColumn("quartile", F.ntile(4).over(w))
+    return t.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
     "running_revenue",
     """
     SELECT o_custkey, o_orderkey,
