@@ -32,8 +32,22 @@ def main() -> None:
     spark = get_spark(app_name="dog-data-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: trigger JVM codegen + parquet reader init outside timing.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warmup outside timing: JVM codegen, parquet reader init for every
+    # table, and the Arrow/python-worker pool (first pandas_udf pays
+    # worker startup otherwise attributed to whichever UDF query runs
+    # first alphabetically).
+    from dog_data_pipeline_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(v):
+        return v
+
+    spark.range(1000).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
