@@ -157,6 +157,111 @@ def run_tracking(
     return parted.mapInPandas(_track, DETECTIONS_SCHEMA)
 
 
+def track_videos(
+    binary_df: DataFrame,
+    detector_factory: Callable[[], Callable] = fake_detector_factory,
+    num_partitions: int | None = None,
+    video_id_col: str = "video_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused decode+track (S7+F1 in one exchange): video blobs →
+    detection rows without frames ever crossing a task boundary.
+
+    The composed shape (``decode_frames`` → repartition → ``run_tracking``)
+    shuffles DECODED frames — at scale the raw tensors are 100-1000× the
+    compressed blob, so that shuffle is the pipeline's dominant I/O. Here
+    the COMPRESSED blobs are repartitioned by video, and one mapInPandas
+    task decodes and runs inference per video:
+
+    - decode order is frame order, so the order-sensitive tracker
+      (SURVEY §7.4) needs no sortWithinPartitions;
+    - the detector is constructed once per task (the fix for the
+      reference's per-segment model reload, ``raw_to_samples.py:169-170``);
+    - one Python exchange instead of two, and the Arrow transfer carries
+      blobs + small detection rows, never frames.
+    """
+    parted = binary_df.select(video_id_col, content_col).repartition(
+        num_partitions or binary_df.sparkSession.sparkContext.defaultParallelism,
+        video_id_col,
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = detector_factory()  # once per task
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "subject_id": [], "bbox": [], "cls": []}
+            for vid, content in zip(pdf[video_id_col], pdf[content_col]):
+                content = bytes(content)
+                _n, h, w, _fps = codec.probe(content)
+                _fps, frames = codec.decode_video(content)
+                for idx, frame in enumerate(frames):
+                    for sub, bbox, cls in model(frame, w, h):
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["subject_id"].append(sub)
+                        out["bbox"].append(bbox)
+                        out["cls"].append(cls)
+            yield pd.DataFrame(out)
+
+    return parted.mapInPandas(_run, DETECTIONS_SCHEMA)
+
+
+def sample_tracks(
+    binary_df: DataFrame,
+    tracks_df: DataFrame,
+    fps: int = 30,
+    video_id_col: str = "video_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused crop+encode via cogroup (F3+F4 in one exchange): each task
+    receives a video's compressed blob ONCE plus all its selected track
+    rows (video_id, frame_idx, segment_id, subject_id, new_bbox), decodes
+    locally, crops, and emits one encoded clip per (video, segment,
+    subject) — matching ``encode_tracks``'s output exactly.
+
+    The composed shape (``crop_tracks`` → ``encode_tracks``) joins every
+    DECODED frame against its boxes (replicating frame bytes per
+    overlapping track) and then shuffles the crops again for the encode
+    groupBy. Cogroup ships the blob once and the tiny track rows once;
+    decoding twice per video (here and in ``track_videos``) is deliberate
+    — recompute beats shuffling frames, the same trade the reference
+    makes with its two-pass read (``raw_to_samples.py:328-329,349-353``).
+    """
+
+    def _sample(videos_pdf: pd.DataFrame, tracks_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["video_id", "segment_id", "subject_id", "n_frames", "video"]
+        if videos_pdf.empty or tracks_pdf.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        content = bytes(videos_pdf[content_col].iloc[0])
+        vid = videos_pdf[video_id_col].iloc[0]
+        _n, h, w, _fps = codec.probe(content)
+        _fps, frames = codec.decode_video(content)
+        out = {c: [] for c in cols}
+        for (seg, sub), g in tracks_pdf.groupby(["segment_id", "subject_id"]):
+            g = g.sort_values("frame_idx")
+            bbox0 = g["new_bbox"].iloc[0]
+            crop_w = int(bbox0[2] - bbox0[0])
+            crop_h = int(bbox0[3] - bbox0[1])
+            crops = [
+                codec.crop_frame(
+                    frames[int(i)], w, tuple(int(v) for v in b)
+                )
+                for i, b in zip(g["frame_idx"], g["new_bbox"])
+            ]
+            out["video_id"].append(vid)
+            out["segment_id"].append(int(seg))
+            out["subject_id"].append(int(sub))
+            out["n_frames"].append(len(crops))
+            out["video"].append(codec.encode_video(fps, crop_w, crop_h, crops))
+        return pd.DataFrame(out)
+
+    return (
+        binary_df.select(video_id_col, content_col)
+        .groupBy(video_id_col)
+        .cogroup(tracks_df.groupBy(video_id_col))
+        .applyInPandas(_sample, SEGMENT_ENCODED_SCHEMA)
+    )
+
+
 def crop_tracks(frames_df: DataFrame, tracks_df: DataFrame) -> DataFrame:
     """Crop UDF (F3): (frame, bbox) → crop bytes. The join key
     (video_id, frame_idx) co-locates each frame with its per-subject

@@ -817,6 +817,116 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    "TPC-H Q7-shaped bilateral trade volume: fact-fact join (lineitem "
+    "through orders) plus two role-playing joins against the same nation "
+    "dim (supplier's vs customer's), grouped by nation pair and ship "
+    "year. Nation is broadcast twice; supplier/customer scale with the "
+    "data so their strategy is left to AQE rather than forced.",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("cust_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("supp_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("cust_nationkey"))
+        .filter(F.col("supp_nationkey") != F.col("cust_nationkey"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "market_share",
+    """
+    WITH scope AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END)
+                 / sum(vol), 6) AS mkt_share
+    FROM scope
+    GROUP BY order_year
+    """,
+    "TPC-H Q8-shaped market share: 7-join star filtered on region and "
+    "part type, then one nation's share of yearly revenue as a "
+    "conditional-sum ratio in a single aggregation (no second pass over "
+    "the fact). The selective part-type filter is pushed to the part "
+    "scan and shrinks the fact early.",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("cust_nationkey"), F.col("n_regionkey").alias("cust_regionkey")
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region")).filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(r, F.col("cust_regionkey") == F.col("r_regionkey"))
+        .join(n1, F.col("s_nationkey") == F.col("supp_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
     "correlated_subquery_above_avg",
     """
     SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
@@ -849,10 +959,10 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     "multimodal_track_summary",
     None,  # binary video chain — no SQL analog; rows-only check
     "The full multimodal chain as a query: deterministic FAKEVID videos "
-    "(count scaled by sf) -> header-only probe -> frame-decode UDTF -> "
-    "load-once-per-partition tracking inference -> (video, segment) "
-    "tumbling selection -> max-extent clamp -> crop -> per-track encode, "
-    "reduced to per-track frame counts and crop byte sizes.",
+    "(count scaled by sf) -> header-only probe -> fused decode+track "
+    "mapInPandas (frames never shuffle) -> (video, segment) tumbling "
+    "selection -> max-extent clamp -> cogrouped crop+encode, reduced to "
+    "per-track frame counts and crop byte sizes.",
 )
 def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.session import ensure_package_on_executors
@@ -860,11 +970,9 @@ def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_executors(spark)
     from dog_data_pipeline_spark.multimodal import codec
     from dog_data_pipeline_spark.multimodal.video import (
-        crop_tracks,
-        decode_frames,
-        encode_tracks,
         probe_metadata,
-        run_tracking,
+        sample_tracks,
+        track_videos,
     )
     from dog_data_pipeline_spark.pipelines.tracking import (
         segment_frames,
@@ -893,21 +1001,19 @@ def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = probe_metadata(videos).select(
         "video_id", "frame_count", "frame_height", "frame_width", "video_fps"
     )
-    # decode is a NARROW Python-UDF map — unlike shuffle subtrees (which
-    # AQE reuses), a map is recomputed per consumer, and it feeds both
-    # the tracking path and the crop join. Persist the decoded frames:
-    # this is the multimodal analog of not re-decoding the video per
-    # stage (the reference decodes everything twice).
-    decoded = decode_frames(videos).persist()
-    detections = run_tracking(decoded, num_partitions=n_parts)
+    # Fused shape: only the COMPRESSED blobs and the small detection/track
+    # rows ever cross a task boundary. Decoding twice (once in tracking,
+    # once in the cogrouped crop+encode) is deliberate — recompute beats
+    # shuffling raw frames, which are 100-1000x the blob at real scale.
+    detections = track_videos(videos, num_partitions=n_parts)
     segmented = segment_frames(detections, meta, segment_length_sec=2)
     selected = select_complete_dog_tracks(segmented, label=16, threshold=0.3)
     transformed = transform_tracks_max_extent(segmented, selected)
-    crops = crop_tracks(
-        decoded,
+    encoded = sample_tracks(
+        videos,
         transformed.select("video_id", "frame_idx", "segment_id", "subject_id", "new_bbox"),
+        fps=fps,
     )
-    encoded = encode_tracks(crops, fps=fps)
     return encoded.select(
         "video_id",
         "segment_id",

@@ -123,6 +123,54 @@ def test_full_video_chain_decode_track_segment_crop_encode(spark):
         assert len(dec_frames) == 5  # 4 + the +1 overlap frame
 
 
+def test_fused_track_videos_matches_composed(spark, videos_df):
+    """track_videos (fused decode+track, frames never shuffle) must emit
+    exactly the detections of decode_frames → run_tracking."""
+    from dog_data_pipeline_spark.multimodal.video import track_videos
+
+    composed = run_tracking(decode_frames(videos_df), num_partitions=4).collect()
+    fused = track_videos(videos_df, num_partitions=4).collect()
+    k = lambda r: (r["video_id"], r["frame_idx"], r["subject_id"],
+                   tuple(r["bbox"]), r["cls"])
+    assert sorted(map(k, fused)) == sorted(map(k, composed))
+
+
+def test_fused_sample_tracks_matches_composed(spark):
+    """sample_tracks (cogrouped crop+encode) must emit byte-identical
+    clips to crop_tracks → encode_tracks on the full stage-3 flow."""
+    from dog_data_pipeline_spark.multimodal.video import sample_tracks, track_videos
+    from dog_data_pipeline_spark.pipelines.tracking import (
+        segment_frames,
+        select_complete_dog_tracks,
+        transform_tracks_max_extent,
+    )
+
+    w, h, fps, n = 40, 30, 2, 13
+    frames = [bytes([(i * 7 + j) % 251 for j in range(w * h)]) for i in range(n)]
+    videos = spark.createDataFrame(
+        [("v1", codec.make_fake_video(fps, w, h, frames))],
+        "video_id STRING, content BINARY",
+    )
+    meta = probe_metadata(videos).select(
+        "video_id", "frame_count", "frame_height", "frame_width", "video_fps"
+    )
+    det_factory = lambda: (lambda frame, width, height: [(1, [2.0, 1.0, 9.0, 8.0], 16)])
+    detections = track_videos(videos, det_factory)
+    segmented = segment_frames(detections, meta, segment_length_sec=2)
+    selected = select_complete_dog_tracks(segmented, 16, 0.3)
+    transformed = transform_tracks_max_extent(segmented, selected).select(
+        "video_id", "frame_idx", "segment_id", "subject_id", "new_bbox"
+    )
+
+    composed = encode_tracks(crop_tracks(decode_frames(videos), transformed), fps=fps)
+    fused = sample_tracks(videos, transformed, fps=fps)
+    key = lambda r: (r["video_id"], r["segment_id"], r["subject_id"])
+    got_c = {key(r): (r["n_frames"], bytes(r["video"])) for r in composed.collect()}
+    got_f = {key(r): (r["n_frames"], bytes(r["video"])) for r in fused.collect()}
+    assert got_f == got_c
+    assert len(got_f) == 3
+
+
 def test_real_codec_is_cleanly_stubbed():
     with pytest.raises(NotImplementedError):
         codec.probe(b"\x00\x00notfake")
