@@ -100,6 +100,27 @@ def rp_signature(vec_col, planes: list[list[float]]) -> "F.Column":
     return _sig(vec_col)
 
 
+def _lloyd(vectors: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd's k-means on an in-memory sample (the IVF coarse
+    quantizer). Empty cells are reseeded from the point farthest from
+    its centroid, so all k lists stay usable."""
+    n = len(vectors)
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    centroids = vectors[rng.choice(n, size=k, replace=False)].copy()
+    v_sq = (vectors**2).sum(axis=1)
+    for _ in range(iters):
+        d = v_sq[:, None] - 2.0 * (vectors @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                centroids[ci] = vectors[mask].mean(axis=0)
+            else:
+                centroids[ci] = vectors[d.min(axis=1).argmax()]
+    return centroids
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,23 +133,28 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """Approximate top-k cosine via an IVF (inverted-file) index.
 
-    Train path: k-means (pyspark.ml, distributed) partitions the corpus
-    into `n_lists` cells; each vector is assigned to its nearest
-    centroid — the inverted lists. Query path: each query probes its
-    `n_probe` nearest centroids (centroids are tiny and broadcast as
-    literals) and exactly reranks only those cells — expected cost
-    n_probe/n_lists of the corpus per query, the standard IVF recall/
-    cost dial. Unlike RP-LSH, cells adapt to the data distribution.
+    Train path: the coarse quantizer is k-means trained on a BOUNDED
+    sample (~256 vectors per list, the FAISS convention) — one
+    TakeOrdered job pulls a hash-ordered deterministic sample to the
+    driver, then numpy Lloyd's runs in milliseconds. A distributed
+    k-means here is the wrong tool: it scans the full corpus maxIter
+    times (20 scheduled jobs of pure overhead at small scale, 20 full
+    100-TB passes at large), while quantizer quality needs only a
+    fixed-size sample regardless of corpus size. Query path: each
+    vector is assigned to its nearest centroid (centroids are plan
+    literals — evaluated corpus-side in one codegen'd projection);
+    each query probes its `n_probe` nearest cells and exactly reranks
+    only those — expected cost n_probe/n_lists of the corpus per
+    query, the standard IVF recall/cost dial. Unlike RP-LSH, cells
+    adapt to the data distribution.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
 
-    train = c.select(array_to_vector("c_v").alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    max_train = max(256 * n_lists, 2048)
+    sample = c.select("c_id", "c_v").orderBy(F.hash("c_id"), "c_id").limit(max_train)
+    vecs = np.asarray([r["c_v"] for r in sample.collect()], dtype=np.float64)
+    centroids = [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
 
     def nearest_cells(vec_prefix: str, n: int):
         # distance to each centroid as column expressions; returns the n
