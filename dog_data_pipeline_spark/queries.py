@@ -927,6 +927,80 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "returned_item_report",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, nation
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10-shaped returned-item report: selective returnflag filter "
+    "pushed to the fact scan, 4-table join, top-20 customers by lost "
+    "revenue. Sort key is the ROUNDED revenue plus custkey tie-break so "
+    "the cutoff set is engine-independent; the ordered limit plans as "
+    "TakeOrderedAndProject (per-partition top-k, no global sort).",
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ship_year
+    """,
+    "TPC-H Q14-shaped promo revenue share per ship year: single "
+    "fact-dim join, conditional-sum ratio in one aggregation pass — no "
+    "second scan, no self-join.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
     "correlated_subquery_above_avg",
     """
     SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
