@@ -1001,6 +1001,51 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "large_order_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total,
+           round(sum(l.l_quantity), 1) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l2.l_orderkey FROM lineitem l2
+      GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    "TPC-H Q18-shaped large-order customers: IN over a grouped HAVING "
+    "subquery — Catalyst plans it as an aggregate feeding a LEFT SEMI "
+    "join on the fact, so the filter set is computed once, not per row.",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "total_qty",
+        )
+    )
+
+
+@query(
     "correlated_subquery_above_avg",
     """
     SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
