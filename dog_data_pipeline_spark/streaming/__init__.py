@@ -1,6 +1,7 @@
 """Structured Streaming variants of the windowed operators (SURVEY §2.9)."""
 
 from dog_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    dedup_stream,
     flagship_stream,
     session_agg,
     sliding_agg,

@@ -133,6 +133,23 @@ def sliding_agg(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup (the streaming face of the engine's dedup
+    family): first occurrence of each key wins, duplicates arriving
+    within the watermark horizon are dropped, and state for keys older
+    than the watermark is evicted — bounded state, unlike an unbounded
+    ``dropDuplicates`` whose key set grows forever. Keyed on the event
+    id by default; state is hash-partitioned by key exactly like the
+    batch exact-dedup's groupBy.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_agg(
     events: DataFrame,
     gap: str = "30 seconds",

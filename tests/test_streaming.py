@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dog_data_pipeline_spark.streaming import (
     dead_letter_for_each_batch,
+    dedup_stream,
     flagship_stream,
     session_agg,
     sliding_agg,
@@ -227,6 +228,33 @@ def test_streaming_transform_with_state_new_peaks(spark, events_dir):
         if r["value"] > best.get(r["user_id"], float("-inf")):
             best[r["user_id"]] = r["value"]
             expected.add((r["user_id"], r["event_id"]))
+    assert got == expected
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first occurrence per key
+    and drops duplicates arriving in LATER micro-batches (state carries
+    across batches): two copies of the same file, one file per trigger,
+    must yield exactly the batch-distinct count."""
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "b.parquet")
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="1 day")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").count()
+    expected = (
+        load(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
     assert got == expected
 
 
