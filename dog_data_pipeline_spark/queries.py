@@ -1308,6 +1308,29 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           round(sum(l_quantity), 1) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query(
+    "grouping_sets_lineitem",
+    _GROUPING_SETS_SQL,
+    "GROUPING SETS — the partial-rollup shape cube/rollup can't express "
+    "(exactly the three listed sets, no full cross). Spark plans one "
+    "Expand + single aggregation: the fact is scanned once for all "
+    "sets, not once per set.",
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Generic OLAP surface (§2.4-§2.7 'not present' extensions)
 # ---------------------------------------------------------------------------
