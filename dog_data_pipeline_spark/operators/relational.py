@@ -152,9 +152,12 @@ def dense_ids(
       (3) row_number within each partition + that partition's cumulative
           offset.
       Every step is fully parallel; driver-side data is one count per
-      partition. The range partitioning is recomputed by the count job and
-      the final job (both share the deterministic plan subtree), trading
-      one extra scan for not caching the full dataset.
+      partition. The partitioned input is localCheckpoint-ed (lazily —
+      the counts job materializes it) so the count job and the final job
+      see the SAME partition boundaries: RangePartitioner samples with a
+      nondeterministic seed, so re-executing the repartitionByRange as
+      two independent actions could place rows differently and make the
+      collected per-partition offsets stale (duplicate/skipped IDs).
     """
     total = df.count()
     if total <= small_threshold:
@@ -164,8 +167,10 @@ def dense_ids(
         )
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
-    parted = df.repartitionByRange(n, F.col(order_by)).withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n, F.col(order_by))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__pid"]: r["cnt"]

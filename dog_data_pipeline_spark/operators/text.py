@@ -98,15 +98,19 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
 
 
 def with_rolling_fingerprint(
-    df: DataFrame, text_col: str = "text", out: str = "rfp", base: int = 1_000_003
+    df: DataFrame, text_col: str = "text", out: str = "rfp"
 ) -> DataFrame:
-    """Polynomial rolling hash over token hashes (order-sensitive
-    fingerprint; two docs with the same tokens in different order get
-    different fingerprints, unlike a token-set hash).
+    """Order-sensitive document fingerprint via a chained-hash fold
+    (two docs with the same tokens in different order get different
+    fingerprints, unlike a token-set hash).
 
-    rfp = fold(tokens, acc -> acc*base + xxhash64(token)) in 64-bit
-    wrap-around arithmetic. Spark-only (no SQL oracle: xxhash64 seeds
-    differ across engines) → rows-only correctness check.
+    rfp = fold(tokens, acc -> xxhash64(acc, token)). Chaining through
+    xxhash64 instead of the classic ``acc*base + h(token)`` polynomial
+    keeps the fold free of long arithmetic: Spark 4 defaults to ANSI
+    mode, where 64-bit overflow THROWS instead of wrapping, so a
+    polynomial fold over full-range token hashes aborts on any document
+    with enough tokens to overflow. Spark-only (no SQL oracle: xxhash64
+    is engine-specific) → rows-only correctness check.
     """
     toks = tokens(F.col(text_col))
     return df.withColumn(
@@ -114,6 +118,6 @@ def with_rolling_fingerprint(
         F.aggregate(
             toks,
             F.lit(0).cast("long"),
-            lambda acc, t: acc * base + F.xxhash64(t),
+            lambda acc, t: F.xxhash64(acc, t),
         ),
     )

