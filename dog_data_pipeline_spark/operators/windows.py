@@ -65,3 +65,81 @@ def drop_incomplete_windows(
         .filter(F.col("__wn") >= exp)
         .drop("__wn")
     )
+
+
+def ntile_ranged(
+    df: DataFrame,
+    n_buckets: int,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ntile WITHOUT a per-key single-task sort (§2.5 scale path).
+
+    ``ntile(k).over(Window.partitionBy(key).orderBy(...))`` sorts each
+    key's ENTIRE partition in one task — with a handful of low-cardinality
+    keys that is a straggler/OOM shape at 100 TB. Here:
+
+    1. range-partition on (partition_by ++ order_by) — a parallel global
+       sort in which each key occupies a contiguous run of partitions;
+    2. row_number within (range-partition, key) — each task sorts only
+       its own slice;
+    3. collect per-(range-partition, key) counts — tiny: #partitions ×
+       #keys rows — and turn them into cumulative offsets and per-key
+       totals on the driver;
+    4. broadcast the offsets back: global rank = local rank + offset,
+       then the exact ntile formula (first n%k buckets get one extra
+       row) assigns the bucket.
+
+    The partitioned input is localCheckpoint-ed so the counts job and the
+    final job see identical RangePartitioner boundaries (same fix as
+    ``dense_ids``). Output matches ``F.ntile(k)`` exactly when the order
+    is total (callers must include a tie-break column).
+    """
+    keys = list(partition_by)
+    order_cols = list(order_by)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in keys + order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        parted.groupBy("__pid", *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        k = tuple(r[c] for c in keys)
+        totals[k] = totals.get(k, 0) + r["cnt"]
+    offsets = []
+    acc: dict[tuple, int] = {}
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        k = tuple(r[c] for c in keys)
+        offsets.append((r["__pid"], *k, acc.get(k, 0), totals[k]))
+        acc[k] = acc.get(k, 0) + r["cnt"]
+    key_schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in keys
+    )
+    offsets_df = spark.createDataFrame(
+        offsets, f"__pid INT, {key_schema}, __off BIGINT, __n BIGINT"
+    )
+    w = Window.partitionBy("__pid", *keys).orderBy(*order_cols)
+    ranked = (
+        parted.join(F.broadcast(offsets_df), ["__pid", *keys])
+        .withColumn("__rank", F.row_number().over(w) + F.col("__off"))
+    )
+    # exact ntile: q = n div k, rem = n mod k; first rem buckets hold q+1
+    k_ = F.lit(n_buckets)
+    q = F.floor(F.col("__n") / k_).cast("bigint")
+    rem = F.col("__n") % k_
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bucket = F.when(
+        F.col("__rank") <= big, F.ceil(F.col("__rank") / (q + 1))
+    ).otherwise(rem + F.ceil((F.col("__rank") - big) / F.greatest(q, F.lit(1))))
+    return ranked.withColumn(out, bucket.cast("int")).drop(
+        "__pid", "__off", "__n", "__rank"
+    )

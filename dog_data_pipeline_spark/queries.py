@@ -1076,12 +1076,77 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "multimodal_track_summary",
-    None,  # binary video chain — no SQL analog; rows-only check
+    # The binary chain IS SQL-checkable: the FAKEVID corpus is a
+    # closed-form function of (video seed k, frame i, pixel j), the fake
+    # detector reads sum(frame[:16]), and the geometry/encoding are
+    # integer arithmetic — so the oracle rebuilds the whole pipeline
+    # (detect -> +1-overlap segments -> completeness/frequency selection
+    # -> max-extent pad -> recenter-clamp crop dims -> FAKEVID encoded
+    # length) from generate_series, no binary needed.
+    """
+    WITH sv AS (
+      SELECT k, i,
+             (SELECT sum((k*31 + i*7 + j) % 251)
+              FROM generate_series(0, 15) u(j)) AS s
+      FROM generate_series(0, 15) t(k), generate_series(0, 12) f(i)
+    ),
+    det AS (
+      -- fake_detector_factory: subject 1 always cls 16; subject 2 cls 16
+      -- unless s%4==0; subject 3 present only on odd s
+      SELECT k, i, 1 AS subject_id,
+             CAST(s % 56 AS DOUBLE) AS x1,
+             CAST((s // 7) % 40 AS DOUBLE) AS y1,
+             CAST(s % 56 AS DOUBLE) + 6.0 AS x2,
+             CAST((s // 7) % 40 AS DOUBLE) + 5.0 AS y2,
+             16 AS cls
+      FROM sv
+      UNION ALL
+      SELECT k, i, 2,
+             (s % 56) / 2.0, ((s // 7) % 40) / 2.0,
+             (s % 56) / 2.0 + 4.0, ((s // 7) % 40) / 2.0 + 4.0,
+             CASE WHEN s % 4 <> 0 THEN 16 ELSE 0 END
+      FROM sv
+      UNION ALL
+      SELECT k, i, 3, 1.0, 1.0, 3.0, 3.0, 16 FROM sv WHERE s % 2 = 1
+    ),
+    -- fps=2 * 2s segments = 4 frames + 1 overlap; 13 frames -> segments
+    -- 0..2 of 5 frames each, trailing segment 3 (1 frame) dropped
+    segd AS (
+      SELECT d.*, g AS segment_id
+      FROM det d JOIN generate_series(0, 2) sg(g)
+        ON d.i >= g * 4 AND d.i < LEAST(g * 4 + 5, 13)
+    ),
+    sel AS (
+      SELECT k, segment_id, subject_id,
+             count(*) AS n_det,
+             max(abs(x2 - x1)) AS mw,
+             max(abs(y2 - y1)) AS mh
+      FROM segd
+      GROUP BY k, segment_id, subject_id
+      HAVING count(*) = 5
+         AND avg(CASE WHEN cls = 16 THEN 1.0 ELSE 0.0 END) > 0.3
+    ),
+    enc AS (
+      SELECT 'v' || CAST(k AS VARCHAR) AS video_id,
+             CAST(segment_id AS INT) AS segment_id,
+             CAST(subject_id AS INT) AS subject_id,
+             CAST(n_det AS INT) AS n_frames,
+             CAST(trunc(mw) AS INT) + 10 AS pw,
+             CAST(trunc(mh) AS INT) + 10 AS ph
+      FROM sel
+    )
+    -- FAKEVID blob length: 'FAKEVID|2|pw|ph|5' + newline + frames
+    SELECT video_id, segment_id, subject_id, n_frames,
+           CAST(14 + length(CAST(pw AS VARCHAR)) + length(CAST(ph AS VARCHAR))
+                + n_frames * pw * ph AS INT) AS encoded_bytes
+    FROM enc
+    """,
     "The full multimodal chain as a query: deterministic FAKEVID videos "
-    "(count scaled by sf) -> header-only probe -> fused decode+track "
-    "mapInPandas (frames never shuffle) -> (video, segment) tumbling "
-    "selection -> max-extent clamp -> cogrouped crop+encode, reduced to "
-    "per-track frame counts and crop byte sizes.",
+    "-> header-only probe -> fused decode+track mapInPandas (frames "
+    "never shuffle) -> (video, segment) tumbling selection -> max-extent "
+    "clamp -> cogrouped crop+encode, reduced to per-track frame counts "
+    "and crop byte sizes. The SQL oracle recomputes the pipeline in "
+    "closed form from the FAKEVID generator arithmetic.",
 )
 def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.session import ensure_package_on_executors
@@ -1099,7 +1164,8 @@ def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_tracks_max_extent,
     )
 
-    n_videos = 8 if sf_dir.rstrip("/").endswith("0.001") else 16
+    # fixed corpus size: the oracle SQL is closed-form over 16 videos
+    n_videos = 16
     w, h, fps, n_frames = 64, 48, 2, 13
 
     def frames(seed: int) -> list[bytes]:
@@ -1492,19 +1558,48 @@ def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_parts",
-    None,  # HLL sketches are engine-specific → rows-only check
+    # The HLL estimate itself is engine-specific, but its ERROR BOUND is
+    # checkable: the query outputs the exact count plus booleans
+    # asserting the sketches landed within documented error; the oracle
+    # recomputes the exact count and expects the booleans TRUE, so a
+    # drifting sketch hash-mismatches.
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     "Approximate distinct counting via HyperLogLog++ "
     "(approx_count_distinct; generic agg surface scale path — constant "
-    "memory per group vs exact distinct's shuffle of every key).",
+    "memory per group vs exact distinct's shuffle of every key) plus "
+    "approx_percentile, each checked against its exact counterpart "
+    "within documented error (HLL rsd=0.05; percentile rank error "
+    "1/accuracy => approx median within exact [p49, p51]).",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
             "approx_median_price"
         ),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("__p49"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("__p51"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.05
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("approx_median_price") >= F.col("__p49"))
+            & (F.col("approx_median_price") <= F.col("__p51"))
+        ).alias("median_within_bounds"),
     )
 
 
@@ -1713,12 +1808,18 @@ def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "ntile bucketing (§2.5 'not present' extension): per-type value "
     "quartiles with a unique tie-break (event_id) so bucket assignment "
-    "is engine-independent.",
+    "is engine-independent. Uses the distributed ntile_ranged operator — "
+    "range-partitioned parallel sort + broadcast offsets — instead of "
+    "ntile().over(partitionBy(event_type)), whose handful of "
+    "low-cardinality keys each collapse into ONE task's sort at scale.",
 )
 def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.windows import ntile_ranged
+
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    t = events.withColumn("quartile", F.ntile(4).over(w))
+    t = ntile_ranged(
+        events, 4, ["event_type"], ["value", "event_id"], out="quartile"
+    )
     return t.groupBy("event_type", "quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),

@@ -119,3 +119,41 @@ def test_dense_ids_offset(spark):
     df = spark.createDataFrame([(2,), (1,)], "k INT")
     got = sorted((r["k"], r["id"]) for r in dense_ids(df, "k", offset=100).collect())
     assert got == [(1, 100), (2, 101)]
+
+
+def test_ntile_ranged_matches_builtin_ntile(spark):
+    import random
+
+    from pyspark.sql import Window
+    from dog_data_pipeline_spark.operators.windows import ntile_ranged
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{rng.randrange(3)}", rng.randrange(50), i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "key STRING, v INT, id INT")
+    got = {
+        (r["key"], r["id"]): r["b"]
+        for r in ntile_ranged(
+            df, 4, ["key"], ["v", "id"], out="b", num_partitions=5
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy("v", "id")
+    want = {
+        (r["key"], r["id"]): r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ntile_ranged_uneven_buckets(spark):
+    # 10 rows, 4 buckets -> sizes 3,3,2,2 (first n%k buckets get the extra)
+    from dog_data_pipeline_spark.operators.windows import ntile_ranged
+
+    df = spark.createDataFrame([("a", i) for i in range(10)], "key STRING, id INT")
+    out = ntile_ranged(df, 4, ["key"], ["id"], out="b", num_partitions=3)
+    sizes = {
+        r["b"]: r["n"]
+        for r in out.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
