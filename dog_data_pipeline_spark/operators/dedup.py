@@ -314,6 +314,63 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_pigeonhole(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with GUARANTEED recall at hamming <= h
+    (the pigeonhole variant ``simhash_pairs`` documents).
+
+    The 64-bit signature is split into h+1 disjoint chunks; h differing
+    bits cannot touch all h+1 chunks, so every true pair agrees on at
+    least one (chunk_idx, chunk_value) bucket — candidate generation by
+    bucket join has recall 1.0, then exact bit_count(xor) filters.
+
+    Scale shape: the exploded index is (h+1)×|docs| rows of
+    (chunk, value, id, sig) — narrow longs; the join is per-bucket, so
+    the fan-out is bounded by the bucket-size distribution (chunk width
+    = 64/(h+1) bits; h=3 → 16-bit chunks → 65k buckets). Larger h
+    widens buckets exponentially — use the cheap single-block screen
+    (``simhash_pairs``) when recall can be approximate.
+    """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    sig = simhash64(df, id_col, text_col)
+    chunks = []
+    off = 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        # arithmetic shiftright sign-extends; the mask clears the high bits
+        chunks.append(
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("simhash", off).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+        )
+        off += width
+    exploded = sig.select(
+        "id", "simhash", F.explode(F.array(*chunks)).alias("c")
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

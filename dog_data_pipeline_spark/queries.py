@@ -1075,6 +1075,81 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, p.p_type, e.s_name, e.s_acctbal, e.n_name, ps.cost,
+             min(ps.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM ps
+      JOIN eur e ON ps.l_suppkey = e.s_suppkey
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_size = 15
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS p_partkey, p_type,
+           round(cost, 2) AS cost
+    FROM cand WHERE cost = min_cost
+    """,
+    "TPC-H Q2-shaped min-cost-supplier (correlated scalar min): for "
+    "every size-15 part, the EUROPE supplier(s) offering it at the "
+    "minimum observed price. The part-supplier cost relation is derived "
+    "from lineitem (the synthetic schema ships no partsupp). Spark "
+    "plan: partial-agg groupBy for ps, broadcast nation/region/part "
+    "dims, and the correlated min decorrelated into a window over the "
+    "high-cardinality p_partkey — no per-row subquery, no "
+    "low-cardinality sort.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    eur = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(eur, ps["l_suppkey"] == eur["s_suppkey"])
+        .join(
+            F.broadcast(part.filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_type",
+            F.round("cost", 2).alias("cost"),
+        )
+    )
+
+
+@query(
     "multimodal_track_summary",
     # The binary chain IS SQL-checkable: the FAKEVID corpus is a
     # closed-form function of (video seed k, frame i, pixel j), the fake
@@ -2084,6 +2159,53 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_dedup_capped",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh0 AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), keep AS (
+      SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 5
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    """,
+    "The jaccard_pairs hot-shingle guard under the oracle gate: shingles "
+    "in more than max_shingle_df=5 documents are dropped BEFORE the "
+    "inverted-index self-join, bounding the worst-case fan-out of any "
+    "single join key (the web-scale skew hazard: a boilerplate shingle "
+    "shared by 1M docs would otherwise contribute 1M^2 join rows). The "
+    "oracle replicates the cap, so this is a full hash-checked entry — "
+    "the capped semantics themselves are verified, not just row counts.",
+)
+def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=5
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query(
     "minhash_lsh_dedup",
     None,  # hash family is engine-specific → rows-only check
     "MinHash+LSH near-dedup (north-star dedup): 64 minhashes from "
@@ -2113,6 +2235,24 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=12, block_bits=16)
+
+
+@query(
+    "simhash_pigeonhole_dedup",
+    None,  # xxhash64 is engine-specific → rows-only check
+    "SimHash near-dedup with GUARANTEED recall (north-star dedup): the "
+    "signature splits into max_hamming+1 disjoint chunks — h differing "
+    "bits cannot touch all h+1 chunks, so every hamming<=h pair agrees "
+    "on at least one bucket (pigeonhole). Candidate bucket join, then "
+    "exact bit_count(xor). Recall-1.0 complement to simhash_dedup's "
+    "cheap top-bits screen; recall property-tested against the exact "
+    "all-pairs hamming join.",
+)
+def simhash_pigeonhole_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import simhash_pairs_pigeonhole
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_pigeonhole(docs, "doc_id", "text", max_hamming=3)
 
 
 @query(
@@ -2338,8 +2478,10 @@ _PRIORITY_ORDER = [
     # north-star: deduplication
     "exact_dedup_groups",
     "ngram_jaccard_dedup",
+    "ngram_jaccard_dedup_capped",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "simhash_pigeonhole_dedup",
     "embedding_near_dups",
     "dedup_clusters",
     "corpus_curation",
@@ -2386,6 +2528,7 @@ _PRIORITY_ORDER = [
     "asof_join_latest_event",
     "range_join_event_pairs",
     "sessionization",
+    "min_cost_supplier",
 ]
 
 

@@ -106,3 +106,74 @@ def test_lsh_knn_recall_vs_exact(spark):
     assert recall >= 0.6, f"LSH knn recall@10 = {recall}"
     # top-1 must also be correct cosine ordering within the approx set
     assert approx.filter(F.col("rank") == 1).count() == 5
+
+
+def test_jaccard_cap_lower_bounds_common_and_noop_below_cap(spark):
+    # corpus: two near-dup docs sharing many shingles + a boilerplate
+    # shingle planted into EVERY doc (df = n_docs > cap)
+    boiler = "lorem ipsum dolor"
+    docs = [
+        ("a", boiler + " the quick brown fox jumps over the lazy dog today"),
+        ("b", boiler + " the quick brown fox jumps over the lazy dog tonight"),
+    ] + [(f"f{i}", boiler + f" unrelated filler text number {i} entirely") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=4
+        ).collect()
+    }
+    # n_common under the cap is a lower bound for every surviving pair
+    for pair, n in capped.items():
+        assert pair in exact and n <= exact[pair]
+    # with a cap no shingle exceeds, the result is identical
+    uncapped_equal = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=10**6
+        ).collect()
+    }
+    assert uncapped_equal == exact
+
+
+def test_simhash_pigeonhole_recall_is_exactly_one(spark):
+    from dog_data_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_pairs_pigeonhole,
+    )
+
+    # corpus with planted near-dups (small word edits) + unrelated docs
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [("d0", base)]
+    words = base.split()
+    for i in range(1, 9):
+        edited = list(words)
+        edited[i % len(words)] = f"tweak{i}"
+        docs.append((f"d{i}", " ".join(edited)))
+    for i in range(20):
+        docs.append((f"u{i}", f"completely different corpus text item {i} about topic {i*7}"))
+    df = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+
+    h = 3
+    # exact ground truth: all-pairs hamming via cross join on signatures
+    sig = simhash64(df, "doc_id", "text")
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= h)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_pigeonhole(df, "doc_id", "text", max_hamming=h).collect()
+    }
+    assert exact, "test corpus must contain at least one hamming<=h pair"
+    assert got == exact  # recall 1.0 AND no false positives (exact verify step)
