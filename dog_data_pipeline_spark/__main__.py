@@ -1,0 +1,156 @@
+"""CLI dispatch for the named pipelines, mirroring the reference's
+argparse + registry-dispatch operation model (``preprocess_dataset.py:
+136-144``, ``raw_to_samples.py:404-409``) — but over Spark jobs:
+
+    python -m dog_data_pipeline_spark preprocess --input-dir D --manifest M
+    python -m dog_data_pipeline_spark merge-raw --manifest M --dataset NAME \\
+        --catalog C
+    python -m dog_data_pipeline_spark track-samples --detections P \\
+        --metadata P --catalog C --samples OUT --errors OUT
+    python -m dog_data_pipeline_spark query NAME [--sf-dir D] [--limit N]
+
+Each subcommand builds a declarative plan from the package's pipeline
+functions and writes through the transactional sinks; none of the
+reference's read-modify-overwrite hazards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    from dog_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_preprocess(args: argparse.Namespace) -> int:
+    """Stage 1: directory listing → (file_path, action) manifest CSV."""
+    from dog_data_pipeline_spark.pipelines.preprocess import derive_action_manifest
+    from dog_data_pipeline_spark.sources.catalog import write_catalog_atomic
+    from dog_data_pipeline_spark.sources.files import list_binary_files
+
+    spark = _spark("cli-preprocess")
+    listing = list_binary_files(spark, args.input_dir, glob=args.glob)
+    done = None
+    if args.already_done:
+        done = spark.read.csv(args.already_done, header=True, schema="file_path STRING")
+    manifest = derive_action_manifest(listing, already_done=done)
+    n = manifest.count()
+    write_catalog_atomic(manifest.select("file_path", "action"), args.manifest)
+    print(f"preprocess: wrote {n} manifest rows -> {args.manifest}")
+    return 0
+
+
+def cmd_merge_raw(args: argparse.Namespace) -> int:
+    """Stage 2: manifest + existing catalog → extended catalog (atomic swap)."""
+    import os
+
+    from dog_data_pipeline_spark.pipelines.merge_raw import merge_to_raw
+    from dog_data_pipeline_spark.sources.catalog import (
+        read_catalog_csv,
+        write_catalog_atomic,
+    )
+
+    spark = _spark("cli-merge-raw")
+    manifest = spark.read.csv(
+        args.manifest, header=True, schema="file_path STRING, action STRING"
+    )
+    catalog = (
+        read_catalog_csv(spark, args.catalog) if os.path.exists(args.catalog) else None
+    )
+    merged = merge_to_raw(catalog, manifest, args.dataset)
+    n = merged.count()
+    write_catalog_atomic(merged, args.catalog)
+    print(f"merge-raw: catalog now {n} rows -> {args.catalog}")
+    return 0
+
+
+def cmd_track_samples(args: argparse.Namespace) -> int:
+    """Stage 3: detections + metadata + catalog → samples/errors ledgers."""
+    from dog_data_pipeline_spark.pipelines.tracking import track_samples_pipeline
+    from dog_data_pipeline_spark.sources.catalog import (
+        read_catalog_csv,
+        write_catalog_atomic,
+    )
+
+    spark = _spark("cli-track-samples")
+    detections = spark.read.parquet(args.detections)
+    metadata = spark.read.parquet(args.metadata)
+    catalog = read_catalog_csv(spark, args.catalog).withColumnRenamed(
+        "file_path", "video_id"
+    )
+    samples, errors = track_samples_pipeline(
+        detections,
+        metadata,
+        catalog,
+        label=args.label,
+        threshold=args.threshold,
+        segment_length_sec=args.segment_sec,
+    )
+    ns, ne = samples.count(), errors.count()
+    write_catalog_atomic(samples, args.samples)
+    write_catalog_atomic(errors, args.errors)
+    print(f"track-samples: {ns} samples -> {args.samples}; {ne} errors -> {args.errors}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run a registry query by name and show the head of the result."""
+    from dog_data_pipeline_spark.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; known: {', '.join(sorted(REGISTRY))}")
+        return 2
+    spark = _spark(f"cli-query-{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    print(f"query {args.name}: {df.count()} rows")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dog_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("preprocess", help="listing dir -> action manifest CSV")
+    sp.add_argument("--input-dir", required=True)
+    sp.add_argument("--manifest", required=True, help="output manifest CSV dir")
+    sp.add_argument("--glob", default="*")
+    sp.add_argument("--already-done", default=None, help="CSV of processed file_paths")
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sm = sub.add_parser("merge-raw", help="manifest + catalog -> new catalog")
+    sm.add_argument("--manifest", required=True)
+    sm.add_argument("--catalog", required=True)
+    sm.add_argument("--dataset", required=True)
+    sm.set_defaults(fn=cmd_merge_raw)
+
+    st = sub.add_parser("track-samples", help="detections -> samples/errors ledgers")
+    st.add_argument("--detections", required=True, help="parquet of detections")
+    st.add_argument("--metadata", required=True, help="parquet of video metadata")
+    st.add_argument("--catalog", required=True, help="catalog CSV")
+    st.add_argument("--samples", required=True, help="output samples CSV dir")
+    st.add_argument("--errors", required=True, help="output errors CSV dir")
+    st.add_argument("--label", type=int, default=16)
+    st.add_argument("--threshold", type=float, default=0.3)
+    st.add_argument("--segment-sec", type=int, default=2)
+    st.set_defaults(fn=cmd_track_samples)
+
+    sq = sub.add_parser("query", help="run a registry query")
+    sq.add_argument("name")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

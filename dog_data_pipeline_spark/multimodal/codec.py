@@ -80,16 +80,87 @@ def _require_cv2():
         ) from e
 
 
+def _spool(content: bytes, suffix: str = ".mp4") -> str:
+    """cv2.VideoCapture reads paths, not buffers — spool bytes to a temp
+    file (the container sniffs content, so the suffix is advisory)."""
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    f.write(content)
+    f.close()
+    return f.name
+
+
 def _real_probe(content: bytes):  # pragma: no cover - needs cv2
-    _require_cv2()
-    raise NotImplementedError("real container probing not implemented")
+    """Real-container probe, mirroring ``get_video_metadata``
+    (``raw_to_samples.py:302-307``): rounded fps, int-cast dims/count."""
+    import os
+
+    cv2 = _require_cv2()
+    path = _spool(content)
+    try:
+        cap = cv2.VideoCapture(path)
+        try:
+            fps = round(cap.get(cv2.CAP_PROP_FPS))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        finally:
+            cap.release()
+        return n, h, w, fps
+    finally:
+        os.unlink(path)
 
 
 def _real_decode(content: bytes):  # pragma: no cover - needs cv2
-    _require_cv2()
-    raise NotImplementedError("real container decoding not implemented")
+    """Real-container decode (``initial_tracking``'s read loop,
+    ``raw_to_samples.py:173-196``). Frames are returned GRAYSCALE so the
+    single-byte-per-pixel row-major grid contract (``crop_frame``) holds
+    for every container; color support would add a channels axis to the
+    frame schema, not change this path's shape."""
+    import os
+
+    cv2 = _require_cv2()
+    path = _spool(content)
+    try:
+        cap = cv2.VideoCapture(path)
+        frames: list[bytes] = []
+        try:
+            fps = round(cap.get(cv2.CAP_PROP_FPS))
+            while cap.isOpened():
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                frames.append(gray.tobytes())
+        finally:
+            cap.release()
+        return fps, frames
+    finally:
+        os.unlink(path)
 
 
 def _real_encode(fps, width, height, frames):  # pragma: no cover - needs cv2
-    _require_cv2()
-    raise NotImplementedError("real container encoding not implemented")
+    """Real-container encode (``create_video``, ``raw_to_samples.py:
+    125-144``): mp4v fourcc VideoWriter at (width, height); grayscale
+    byte-grid frames are expanded to BGR for the writer."""
+    import os
+
+    cv2 = _require_cv2()
+    import numpy as np
+
+    path = _spool(b"", suffix=".mp4")
+    try:
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+        try:
+            for f in frames:
+                gray = np.frombuffer(f, dtype=np.uint8).reshape(height, width)
+                writer.write(cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR))
+        finally:
+            writer.release()
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)

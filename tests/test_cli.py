@@ -1,0 +1,124 @@
+"""Smoke tests for the CLI dispatch (``python -m dog_data_pipeline_spark``),
+driving every named pipeline end-to-end through its subcommand, in-process
+(a subprocess would pay a full second SparkSession startup per command).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dog_data_pipeline_spark.__main__ import main
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return tmp_path
+
+
+def _read_csv_dir(spark, path, schema):
+    return spark.read.csv(str(path), header=True, schema=schema)
+
+
+def test_cli_preprocess_and_merge_raw(spark, workdir):
+    # stage-1 input: a folder-per-action tree of (fake) video files
+    for folder, names in [
+        ("dogs_eating", ["a.mp4", "b.mov"]),
+        ("dogs_playing", ["c.mp4"]),
+        ("not_a_dog_folder", ["d.mp4"]),
+        ("dogs_walking", ["skip.txt"]),
+    ]:
+        d = workdir / "in" / folder
+        d.mkdir(parents=True)
+        for n in names:
+            (d / n).write_bytes(b"x")
+
+    manifest = str(workdir / "manifest.csv")
+    rc = main(
+        ["preprocess", "--input-dir", str(workdir / "in"), "--manifest", manifest]
+    )
+    assert rc == 0
+    rows = _read_csv_dir(spark, manifest, "file_path STRING, action STRING").collect()
+    got = {(os.path.basename(r["file_path"]), r["action"]) for r in rows}
+    assert got == {("a.mp4", "eat"), ("b.mov", "eat"), ("c.mp4", "play")}
+
+    catalog = str(workdir / "catalog.csv")
+    rc = main(
+        ["merge-raw", "--manifest", manifest, "--catalog", catalog, "--dataset", "d1"]
+    )
+    assert rc == 0
+    cat = _read_csv_dir(
+        spark,
+        catalog,
+        "file_index LONG, file_path STRING, dataset STRING, action STRING, "
+        "original_file_path STRING",
+    ).collect()
+    assert {r["file_index"] for r in cat} == {0, 1, 2}
+    assert all(r["file_path"].endswith(".mp4") for r in cat)
+
+    # idempotent re-merge: second run continues dense ids from the max
+    rc = main(
+        ["merge-raw", "--manifest", manifest, "--catalog", catalog, "--dataset", "d2"]
+    )
+    assert rc == 0
+    cat2 = _read_csv_dir(
+        spark,
+        catalog,
+        "file_index LONG, file_path STRING, dataset STRING, action STRING, "
+        "original_file_path STRING",
+    ).collect()
+    assert {r["file_index"] for r in cat2} == {0, 1, 2, 3, 4, 5}
+
+
+def test_cli_track_samples(spark, workdir):
+    det_rows = []
+    for f in range(13):
+        det_rows.append(("000000.mp4", f, 1, [10.0, 10.0, 30.0, 40.0], 16))
+    detections = spark.createDataFrame(
+        det_rows,
+        "video_id STRING, frame_idx INT, subject_id INT, bbox ARRAY<DOUBLE>, cls INT",
+    )
+    metadata = spark.createDataFrame(
+        [("000000.mp4", 13, 480, 640, 2)],
+        "video_id STRING, frame_count INT, frame_height INT, frame_width INT, video_fps INT",
+    )
+    det_path = str(workdir / "det.parquet")
+    meta_path = str(workdir / "meta.parquet")
+    detections.write.parquet(det_path)
+    metadata.write.parquet(meta_path)
+
+    catalog = spark.createDataFrame(
+        [(0, "000000.mp4", "d1", "eat", "/orig/a.mp4")],
+        "file_index LONG, file_path STRING, dataset STRING, action STRING, "
+        "original_file_path STRING",
+    )
+    cat_path = str(workdir / "catalog.csv")
+    catalog.write.mode("overwrite").option("header", True).csv(cat_path)
+
+    samples = str(workdir / "samples.csv")
+    errors = str(workdir / "errors.csv")
+    rc = main(
+        [
+            "track-samples",
+            "--detections", det_path,
+            "--metadata", meta_path,
+            "--catalog", cat_path,
+            "--samples", samples,
+            "--errors", errors,
+        ]
+    )
+    assert rc == 0
+    out = _read_csv_dir(
+        spark,
+        samples,
+        "file_path STRING, original_file STRING, segment STRING, dataset STRING, "
+        "action STRING",
+    ).collect()
+    # subject 1 is complete in segments 0..2
+    assert {r["segment"] for r in out} == {"000", "001", "002"}
+    assert all(r["action"] == "eat" for r in out)
+
+
+def test_cli_query_unknown_name_is_error():
+    assert main(["query", "no_such_query"]) == 2

@@ -174,3 +174,19 @@ def test_fused_sample_tracks_matches_composed(spark):
 def test_real_codec_is_cleanly_stubbed():
     with pytest.raises(NotImplementedError):
         codec.probe(b"\x00\x00notfake")
+
+
+def test_real_codec_roundtrip_under_cv2():
+    """Auto-activates the day the image ships cv2: encode a grayscale
+    clip through the real mp4 path and decode it back."""
+    cv2 = pytest.importorskip("cv2")
+    _ = cv2
+    w, h = 32, 24
+    frames = [bytes([(i * 5 + j) % 256 for j in range(w * h)]) for i in range(4)]
+    blob = codec._real_encode(10, w, h, frames)
+    assert len(blob) > 0
+    n, dh, dw, fps = codec._real_probe(blob)
+    assert (n, dh, dw, fps) == (4, h, w, 10)
+    dfps, decoded = codec._real_decode(blob)
+    assert dfps == 10 and len(decoded) == 4
+    assert all(len(f) == w * h for f in decoded)
