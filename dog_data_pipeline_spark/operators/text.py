@@ -121,3 +121,20 @@ def with_rolling_fingerprint(
             lambda acc, t: F.xxhash64(acc, t),
         ),
     )
+
+
+# GPT-2-style pre-tokenizer segments, simplified to the subset shared by
+# Java regex (Spark) and RE2 (DuckDB) — no lookahead: a token is an
+# optionally-space-prefixed letter run, digit run, or punctuation run.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token count: the number of pre-tokenizer segments under a
+    GPT-2-style regex — the standard cheap estimator for LLM token cost
+    (real BPE merges only split WITHIN these segments, so this counts a
+    lower bound with the same growth shape). Pure regexp_count column
+    expression; no Python."""
+    return df.withColumn(out, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)))

@@ -2036,6 +2036,38 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS INT) AS n_bpe_tokens,
+           round(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::DOUBLE
+                 / len(string_split_regex(trim(text), '\s+')), 4) AS fertility
+    FROM documents
+    """,
+    "Token counting, whitespace AND BPE-ish (north-star text analysis): "
+    "pre-tokenizer segment count under a GPT-2-style regex (the cheap "
+    "LLM-token-cost estimator) plus tokens-per-word fertility. The "
+    "pattern avoids lookahead so Spark (Java regex) and DuckDB (RE2) "
+    "count identically; pure regexp_count, no Python.",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import (
+        with_bpe_token_count,
+        with_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_bpe_token_count(with_token_count(docs, out="n_ws_tokens"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4).alias("fertility"),
+    )
+
+
+@query(
     "lang_id_heuristic",
     """
     WITH t AS (
@@ -2492,6 +2524,7 @@ _PRIORITY_ORDER = [
     # north-star: text analysis
     "text_quality_profile",
     "lang_id_heuristic",
+    "bpe_token_counts",
     "doc_fingerprint",
     "rolling_fingerprint",
     # window/set-op stragglers outside round 1's window
@@ -2527,7 +2560,6 @@ _PRIORITY_ORDER = [
     "approx_distinct_parts",
     "asof_join_latest_event",
     "range_join_event_pairs",
-    "sessionization",
     "min_cost_supplier",
 ]
 
