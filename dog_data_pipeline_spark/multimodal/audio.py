@@ -1,0 +1,173 @@
+"""Audio operators over BINARY columns (north-star multimodal: the
+audio analog of ``video.py``'s scan/probe/feature chain).
+
+Same partitioning contract as video: compressed/container blobs are the
+only thing that crosses task boundaries; decode + feature-extraction are
+fused into one Arrow-batched pass (``extract_audio_features``), so raw
+waveforms never shuffle. Real codecs (mp3/flac/wav via soundfile or
+ffmpeg) are NOT in this environment — the ``FAKEAUD`` container
+exercises the full plumbing with real data flow, and the real path is
+gated exactly like ``codec._require_cv2``.
+
+FAKEAUD layout: ``FAKEAUD|sample_rate|n_samples`` + ``\\n`` + n_samples
+little-endian int16 samples.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+AUDIO_MAGIC = b"FAKEAUD"
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id STRING, sample_rate INT, n_samples INT, duration_sec DOUBLE, "
+    "rms DOUBLE, peak INT, zero_crossings INT"
+)
+
+
+def make_fake_audio(sample_rate: int, samples: "np.ndarray") -> bytes:
+    arr = np.asarray(samples, dtype="<i2")
+    head = b"|".join([AUDIO_MAGIC, str(sample_rate).encode(), str(arr.size).encode()])
+    return head + b"\n" + arr.tobytes()
+
+
+def probe_audio_bytes(content: bytes) -> tuple[int, int]:
+    """-> (sample_rate, n_samples) from the header only — no waveform
+    decode (the audio analog of the video header probe)."""
+    if content.startswith(AUDIO_MAGIC):
+        head, _, _ = content.partition(b"\n")
+        _, sr, n = head.split(b"|")
+        return int(sr), int(n)
+    return _real_probe_audio(content)
+
+
+def decode_audio(content: bytes) -> tuple[int, "np.ndarray"]:
+    """-> (sample_rate, int16 waveform)."""
+    if content.startswith(AUDIO_MAGIC):
+        head, _, body = content.partition(b"\n")
+        _, sr, n = head.split(b"|")
+        return int(sr), np.frombuffer(body, dtype="<i2", count=int(n))
+    return _real_decode_audio(content)
+
+
+def probe_audio(binary_df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Header-only metadata probe, vectorized over Arrow batches."""
+
+    @F.pandas_udf(AUDIO_META_SCHEMA)
+    def _probe(content: pd.Series) -> pd.DataFrame:
+        rows = [probe_audio_bytes(bytes(c)) for c in content]
+        return pd.DataFrame(rows, columns=["sample_rate", "n_samples"])
+
+    return (
+        binary_df.withColumn("meta", _probe(F.col(content_col)))
+        .select("*", "meta.*")
+        .drop("meta")
+    )
+
+
+def extract_audio_features(
+    binary_df: DataFrame,
+    audio_id_col: str = "audio_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused decode + feature extraction in ONE mapInPandas pass: the
+    waveform exists only inside the task; the output rows are tiny
+    scalars. Features: duration, RMS, peak magnitude, zero-crossing
+    count — the standard cheap audio-quality/speech-detection signals.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "audio_id": [], "sample_rate": [], "n_samples": [],
+                "duration_sec": [], "rms": [], "peak": [], "zero_crossings": [],
+            }
+            for aid, content in zip(pdf[audio_id_col], pdf[content_col]):
+                sr, wave = decode_audio(bytes(content))
+                x = wave.astype(np.float64)
+                out["audio_id"].append(aid)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(wave.size)
+                out["duration_sec"].append(wave.size / sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if wave.size else 0.0)
+                out["peak"].append(int(np.abs(wave).max()) if wave.size else 0)
+                signs = np.sign(x[x != 0])
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(signs[1:] != signs[:-1]))
+                )
+            yield pd.DataFrame(out)
+
+    return binary_df.select(audio_id_col, content_col).mapInPandas(
+        _extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resample_audio(
+    binary_df: DataFrame,
+    factor: int,
+    audio_id_col: str = "audio_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decimate-by-``factor`` resample (the frame-sample analog): keeps
+    every ``factor``-th sample and rewrites the container with
+    sample_rate/​factor. Decode → slice → re-encode happens inside one
+    Arrow batch; only containers cross the exchange."""
+
+    @F.pandas_udf("binary")
+    def _resample(content: pd.Series) -> pd.Series:
+        out = []
+        for c in content:
+            sr, wave = decode_audio(bytes(c))
+            out.append(make_fake_audio(max(sr // factor, 1), wave[::factor]))
+        return pd.Series(out)
+
+    return binary_df.withColumn(content_col, _resample(F.col(content_col)))
+
+
+def _require_audio_codec():
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError as e:  # pragma: no cover - env without soundfile
+        raise NotImplementedError(
+            "real audio codecs need soundfile/ffmpeg, which this "
+            "environment does not ship; only the FAKEAUD container is "
+            "supported"
+        ) from e
+
+
+def _real_probe_audio(content: bytes):  # pragma: no cover - needs soundfile
+    import io
+
+    sf = _require_audio_codec()
+    info = sf.info(io.BytesIO(content))
+    return int(info.samplerate), int(info.frames)
+
+
+def _real_decode_audio(content: bytes):  # pragma: no cover - needs soundfile
+    import io
+
+    sf = _require_audio_codec()
+    data, sr = sf.read(io.BytesIO(content), dtype="int16", always_2d=False)
+    if data.ndim > 1:  # downmix to mono: the byte-grid contract is 1-D
+        data = data.mean(axis=1).astype("int16")
+    return int(sr), data

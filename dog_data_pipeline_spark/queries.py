@@ -1283,6 +1283,83 @@ def multimodal_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "audio_feature_summary",
+    # Same closed-form-oracle trick as the video chain: the FAKEAUD
+    # corpus is a function of (clip seed k, sample index i), so DuckDB
+    # rebuilds decode + feature extraction from generate_series.
+    """
+    WITH clips AS (SELECT k FROM generate_series(0, 23) t(k)),
+    samples AS (
+      -- fixed-range series + filter: duckdb's generate_series cannot be
+      -- laterally correlated on k; max clip length is 480 + 4*160
+      SELECT k, i, ((k*37 + i*11) % 509) - 254 AS s
+      FROM clips, generate_series(0, 1119) u(i)
+      WHERE i < 480 + (k % 5) * 160
+    ),
+    feat AS (
+      SELECT k,
+             count(*) AS n_samples,
+             round(sqrt(avg(CAST(s AS DOUBLE) * s)), 4) AS rms,
+             max(abs(s)) AS peak
+      FROM samples GROUP BY k
+    ),
+    zc AS (
+      SELECT k, count(*) AS zero_crossings FROM (
+        SELECT k, sign(s) AS sg,
+               lag(sign(s)) OVER (PARTITION BY k ORDER BY i) AS prev
+        FROM samples WHERE s <> 0
+      ) WHERE prev IS NOT NULL AND sg <> prev
+      GROUP BY k
+    )
+    SELECT 'a' || CAST(f.k AS VARCHAR) AS audio_id,
+           160 AS sample_rate,
+           CAST(f.n_samples AS INT) AS n_samples,
+           round(f.n_samples / 160.0, 4) AS duration_sec,
+           f.rms,
+           CAST(f.peak AS INT) AS peak,
+           CAST(coalesce(z.zero_crossings, 0) AS INT) AS zero_crossings
+    FROM feat f LEFT JOIN zc z ON f.k = z.k
+    """,
+    "Audio multimodal chain (north-star): deterministic FAKEAUD clips -> "
+    "fused decode + feature extraction in one mapInPandas pass (duration/"
+    "RMS/peak/zero-crossings; waveforms never leave the task). The "
+    "oracle recomputes the features in closed form from the corpus "
+    "generator arithmetic — the binary path is fully hash-checked.",
+)
+def audio_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        extract_audio_features,
+        make_fake_audio,
+    )
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    sr, n_clips = 160, 24
+
+    def clip(k: int) -> bytes:
+        n = 480 + (k % 5) * sr
+        i = np.arange(n, dtype=np.int64)
+        return make_fake_audio(sr, ((k * 37 + i * 11) % 509) - 254)
+
+    clips = spark.createDataFrame(
+        [(f"a{k}", clip(k)) for k in range(n_clips)],
+        "audio_id STRING, content BINARY",
+    ).repartition(4, "audio_id")
+    feats = extract_audio_features(clips)
+    return feats.select(
+        "audio_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 4).alias("duration_sec"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity: the stage-3 tracking pipeline under the oracle gate
 # ---------------------------------------------------------------------------
@@ -2557,9 +2634,9 @@ _PRIORITY_ORDER = [
     "map_array_functions",
     "json_props_extract",
     "multimodal_track_summary",
+    "audio_feature_summary",
     "approx_distinct_parts",
     "asof_join_latest_event",
-    "range_join_event_pairs",
     "min_cost_supplier",
 ]
 

@@ -190,3 +190,51 @@ def test_real_codec_roundtrip_under_cv2():
     dfps, decoded = codec._real_decode(blob)
     assert dfps == 10 and len(decoded) == 4
     assert all(len(f) == w * h for f in decoded)
+
+
+def test_audio_probe_and_features(spark):
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        extract_audio_features,
+        make_fake_audio,
+        probe_audio,
+    )
+
+    wave = np.array([100, -50, 0, 25, -25, 25], dtype=np.int16)
+    flat = np.zeros(4, dtype=np.int16)
+    df = spark.createDataFrame(
+        [("x", make_fake_audio(8, wave)), ("flat", make_fake_audio(8, flat))],
+        "audio_id STRING, content BINARY",
+    )
+    meta = {r["audio_id"]: r for r in probe_audio(df).collect()}
+    assert meta["x"]["sample_rate"] == 8 and meta["x"]["n_samples"] == 6
+
+    feats = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
+    fx = feats["x"]
+    assert fx["peak"] == 100
+    assert fx["duration_sec"] == 6 / 8
+    # zeros are skipped: signs +,-,+,-,+ -> 4 crossings
+    assert fx["zero_crossings"] == 4
+    expected_rms = float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
+    assert abs(fx["rms"] - expected_rms) < 1e-9
+    assert feats["flat"]["rms"] == 0.0 and feats["flat"]["zero_crossings"] == 0
+
+
+def test_audio_resample_decimates(spark):
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        decode_audio,
+        make_fake_audio,
+        resample_audio,
+    )
+
+    wave = np.arange(16, dtype=np.int16)
+    df = spark.createDataFrame(
+        [("x", make_fake_audio(16, wave))], "audio_id STRING, content BINARY"
+    )
+    out = resample_audio(df, factor=4).collect()[0]["content"]
+    sr, decoded = decode_audio(bytes(out))
+    assert sr == 4
+    assert decoded.tolist() == [0, 4, 8, 12]
