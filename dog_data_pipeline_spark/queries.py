@@ -1102,10 +1102,13 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     "every size-15 part, the EUROPE supplier(s) offering it at the "
     "minimum observed price. The part-supplier cost relation is derived "
     "from lineitem (the synthetic schema ships no partsupp). Spark "
-    "plan: partial-agg groupBy for ps, broadcast nation/region/part "
-    "dims, and the correlated min decorrelated into a window over the "
-    "high-cardinality p_partkey — no per-row subquery, no "
-    "low-cardinality sort.",
+    "plan: the size-15 part filter is semi-join-pushed BELOW the ps "
+    "aggregate (Catalyst won't move a filter through a groupBy on its "
+    "own — done manually, it shrinks the agg's shuffle by the part "
+    "selectivity, ~50x), partial-agg groupBy for ps, broadcast "
+    "nation/region/part dims, and the correlated min decorrelated into "
+    "a window over the high-cardinality p_partkey — no per-row "
+    "subquery, no low-cardinality sort.",
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -1114,8 +1117,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     part = _t(spark, sf_dir, "part")
 
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("cost")
+    part_f = part.filter(F.col("p_size") == 15)
+    ps = (
+        l.join(
+            F.broadcast(part_f.select("p_partkey")),
+            l["l_partkey"] == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
     )
     eur = (
         supplier.join(
@@ -1127,12 +1137,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cand = (
-        ps.join(eur, ps["l_suppkey"] == eur["s_suppkey"])
-        .join(
-            F.broadcast(part.filter(F.col("p_size") == 15)),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
+    cand = ps.join(eur, ps["l_suppkey"] == eur["s_suppkey"]).join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -2300,7 +2306,12 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single join key (the web-scale skew hazard: a boilerplate shingle "
     "shared by 1M docs would otherwise contribute 1M^2 join rows). The "
     "oracle replicates the cap, so this is a full hash-checked entry — "
-    "the capped semantics themselves are verified, not just row counts.",
+    "the capped semantics themselves are verified, not just row counts. "
+    "Cost note: the guard adds a shingle-DF count + semi join, so on an "
+    "UNSKEWED corpus (this synthetic data: max DF 25) it costs ~40% "
+    "more than the exact query — it pays for itself only when the DF "
+    "distribution has a hot tail, which is insurance, not overhead, at "
+    "web scale.",
 )
 def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
