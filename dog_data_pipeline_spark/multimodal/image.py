@@ -1,0 +1,150 @@
+"""Image operators over BINARY columns (north-star multimodal: the
+image analog of ``video.py``/``audio.py`` — decode, resize,
+feature-extract as Arrow-batched UDFs).
+
+Same contract as the other modalities: containers are the only thing
+that crosses an exchange; decode + transform + reduce fuse into one
+mapInPandas pass so raw pixel grids never shuffle. Real codecs
+(PNG/JPEG via PIL/cv2) are absent from this environment — ``FAKEIMG``
+exercises the plumbing with real data flow behind the same import-gate
+pattern as ``codec._require_cv2``.
+
+FAKEIMG layout: ``FAKEIMG|width|height`` + ``\\n`` + width*height
+row-major grayscale bytes (one frame of the FAKEVID grid).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_MAGIC = b"FAKEIMG"
+
+IMAGE_STATS_SCHEMA = (
+    "image_id STRING, width INT, height INT, out_width INT, out_height INT, "
+    "mean_px DOUBLE, min_px INT, max_px INT"
+)
+
+
+def make_fake_image(width: int, height: int, pixels: "np.ndarray") -> bytes:
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
+    head = b"|".join([IMAGE_MAGIC, str(width).encode(), str(height).encode()])
+    return head + b"\n" + arr.tobytes()
+
+
+def probe_image_bytes(content: bytes) -> tuple[int, int]:
+    """-> (width, height) from the header only."""
+    if content.startswith(IMAGE_MAGIC):
+        head, _, _ = content.partition(b"\n")
+        _, w, h = head.split(b"|")
+        return int(w), int(h)
+    return _real_probe_image(content)
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """-> uint8 (height, width) grayscale grid."""
+    if content.startswith(IMAGE_MAGIC):
+        head, _, body = content.partition(b"\n")
+        _, w, h = head.split(b"|")
+        w, h = int(w), int(h)
+        return np.frombuffer(body, dtype=np.uint8, count=w * h).reshape(h, w)
+    return _real_decode_image(content)
+
+
+def pool_resize(img: "np.ndarray", factor: int) -> "np.ndarray":
+    """Average-pool downscale by an integer factor (truncating division —
+    deterministic integer arithmetic, so an SQL oracle can replicate it).
+    Trailing rows/cols that don't fill a full block are dropped."""
+    h, w = img.shape
+    h2, w2 = h // factor, w // factor
+    x = img[: h2 * factor, : w2 * factor].astype(np.uint32)
+    blocks = x.reshape(h2, factor, w2, factor).sum(axis=(1, 3))
+    return (blocks // (factor * factor)).astype(np.uint8)
+
+
+def resize_images(
+    binary_df: DataFrame,
+    factor: int,
+    image_id_col: str = "image_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode → average-pool → re-encode inside one Arrow batch; only
+    containers cross the exchange."""
+
+    @F.pandas_udf("binary")
+    def _resize(content: pd.Series) -> pd.Series:
+        out = []
+        for c in content:
+            img = pool_resize(decode_image(bytes(c)), factor)
+            out.append(make_fake_image(img.shape[1], img.shape[0], img))
+        return pd.Series(out)
+
+    return binary_df.withColumn(content_col, _resize(F.col(content_col)))
+
+
+def image_resize_stats(
+    binary_df: DataFrame,
+    factor: int,
+    image_id_col: str = "image_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused decode + resize + reduce in ONE mapInPandas pass: emits
+    per-image stats of the POOLED grid (dims, mean/min/max pixel) —
+    the pixel grids never leave the task."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [],
+                "mean_px": [], "min_px": [], "max_px": [],
+            }
+            for iid, content in zip(pdf[image_id_col], pdf[content_col]):
+                img = decode_image(bytes(content))
+                pooled = pool_resize(img, factor)
+                out["image_id"].append(iid)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["out_height"].append(pooled.shape[0])
+                out["out_width"].append(pooled.shape[1])
+                out["mean_px"].append(float(pooled.mean()))
+                out["min_px"].append(int(pooled.min()))
+                out["max_px"].append(int(pooled.max()))
+            yield pd.DataFrame(out)
+
+    return binary_df.select(image_id_col, content_col).mapInPandas(
+        _stats, IMAGE_STATS_SCHEMA
+    )
+
+
+def _require_image_codec():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError as e:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "real image codecs need PIL/cv2, which this environment does "
+            "not ship; only the FAKEIMG container is supported"
+        ) from e
+
+
+def _real_probe_image(content: bytes):  # pragma: no cover - needs PIL
+    import io
+
+    Image = _require_image_codec()
+    with Image.open(io.BytesIO(content)) as im:
+        return im.width, im.height
+
+
+def _real_decode_image(content: bytes):  # pragma: no cover - needs PIL
+    import io
+
+    Image = _require_image_codec()
+    with Image.open(io.BytesIO(content)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)

@@ -1366,6 +1366,65 @@ def audio_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_resize_stats",
+    # Closed-form oracle: FAKEIMG pixel (k*13 + y*7 + x*3) % 256; the 2x2
+    # average pool is truncating integer arithmetic, so DuckDB rebuilds
+    # decode + resize + reduce from generate_series.
+    """
+    WITH imgs AS (
+      SELECT k, 32 + (k % 3) * 16 AS w, 24 + (k % 2) * 8 AS h
+      FROM generate_series(0, 23) t(k)
+    ),
+    pooled AS (
+      SELECT k, w, h, X, Y,
+        ( ((k*13 + (2*Y)*7   + (2*X)*3)   % 256)
+        + ((k*13 + (2*Y)*7   + (2*X+1)*3) % 256)
+        + ((k*13 + (2*Y+1)*7 + (2*X)*3)   % 256)
+        + ((k*13 + (2*Y+1)*7 + (2*X+1)*3) % 256) ) // 4 AS pv
+      FROM imgs, generate_series(0, 31) gx(X), generate_series(0, 15) gy(Y)
+      WHERE X < w // 2 AND Y < h // 2
+    )
+    SELECT 'i' || CAST(k AS VARCHAR) AS image_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w // 2 AS INT) AS out_width, CAST(h // 2 AS INT) AS out_height,
+           round(avg(CAST(pv AS DOUBLE)), 4) AS mean_px,
+           CAST(min(pv) AS INT) AS min_px,
+           CAST(max(pv) AS INT) AS max_px
+    FROM pooled GROUP BY k, w, h
+    """,
+    "Image multimodal chain (north-star): deterministic FAKEIMG grids -> "
+    "fused decode + 2x2 average-pool resize + stats reduce in one "
+    "mapInPandas pass (pixel grids never leave the task). Hash-checked "
+    "end-to-end: the oracle recomputes pooled mean/min/max in closed "
+    "form from the generator arithmetic.",
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.image import (
+        image_resize_stats as _stats_op,
+        make_fake_image,
+    )
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def img(k: int) -> bytes:
+        w, h = 32 + (k % 3) * 16, 24 + (k % 2) * 8
+        y, x = np.mgrid[0:h, 0:w]
+        return make_fake_image(w, h, (k * 13 + y * 7 + x * 3) % 256)
+
+    images = spark.createDataFrame(
+        [(f"i{k}", img(k)) for k in range(24)], "image_id STRING, content BINARY"
+    ).repartition(4, "image_id")
+    out = _stats_op(images, factor=2)
+    return out.select(
+        "image_id", "width", "height", "out_width", "out_height",
+        F.round("mean_px", 4).alias("mean_px"), "min_px", "max_px",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity: the stage-3 tracking pipeline under the oracle gate
 # ---------------------------------------------------------------------------
@@ -2619,8 +2678,11 @@ _PRIORITY_ORDER = [
     "ntile_value_quartiles",
     "running_revenue",
     "lead_lag_order_gaps",
-    "except_all_lines",
-    "intersect_statuses",
+    # custom temporal operators (the brief's named as-of/range joins)
+    # outrank the except/intersect built-ins for window slots; the
+    # latter remain locally oracle-tested
+    "asof_join_latest_event",
+    "range_join_event_pairs",
     # sole driver evidence for SURVEY §2 rows
     "filter_project_in",
     "recode_fallthrough",
@@ -2646,10 +2708,13 @@ _PRIORITY_ORDER = [
     "json_props_extract",
     "multimodal_track_summary",
     "audio_feature_summary",
+    "image_resize_stats",
     "approx_distinct_parts",
-    "asof_join_latest_event",
     "min_cost_supplier",
 ]
+# NOTE: the list holds exactly 50 names — the driver's round-1 window.
+# Everything after slot 50 keeps local oracle coverage
+# (tests/test_queries_oracle.py) even when the driver doesn't reach it.
 
 
 def _apply_registry_order() -> None:

@@ -238,3 +238,29 @@ def test_audio_resample_decimates(spark):
     sr, decoded = decode_audio(bytes(out))
     assert sr == 4
     assert decoded.tolist() == [0, 4, 8, 12]
+
+
+def test_image_pool_resize_and_stats(spark):
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.image import (
+        decode_image,
+        image_resize_stats,
+        make_fake_image,
+        pool_resize,
+        resize_images,
+    )
+
+    # hand-checkable 4x2: pooled = [[(0+1+4+5)//4, (2+3+6+7)//4]] = [[2, 4]]
+    grid = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    assert pool_resize(grid, 2).tolist() == [[2, 4]]
+
+    df = spark.createDataFrame(
+        [("x", make_fake_image(4, 2, grid))], "image_id STRING, content BINARY"
+    )
+    out = resize_images(df, 2).collect()[0]["content"]
+    assert decode_image(bytes(out)).tolist() == [[2, 4]]
+
+    stats = image_resize_stats(df, 2).collect()[0]
+    assert (stats["out_width"], stats["out_height"]) == (2, 1)
+    assert stats["min_px"] == 2 and stats["max_px"] == 4 and stats["mean_px"] == 3.0
