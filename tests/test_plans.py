@@ -109,3 +109,30 @@ def test_aqe_reuses_shared_subtrees_in_tracking_pipeline(spark):
     final = plan.split("Initial Plan")[0]
     reused = final.count("ReusedQueryStage") + final.count("ReusedExchange")
     assert reused >= 1, "expected AQE stage reuse for the shared segmented subtree"
+
+
+def test_min_cost_supplier_broadcasts_dims_and_prefilters(spark):
+    plan = plan_of(spark, "min_cost_supplier")
+    # all dim joins broadcast; the fact side never sort-merge-joins
+    assert "SortMergeJoin" not in plan
+    # the size-15 semi filter sits BELOW the ps aggregate: the leftsemi
+    # broadcast join must appear, and the part-size predicate must reach
+    # a scan
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_size,15)" in plan
+
+
+def test_ntile_query_has_no_single_partition_sort(spark):
+    plan = plan_of(spark, "ntile_value_quartiles")
+    assert "Exchange SinglePartition" not in plan
+    # the old shape: ntile over partitionBy(event_type) - a handful of
+    # keys each sorted by one task; the new shape range-partitions
+    assert "ntile(" not in plan
+
+
+def test_multimodal_chain_shuffles_blobs_not_frames(spark):
+    # the fused path repartitions on video_id BEFORE decoding: the only
+    # exchanges in the plan carry the compressed content column, and no
+    # exchange output contains a 'frame' column
+    plan = plan_of(spark, "multimodal_track_summary")
+    assert "frame#" not in plan  # decoded frames never appear in the exchange plan
