@@ -328,3 +328,50 @@ def encode_tracks(
     ).withColumn("crop_h", F.col("new_bbox")[3] - F.col("new_bbox")[1])
     schema = SEGMENT_ENCODED_SCHEMA if has_segment else ENCODED_SCHEMA
     return with_dims.groupBy(*keys).applyInPandas(_encode, schema)
+
+
+TRANSCODE_SCHEMA = (
+    "video_id STRING, content BINARY, ok BOOLEAN, error STRING"
+)
+
+
+def transcode_videos(
+    binary_df: DataFrame,
+    fps: int | None = None,
+    video_id_col: str = "video_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Transcode UDF (S13/F2): decode whatever container each blob is in
+    and re-encode into the canonical one, with PER-ROW error routing —
+    a failed decode emits (ok=false, error) instead of aborting the job,
+    mirroring the reference's try/except → exceptions-dir dead-letter
+    around its .mov→.mp4 conversion (``preprocess_dataset.py:55-70``).
+    Feed the ok=false side to the dead-letter sink; the blob passes
+    through unchanged there so nothing is lost.
+
+    FAKEVID round-trips natively; real containers engage the cv2-gated
+    codec path. One mapInPandas pass — frames exist only inside the task.
+    """
+
+    def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "content": [], "ok": [], "error": []}
+            for vid, content in zip(pdf[video_id_col], pdf[content_col]):
+                content = bytes(content)
+                out["video_id"].append(vid)
+                try:
+                    n, h, w, src_fps = codec.probe(content)
+                    dec_fps, frames = codec.decode_video(content)
+                    blob = codec.encode_video(fps or dec_fps, w, h, frames)
+                    out["content"].append(blob)
+                    out["ok"].append(True)
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 - dead-letter boundary
+                    out["content"].append(content)
+                    out["ok"].append(False)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return binary_df.select(video_id_col, content_col).mapInPandas(
+        _transcode, TRANSCODE_SCHEMA
+    )

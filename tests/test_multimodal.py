@@ -264,3 +264,19 @@ def test_image_pool_resize_and_stats(spark):
     stats = image_resize_stats(df, 2).collect()[0]
     assert (stats["out_width"], stats["out_height"]) == (2, 1)
     assert stats["min_px"] == 2 and stats["max_px"] == 4 and stats["mean_px"] == 3.0
+
+
+def test_transcode_roundtrips_and_dead_letters(spark):
+    from dog_data_pipeline_spark.multimodal.video import transcode_videos
+
+    good = codec.make_fake_video(2, 4, 3, [bytes(range(12)), bytes(range(12))])
+    df = spark.createDataFrame(
+        [("g", good), ("bad", b"NOTAVIDEO-garbage")],
+        "video_id STRING, content BINARY",
+    )
+    rows = {r["video_id"]: r for r in transcode_videos(df, fps=5).collect()}
+    assert rows["g"]["ok"] and rows["g"]["error"] is None
+    fps, frames = codec.decode_video(bytes(rows["g"]["content"]))
+    assert fps == 5 and len(frames) == 2  # re-encoded at the target fps
+    assert not rows["bad"]["ok"] and "NotImplementedError" in rows["bad"]["error"]
+    assert bytes(rows["bad"]["content"]) == b"NOTAVIDEO-garbage"  # passthrough
