@@ -1,0 +1,83 @@
+"""Bucketed / partitioned storage layouts (the §4 scale story's
+co-location tools).
+
+- ``write_bucketed`` / ``bucketed_join``: pre-shuffle a fact table ONCE
+  into N hash buckets on the join key; every later join or aggregation
+  on that key reads co-located buckets and plans NO Exchange. At 100 TB
+  this converts the recurring join shuffle (the dominant cost of a
+  fact-fact join) into a one-time write cost — the classic
+  write-amplification-for-read-locality trade.
+- ``write_partitioned``: directory-partitioned parquet; a filter on the
+  partition column prunes entire directories at planning time
+  (PartitionFilters in the scan, zero I/O for pruned partitions).
+
+Both are thin, opinionated wrappers over the built-in writers — the
+value is the enforced layout contract (sorted buckets, explicit
+partition columns) plus the plan tests that pin the no-Exchange /
+pruning behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str | list[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Sorting within buckets lets a later sort-merge join skip its sort
+    step too (the plan shows SortMergeJoin with no preceding Sort or
+    Exchange on this side).
+    """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *cols)
+    )
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on the join key: bucket metadata makes
+    the shuffle unnecessary — the plan is a zero-Exchange (and, with
+    sorted buckets, zero-Sort) sort-merge join.
+
+    The merge hint is deliberate: this operator exists for FACT-FACT
+    joins where neither side broadcasts. Without it, a small test
+    corpus tips the planner into broadcast (which silently DISABLES
+    bucketed reads — 'Bucketed: false' in the scan) and the plan shape
+    being paid for with the bucketed write never materializes."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), keys, how)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet: one directory per partition value;
+    filters on partition columns prune at planning time."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
