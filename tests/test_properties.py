@@ -93,3 +93,38 @@ def spark_prop():
     from dog_data_pipeline_spark.session import get_spark
 
     return get_spark(app_name="prop-tests", shuffle_partitions=4)
+
+
+@settings(max_examples=4, deadline=None)  # ~30s/example: each runs the
+# operator's checkpoint+counts+final jobs — 4 randomized examples on top
+# of the two deterministic tests in test_operators is the right spend
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(2, 5),
+    parts=st.integers(1, 5),
+)
+def test_ntile_ranged_matches_builtin_property(spark_prop, vals, k, parts):
+    """Distributed ntile == builtin ntile for arbitrary data, bucket
+    counts, and partition counts (ids de-duplicate the order)."""
+    from pyspark.sql import Window
+
+    from dog_data_pipeline_spark.operators.windows import ntile_ranged
+
+    rows = [(f"g{g}", v, i) for i, (g, v) in enumerate(vals)]
+    df = spark_prop.createDataFrame(rows, "key STRING, v INT, id INT")
+    got = {
+        (r["key"], r["id"]): r["b"]
+        for r in ntile_ranged(
+            df, k, ["key"], ["v", "id"], out="b", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy("key").orderBy("v", "id")
+    want = {
+        (r["key"], r["id"]): r["b"]
+        for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
