@@ -29,7 +29,7 @@ Everything is DataFrame-native column expressions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dog_data_pipeline_spark.operators.text import normalized_text, tokens
@@ -143,6 +143,74 @@ def jaccard_pairs(
         .filter(F.col("jaccard") > threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX-FILTERED
+    set-similarity join (the PPJoin family's prefix principle).
+
+    Same result as ``jaccard_pairs``, different candidate generation:
+    order every doc's shingles by GLOBAL rarity (ascending document
+    frequency, shingle hash as tie-break) and index only the first
+    ``|A| - ceil(t*|A|) + 1`` of them. Two sets with jaccard >= t must
+    overlap inside each other's prefixes under any shared total order —
+    so joining prefixes loses no true pair, and the hot head of the
+    shingle distribution (boilerplate shared by everything, the skew
+    hazard) lands OUTSIDE most prefixes instead of fanning out the join.
+    Candidates are then verified EXACTLY against full sorted shingle-set
+    arrays (array_intersect at candidate — not corpus — cardinality).
+
+    vs the inverted-index join: same exactness, but the join index is
+    the prefix (≈ (1-t)·corpus shingle mass) and hot-shingle fan-out is
+    structurally suppressed rather than capped. Shuffles: shingle-df
+    count, per-doc rank window, prefix self-join, set-collect, two
+    candidate joins — all on hashed longs / bounded arrays.
+    """
+    sh = shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("id", "shingle")
+    a = prefix.select(F.col("id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sh.groupBy("id").agg(F.sort_array(F.collect_set("shingle")).alias("set"))
+    set_a = sets.select(F.col("id").alias("id_a"), F.col("set").alias("set_a"))
+    set_b = sets.select(F.col("id").alias("id_b"), F.col("set").alias("set_b"))
+    # merge hints: cand/sets are corpus-sized aggregate outputs the
+    # planner misestimates — same broadcast-OOM hazard as jaccard_pairs
+    verified = (
+        cand.hint("merge").join(set_a, "id_a")
+        .hint("merge").join(set_b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+    return verified.select("id_a", "id_b", "n_common", "jaccard")
 
 
 def minhash_signatures(

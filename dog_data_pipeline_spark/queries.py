@@ -2338,6 +2338,48 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_dedup_prefix",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    """,
+    "EXACT Jaccard near-dedup via PREFIX-FILTERED set-similarity join "
+    "(PPJoin's prefix principle): only each doc's rarest "
+    "(1-t)*|set|+1 shingles are indexed — any pair at jaccard>=t must "
+    "collide inside those prefixes — then candidates verify exactly "
+    "against full sorted shingle sets. Identical output to "
+    "ngram_jaccard_dedup (same oracle), but hot-shingle fan-out is "
+    "structurally suppressed instead of capped: boilerplate shingles "
+    "land outside prefixes.",
+)
+def ngram_jaccard_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", "n_common", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query(
     "ngram_jaccard_dedup_capped",
     """
     WITH d AS (

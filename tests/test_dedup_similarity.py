@@ -177,3 +177,21 @@ def test_simhash_pigeonhole_recall_is_exactly_one(spark):
     }
     assert exact, "test corpus must contain at least one hamming<=h pair"
     assert got == exact  # recall 1.0 AND no false positives (exact verify step)
+
+
+def test_prefix_jaccard_equals_inverted_index_jaccard(spark):
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r["id_a"], r["id_b"]): (r["n_common"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): (r["n_common"], round(r["jaccard"], 6))
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert base, "corpus must contain near-dup pairs"
+    assert pref == base  # exact: prefix filtering loses no pair
