@@ -16,3 +16,12 @@ from dog_data_pipeline_spark.sources.copy import (  # noqa: F401
     execute_copies,
     plan_copies,
 )
+from dog_data_pipeline_spark.sources.formats import (  # noqa: F401
+    AvroUnavailableError,
+    avro_available,
+    convert_table,
+    read_avro,
+    read_orc,
+    write_avro,
+    write_orc,
+)
