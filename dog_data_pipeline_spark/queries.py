@@ -2689,6 +2689,195 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth, second wave: the Q4/Q13/Q17/Q21/Q22 shapes, adapted to the
+# synthetic schema (no l_commitdate/l_receiptdate/partsupp/c_phone — the
+# returnflag and orderpriority columns stand in for the lateness/contact
+# predicates). Each avoids the naive correlated-exists plan: per-key facts
+# are pre-aggregated once and joined, so the fact table is scanned once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_waiting_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4-shaped order-priority check (EXISTS → left-semi): orders "
+    "with at least one returned line, counted per priority. The semi "
+    "join deduplicates order keys on the build side — no distinct pass, "
+    "one shuffle each side.",
+)
+def priority_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13-shaped customer order-count distribution (outer join "
+    "keeping zero-order customers). Spark plan: orders are aggregated "
+    "to per-customer counts BEFORE the outer join, so the join carries "
+    "one row per customer instead of one per order; the second "
+    "aggregation is on the tiny distinct-count domain.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "small_qty_order_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "TPC-H Q17-shaped small-quantity revenue (correlated avg "
+    "subquery). Spark plan: the brand filter lands on the broadcast "
+    "part dim and semi-prunes lineitem FIRST; the per-part average is "
+    "computed on the pruned rows only (partkey determines brand, so "
+    "this equals the unrestricted correlated average), then joined "
+    "back — the fact is never scanned for other brands' parts twice.",
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pruned = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey
+    ).drop("p_partkey")
+    per_part = pruned.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        pruned.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "sole_blame_supplier",
+    """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS n_waiting
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY n_waiting DESC, s.s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21-shaped sole-blame supplier: on finished orders, the "
+    "supplier whose lines were returned while every OTHER supplier on "
+    "the order was clean. The EXISTS / NOT EXISTS pair is rewritten as "
+    "ONE per-order aggregation (distinct suppliers, distinct returned "
+    "suppliers) joined to the returned-line candidates — the fact "
+    "table is shuffled on l_orderkey once and AQE reuses the exchange, "
+    "vs three correlated scans in the literal form.",
+)
+def sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l_f = l.join(f_orders, l.l_orderkey == f_orders.o_orderkey, "left_semi")
+    per_order = l_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    cand = (
+        l_f.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        cand.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_waiting"))
+        .orderBy(F.col("n_waiting").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    "TPC-H Q22-shaped idle-rich customers: above the average positive "
+    "balance and never placed an urgent order, per nation. Spark plan: "
+    "the scalar average is one broadcast literal-like row (cross join "
+    "of a 1-row aggregate), the NOT EXISTS is a left-anti join against "
+    "the distinct urgent-customer keys — both sides aggregated before "
+    "any join touches the customer table.",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
 # definition-order entries, leaving the whole dedup/similarity/text family
