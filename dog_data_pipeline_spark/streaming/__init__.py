@@ -11,3 +11,8 @@ from dog_data_pipeline_spark.streaming.windows import (  # noqa: F401
 from dog_data_pipeline_spark.streaming.routing import (  # noqa: F401
     dead_letter_for_each_batch,
 )
+from dog_data_pipeline_spark.streaming.multimodal import (  # noqa: F401
+    ingest_video_detections,
+    stream_blob_table,
+    track_stream,
+)

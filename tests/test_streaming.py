@@ -280,3 +280,50 @@ def test_streaming_stateful_running_track(spark, events_dir):
     )
     expected = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_video_ingest_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming media ingest: blob dir -> detections parquet via the
+    fused track operator, exactly-once across a checkpointed restart,
+    and row-identical to the batch path on the same corpus."""
+    from dog_data_pipeline_spark.multimodal import codec
+    from dog_data_pipeline_spark.multimodal.video import track_videos
+    from dog_data_pipeline_spark.streaming import ingest_video_detections
+
+    def frames(seed, n, w, h):
+        return [
+            bytes([(seed * 31 + i * 7 + j) % 251 for j in range(w * h)])
+            for i in range(n)
+        ]
+
+    wave1 = [
+        ("v1", codec.make_fake_video(2, 8, 6, frames(1, 5, 8, 6))),
+        ("v2", codec.make_fake_video(3, 10, 4, frames(2, 7, 10, 4))),
+    ]
+    wave2 = [("v3", codec.make_fake_video(2, 6, 6, frames(3, 4, 6, 6)))]
+    schema = "video_id STRING, content BINARY"
+    src = str(tmp_path / "blobs")
+    dst = str(tmp_path / "detections")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(wave1, schema).write.parquet(src)
+
+    q = ingest_video_detections(spark, src, dst, ckpt, num_partitions=4)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(dst)
+    batch1 = track_videos(spark.createDataFrame(wave1, schema), num_partitions=4)
+    key = lambda r: (r["video_id"], r["frame_idx"], r["subject_id"])
+    assert sorted(map(key, got1.collect())) == sorted(map(key, batch1.collect()))
+
+    # second wave lands; same checkpoint -> only the new file is processed
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+    q2 = ingest_video_detections(spark, src, dst, ckpt, num_partitions=4)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(dst)
+    both = track_videos(
+        spark.createDataFrame(wave1 + wave2, schema), num_partitions=4
+    )
+    assert sorted(map(key, got2.collect())) == sorted(map(key, both.collect()))
+    # exactly-once: v1/v2 rows were not duplicated by the restart
+    assert got2.groupBy("video_id", "frame_idx", "subject_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
