@@ -1,0 +1,109 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+A training-data pipeline needs samples and train/val/test splits that
+are (a) reproducible run-to-run, (b) independent of partitioning and
+cluster size, and (c) recomputable by OTHER engines (the labeling team
+runs DuckDB, the trainer reads the split manifest in pandas). Spark's
+``df.sample``/``sampleBy`` fail (b) and (c): they seed per-partition
+RNGs, so the selected set changes with the partition layout.
+
+The scheme here hashes a stable key per row and compares the first 8
+hex digits of its md5 against a threshold string:
+
+    keep  ⇔  substr(md5(key || ':' || salt), 1, 8) < hex(fraction·16⁸)
+
+Everything is pure column expressions on functions every SQL engine
+spells identically (md5 → lowercase hex, substring, string ``<``), so
+the exact same rows are selected by Spark, DuckDB, pandas, or a bash
+one-liner — and the decision is per-row, embarrassingly parallel, no
+shuffle, no RNG state. Changing ``salt`` draws an independent sample;
+the split assignment is a total function of (key, salt), so late-
+arriving rows land in stable splits (critical for dedup-then-split
+pipelines: re-runs must not migrate documents between train and test).
+
+Accuracy: md5's first 32 bits are uniform, so realized fractions
+concentrate within O(1/√n) of the target — exact-count sampling at
+scale would need a global sort; this trades ±√n rows for zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8  # buckets addressed by the first 8 md5 hex digits
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by key hash — stable across
+    runs, partitionings, and engines (see module docstring)."""
+    return df.filter(_bucket_hex(F.col(key_col), salt) < _threshold_hex(fraction))
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by cumulative hash thresholds.
+
+    ``weights`` must sum to 1 (±1e-9); the last split absorbs the hex
+    rounding remainder so no row is unassigned.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    bucket = _bucket_hex(F.col(key_col), salt)
+    cumulative = 0.0
+    expr: Column | None = None
+    for name, w in weights[:-1]:
+        cumulative += w
+        cond = bucket < _threshold_hex(cumulative)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(weights[-1][0])
+    return df.withColumn(split_col, expr)
+
+
+def split_sql_case(
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> str:
+    """The same split assignment as ANSI SQL (usable verbatim in DuckDB
+    /Postgres/Trino) — the portability contract, used by the oracle."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = f"substring(md5(CAST({key_col} AS VARCHAR) || ':{salt}'), 1, 8)"
+    arms = []
+    cumulative = 0.0
+    for name, w in list(weights)[:-1]:
+        cumulative += w
+        arms.append(f"WHEN {bucket} < '{_threshold_hex(cumulative)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{weights[-1][0]}' END"

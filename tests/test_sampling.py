@@ -1,0 +1,98 @@
+"""Deterministic sampling/split: partition-invariance, cross-engine
+agreement with DuckDB, split totality/stability, fraction accuracy."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    split_sql_case,
+    with_split,
+)
+from dog_data_pipeline_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_sample_is_partition_invariant(spark, docs):
+    a = _ids(deterministic_sample(docs.repartition(1), "doc_id", 0.3, salt="s"))
+    b = _ids(deterministic_sample(docs.repartition(7), "doc_id", 0.3, salt="s"))
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_sample_matches_duckdb_row_for_row(docs):
+    got = _ids(deterministic_sample(docs, "doc_id", 0.3, salt="s"))
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s'), 1, 8)
+                  < '{format(int(0.3 * 16**8), "08x")}'
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_sample_fraction_concentrates(docs):
+    n = docs.count()
+    k = deterministic_sample(docs, "doc_id", 0.5, salt="x").count()
+    assert abs(k / n - 0.5) < 0.1  # 500 docs -> ~±0.07 at 3 sigma
+
+
+def test_different_salts_draw_different_samples(docs):
+    a = set(_ids(deterministic_sample(docs, "doc_id", 0.3, salt="a")))
+    b = set(_ids(deterministic_sample(docs, "doc_id", 0.3, salt="b")))
+    assert a != b
+
+
+def test_split_total_disjoint_and_stable_under_appends(spark, docs):
+    full = with_split(docs, "doc_id", salt="s")
+    counts = {r["split"]: r["n"] for r in full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    # assignment of existing rows is unchanged when computed on a subset
+    # (late-arriving data cannot migrate rows between splits)
+    subset = with_split(docs.filter(F.col("doc_id") < 100), "doc_id", salt="s")
+    sub_map = {r["doc_id"]: r["split"] for r in subset.collect()}
+    full_map = {r["doc_id"]: r["split"] for r in full.filter(F.col("doc_id") < 100).collect()}
+    assert sub_map == full_map
+
+
+def test_split_sql_case_matches_spark_assignment(docs):
+    spark_map = {
+        r["doc_id"]: r["split"] for r in with_split(docs, "doc_id", salt="s").collect()
+    }
+    con = duckdb.connect()
+    sql_map = dict(
+        con.execute(
+            f"SELECT doc_id, {split_sql_case('doc_id', salt='s')} "
+            f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    assert spark_map == sql_map
+
+
+def test_weight_validation():
+    import pandas  # noqa: F401  (spark-free arg validation)
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_sql_case("k", weights=[("a", 0.5), ("b", 0.3)])
+    with pytest.raises(ValueError, match="fraction"):
+        from dog_data_pipeline_spark.operators.sampling import _threshold_hex
+
+        _threshold_hex(1.5)
