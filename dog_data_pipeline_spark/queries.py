@@ -2914,6 +2914,55 @@ def deterministic_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), big AS (
+      -- generate_series only takes constants in DuckDB (no lateral /
+      -- subquery bound): fixed range + WHERE, sized for the synthetic
+      -- corpus (docs are <=600 chars -> <=~300 tokens)
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, generate_series(1, 1024) AS g(i)
+      WHERE i <= len(t) - 1
+    )
+    SELECT bigram, count(*) AS n
+    FROM big GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    "Corpus-wide top-20 word bigrams: tokenize (lowercase, alpha runs), "
+    "slide a 2-gram window per document, global frequency count, "
+    "TakeOrdered top-k. All array column expressions — no Python; the "
+    "count partial-aggregates map-side so the shuffle carries one row "
+    "per distinct bigram per task, and top-k never sorts the full "
+    "vocabulary. The short-doc guard matters: F.sequence(0,-1) DESCENDS "
+    "in Spark, so docs with <2 tokens take the empty-array branch.",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
