@@ -136,3 +136,35 @@ def test_multimodal_chain_shuffles_blobs_not_frames(spark):
     # exchange output contains a 'frame' column
     plan = plan_of(spark, "multimodal_track_summary")
     assert "frame#" not in plan  # decoded frames never appear in the exchange plan
+
+
+def test_disjunctive_predicate_derives_per_side_pushdown(spark):
+    """Q19 shape: the OR of brand/size/quantity conjunctions spans both
+    join sides; Catalyst must extract the implied per-side filters so
+    neither scan is full."""
+    plan = plan_of(spark, "disjunctive_filter_revenue")
+    pushed_sections = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("p_brand" in s for s in pushed_sections), pushed_sections
+    assert any("l_quantity" in s for s in pushed_sections), pushed_sections
+
+
+def test_top_revenue_supplier_reuses_revenue_exchange(spark):
+    """Q15 shape: the revenue CTE feeds both the scalar max and the
+    final join — the executed plan must reuse the aggregation exchange,
+    not recompute lineitem twice."""
+    df = REGISTRY["top_revenue_supplier"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes stage reuse only on execution
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
+        plan.count("Scan parquet") <= 2  # lineitem once + supplier once
+    ), plan[:2000]
+
+
+def test_volume_shipping_broadcasts_nation_dims_no_cartesian(spark):
+    plan = plan_of(spark, "volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # both nation aliases
