@@ -86,6 +86,32 @@ def with_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the ``sampleBy`` shape, made
+    partition-invariant and engine-portable): each stratum gets its own
+    hash threshold, strata absent from ``fractions`` keep ``default``.
+
+    The canonical training-data use is rebalancing a corpus — e.g.
+    downsample the dominant language to a target mix — while keeping
+    the selection reproducible for audits and incremental re-runs.
+    Still a single per-row expression: no shuffle, no per-stratum scan.
+    """
+    bucket = _bucket_hex(F.col(key_col), salt)
+    threshold: Column = F.lit(_threshold_hex(default))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def split_sql_case(
     key_col: str,
     weights: Sequence[tuple[str, float]] = (

@@ -96,3 +96,28 @@ def test_weight_validation():
         from dog_data_pipeline_spark.operators.sampling import _threshold_hex
 
         _threshold_hex(1.5)
+
+
+def test_stratified_sample_matches_duckdb_and_hits_mix(docs):
+    from dog_data_pipeline_spark.operators.sampling import stratified_sample
+
+    got = _ids(
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "zh": 0.8}, salt="mix", default=0.5
+        )
+    )
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '33333333'
+                       WHEN lang = 'zh' THEN 'cccccccc'
+                       ELSE '80000000' END
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
