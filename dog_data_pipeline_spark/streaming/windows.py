@@ -39,19 +39,27 @@ def stream_events(
 ) -> DataFrame:
     """File-based streaming source over events-shaped parquet.
 
-    NOTE: the driver's events.parquet stores ts as TIMESTAMP(NANOS);
-    streaming reads declare the schema with ts LONG + convert, mirroring
-    tables.load.
+    The ts physical type has varied across driver data drops
+    (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS) in round 2), so the
+    stream schema is probed from the existing files with a batch
+    footer-only read, then normalized to TimestampType exactly like
+    tables.load. The probe is one driver-side footer read at stream
+    construction — nothing per-batch.
     """
-    schema = StructType(
-        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_STREAM_SCHEMA]
-    )
+    from dog_data_pipeline_spark.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed_ts = spark.read.parquet(path).schema["ts"].dataType
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", probed_ts)
+            for f in EVENTS_STREAM_SCHEMA
+        ]
+    )
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(reader.load(path))
 
 
 def tumbling_agg(

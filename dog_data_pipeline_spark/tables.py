@@ -45,11 +45,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType whatever the parquet
+    physical type was: TIMESTAMP(NANOS) surfaces as long under the
+    legacy nanosAsLong conf (round-1 driver data), TIMESTAMP(MICROS)
+    without tz surfaces as TIMESTAMP_NTZ (round-2 driver data). With
+    the session TZ pinned UTC the NTZ->timestamp cast is the identity
+    on wall-clock values, so epoch arithmetic matches DuckDB either
+    way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
