@@ -1,0 +1,80 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark corpus by shared word n-grams — the standard
+train/test-contamination check run before every pretraining job (the
+GPT-3 paper's 13-gram filter, PaLM's 8-gram variant; n is a knob here
+because the synthetic corpus is short).
+
+Scale shape: the benchmark side is always tiny relative to the corpus
+(benchmarks are MBs, the corpus is TBs), so the distinct benchmark
+n-gram set is **broadcast** — the corpus side is a map-only explode +
+broadcast-hash semi-match + per-doc re-aggregate keyed on doc_id. No
+corpus-vs-corpus shuffle, no inverted-index self-join; the only wide
+exchange is the per-doc count aggregate, which partial-aggregates
+map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.text import tokens, word_ngrams
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-corpus-document overlap with the benchmark n-gram set.
+
+    Returns one row per corpus document having at least one matching
+    n-gram: (id_col, n_ngrams, n_matched, contamination) where
+    contamination = matched distinct n-grams / distinct n-grams.
+
+    ``broadcast_benchmark`` should stay True whenever the benchmark fits
+    an executor (the normal case); set False only for benchmark sets so
+    large the build side would OOM, falling back to a shuffle join.
+    """
+    grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(grams).alias("g"), F.size(grams).alias("n_ngrams")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("g")).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    matched = doc_grams.join(bench_grams, "g")
+    return (
+        matched.groupBy(id_col)
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_matched") / F.col("n_ngrams"), 4)
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    max_contamination: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents whose contamination exceeds the threshold
+    (0.0 = drop on any shared n-gram). Anti-join against the flagged id
+    set — the corpus never shuffles; only flagged ids move."""
+    flagged = contamination_report(
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col
+    ).filter(F.col("contamination") > max_contamination).select(id_col)
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1,0 +1,65 @@
+"""PII masking / redaction / pseudonymization for training-data export.
+
+A corpus leaving the curation pipeline for pretraining must not carry
+raw identifiers. These operators are the standard trio:
+
+- **redaction**: structural PII (emails, phones, IPv4) replaced with a
+  type tag — regex patterns restricted to the subset shared by Java
+  regex (Spark) and RE2 (DuckDB): no lookarounds, no backreferences,
+  so the oracle can replay the exact same rewrite.
+- **masking**: fixed-width account/ID numbers keep only a suffix
+  (capture-group rewrite — lookahead is not RE2-expressible).
+- **pseudonymization**: salted sha256 so keys stay joinable across
+  tables without exposing the raw value.
+
+All pure column expressions (regexp_replace / sha2) — map-only,
+whole-stage codegen, no shuffle: at 100 TB this pass is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (shared Java/RE2 subset; no lookaround).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+IPV4_PATTERN = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+EMAIL_TAG = "[EMAIL]"
+PHONE_TAG = "[PHONE]"
+IPV4_TAG = "[IP]"
+
+
+def redact_emails(col: Column) -> Column:
+    return F.regexp_replace(col, EMAIL_PATTERN, EMAIL_TAG)
+
+
+def redact_phones(col: Column) -> Column:
+    return F.regexp_replace(col, PHONE_PATTERN, PHONE_TAG)
+
+
+def redact_ipv4(col: Column) -> Column:
+    return F.regexp_replace(col, IPV4_PATTERN, IPV4_TAG)
+
+
+def redact_pii(col: Column) -> Column:
+    """All redactions. Order matters: emails first (they contain digit
+    runs), then IPv4 BEFORE phones — the phone char class includes '.',
+    so an unredacted dotted quad would be tagged [PHONE]."""
+    return redact_phones(redact_ipv4(redact_emails(col)))
+
+
+def mask_id_suffix(col: Column, width: int = 9, keep: int = 2) -> Column:
+    """Mask a fixed-width digit run keeping the last ``keep`` digits:
+    ``Customer#000000042`` -> ``Customer#*******42``. Capture-group
+    rewrite (``([0-9]{w-k})([0-9]{k})`` -> ``***$2``) — the
+    lookahead-free form both Java regex and RE2 accept."""
+    pattern = f"[0-9]{{{width - keep}}}([0-9]{{{keep}}})"
+    return F.regexp_replace(col, pattern, "*" * (width - keep) + "$1")
+
+
+def pseudonymize(col: Column, salt: str) -> Column:
+    """Salted sha256 hex digest: deterministic, joinable across tables
+    pseudonymized with the same salt, irreversible without it."""
+    return F.sha2(F.concat(F.lit(salt), col.cast("string")), 256)

@@ -138,3 +138,45 @@ def with_bpe_token_count(
     lower bound with the same growth shape). Pure regexp_count column
     expression; no Python."""
     return df.withColumn(out, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram array (space-joined) from a token array, as a pure
+    column expression: zip_with over n shifted slices. Empty array when
+    the document has fewer than n tokens (slice length clamps to 0), so
+    the expression never throws under ANSI mode."""
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, width)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, width), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
+def with_repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 'repetitious text'), as pure column expressions:
+
+    - dup_token_frac: 1 - distinct tokens / tokens (type-token ratio
+      complement) — boilerplate and keyword-stuffed docs score high.
+    - dup_trigram_frac: 1 - distinct trigrams / trigrams; 0.0 for docs
+      with fewer than 3 tokens (matching the SQL oracle's CASE arm).
+
+    Both are per-row expressions — no shuffle, whole-stage codegen; at
+    100 TB this is a map-only pass. The most-covering-bigram fraction
+    needs a per-doc mode and lives in the registry query (explode +
+    two-level aggregate) rather than here.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    tri = word_ngrams(toks, 3)
+    n_tri = F.size(tri)
+    return df.withColumn(
+        "dup_token_frac", F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).withColumn(
+        "dup_trigram_frac",
+        F.when(
+            n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
+        ).otherwise(F.lit(0.0)),
+    )

@@ -2265,6 +2265,187 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
+@query(
+    "repetition_quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, text, toks, len(toks) AS n,
+             1.0 - len(list_distinct(toks))::DOUBLE / len(toks) AS dup_token_frac,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE / (len(toks) - 2)
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM t
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+    ), cov AS (
+      SELECT doc_id, max(cnt * length(bigram)) AS cov FROM bgc GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+           round(b.dup_token_frac, 4) AS dup_token_frac,
+           round(b.dup_trigram_frac, 4) AS dup_trigram_frac,
+           round(coalesce(c.cov, 0)::DOUBLE / length(b.text), 4) AS top_bigram_char_frac,
+           (b.dup_token_frac > 0.6 OR b.dup_trigram_frac > 0.2
+            OR coalesce(c.cov, 0)::DOUBLE / length(b.text) > 0.2) AS flagged
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+    "Gopher-style repetition quality signals (north-star text analysis; "
+    "Rae et al. 2021 §A1.1): duplicate-token and duplicate-trigram "
+    "fractions are per-row column expressions (map-only at any scale); "
+    "the most-character-covering-bigram fraction needs a per-doc mode, "
+    "computed as explode -> (doc,bigram) count -> per-doc max of "
+    "cnt*len(bigram) — two partial-aggregated shuffles keyed on doc_id, "
+    "no self-join. 'Most covering' (max of cnt*length) replaces "
+    "Gopher's 'most frequent' to stay deterministic under count ties "
+    "without a bigram tie-break sort.",
+)
+def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import (
+        tokens,
+        with_repetition_profile,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = with_repetition_profile(docs, "text")
+    bigrams = docs.select(
+        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    cov = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("cnt") * F.length("bigram")).alias("cov"))
+    )
+    top_frac = F.coalesce(F.col("cov"), F.lit(0)) / F.length("text")
+    return (
+        prof.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tokens"),
+            F.round("dup_token_frac", 4).alias("dup_token_frac"),
+            F.round("dup_trigram_frac", 4).alias("dup_trigram_frac"),
+            F.round(top_frac, 4).alias("top_bigram_char_frac"),
+            (
+                (F.col("dup_token_frac") > 0.6)
+                | (F.col("dup_trigram_frac") > 0.2)
+                | (top_frac > 0.2)
+            ).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "benchmark_contamination",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+      FROM t WHERE source = 'src1'
+    ), corp AS (
+      SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+        FROM t WHERE source <> 'src1'
+      )
+    )
+    SELECT doc_id, CAST(any_value(n_ngrams) AS INT) AS n_ngrams,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           round(count(*)::DOUBLE / any_value(n_ngrams), 4) AS contamination
+    FROM corp JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+    "Benchmark decontamination (north-star corpus curation; the GPT-3 "
+    "13-gram / PaLM 8-gram train-test overlap check, n=5 for this "
+    "short-doc corpus): source='src1' plays the held-out benchmark. "
+    "Scale shape: the benchmark n-gram set is broadcast (benchmarks are "
+    "MBs; the corpus is TBs) so the corpus side is map-only explode + "
+    "broadcast semi-match + one partial-aggregated groupBy(doc_id) — "
+    "no corpus self-join, no wide shuffle of n-grams.",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("source") != "src1"),
+        docs.filter(F.col("source") == "src1"),
+        n=5,
+    ).select(
+        "doc_id",
+        F.col("n_ngrams").cast("int").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contamination",
+    )
+
+
+@query(
+    "pii_masked_customers",
+    r"""
+    WITH synth AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             'contact ' || lower(replace(c_name, '#', '')) || '@example.com'
+             || ' ph 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+             || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST((c_custkey * 7) % 256 AS VARCHAR) AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]{7}([0-9]{2})', '*******\1', 'g') AS masked_name,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+               '\+?[0-9][0-9()\-. ]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+           sha256('pepper42' || CAST(c_custkey AS VARCHAR)) AS pseudo_key,
+           c_mktsegment
+    FROM synth
+    """,
+    "PII export hygiene (masking + redaction + pseudonymization) for a "
+    "training-data release. The contact string is SYNTHESIZED "
+    "deterministically from customer keys on both engines — the tables "
+    "carry no real PII — so the oracle verifies the actual redaction "
+    "semantics: Java-regex (Spark) and RE2 (DuckDB) rewrites must agree "
+    "byte-for-byte, which is why every pattern avoids lookaround. "
+    "c_custkey is retained only to make the differential join exact. "
+    "All map-only column expressions — scan-bound at 100 TB.",
+)
+def pii_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.privacy import (
+        mask_id_suffix,
+        pseudonymize,
+        redact_pii,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("c_custkey") * 7) % 256).cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        mask_id_suffix(F.col("c_name")).alias("masked_name"),
+        redact_pii(contact).alias("redacted"),
+        pseudonymize(F.col("c_custkey"), "pepper42").alias("pseudo_key"),
+        "c_mktsegment",
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: deduplication over documents
 # ---------------------------------------------------------------------------
@@ -3390,10 +3571,13 @@ _PRIORITY_ORDER = [
     "bpe_token_counts",
     "doc_fingerprint",
     "rolling_fingerprint",
-    # window/set-op stragglers outside round 1's window
+    # north-star: corpus curation (repetition quality + decontamination)
+    "repetition_quality_filter",
+    "benchmark_contamination",
+    # window straggler outside round 1's window (running_revenue /
+    # lead_lag_order_gaps yielded their slots to the curation queries
+    # above: plain built-in window shapes, locally oracle-tested)
     "ntile_value_quartiles",
-    "running_revenue",
-    "lead_lag_order_gaps",
     # custom temporal operators (the brief's named as-of/range joins)
     # outrank the except/intersect built-ins for window slots; the
     # latter remain locally oracle-tested

@@ -1,0 +1,111 @@
+"""PII redaction/masking and benchmark-decontamination operator tests.
+
+Redaction tests materialize the rewritten strings (regex semantics are
+the thing under test); contamination tests plant a known overlap and
+assert it is found and droppable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.contamination import (
+    contamination_report,
+    decontaminate,
+)
+from dog_data_pipeline_spark.operators.privacy import (
+    mask_id_suffix,
+    pseudonymize,
+    redact_emails,
+    redact_ipv4,
+    redact_phones,
+    redact_pii,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "t STRING")
+    return df.select(expr(F.col("t")).alias("r")).collect()[0]["r"]
+
+
+def test_redact_email(spark):
+    assert (
+        _one(spark, "mail me at jane.doe+x@sub.example.org today", redact_emails)
+        == "mail me at [EMAIL] today"
+    )
+
+
+def test_redact_phone_variants(spark):
+    assert _one(spark, "call +1 (555) 123-4567 now", redact_phones) == "call [PHONE] now"
+    assert _one(spark, "tel 555-0100-999.", redact_phones) == "tel [PHONE]."
+
+
+def test_redact_ipv4(spark):
+    assert _one(spark, "host 192.168.0.1 down", redact_ipv4) == "host [IP] down"
+
+
+def test_redact_pii_ip_not_eaten_by_phone(spark):
+    # the phone char class contains '.', so ordering must tag dotted
+    # quads [IP] before the phone pass can touch them
+    out = _one(spark, "a@b.com then 10.0.0.255 then 555-123-9876", redact_pii)
+    assert out == "[EMAIL] then [IP] then [PHONE]"
+
+
+def test_mask_id_suffix_keeps_last_two(spark):
+    assert (
+        _one(spark, "Customer#000000042", mask_id_suffix) == "Customer#*******42"
+    )
+    # strings without a full-width digit run pass through untouched
+    assert _one(spark, "no digits here", mask_id_suffix) == "no digits here"
+
+
+def test_pseudonymize_joinable_and_salted(spark):
+    df = spark.createDataFrame([(7,), (8,)], "k INT")
+    a = df.select(pseudonymize(F.col("k"), "s1").alias("p")).collect()
+    b = df.select(pseudonymize(F.col("k"), "s1").alias("p")).collect()
+    c = df.select(pseudonymize(F.col("k"), "s2").alias("p")).collect()
+    assert [r["p"] for r in a] == [r["p"] for r in b]  # deterministic
+    assert {r["p"] for r in a} != {r["p"] for r in c}  # salt changes it
+    assert all(len(r["p"]) == 64 for r in a)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+BENCH_DOC = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_contamination_finds_planted_overlap(spark):
+    corpus = _corpus(
+        spark,
+        [
+            (1, "x y " + BENCH_DOC + " z w"),  # contains all benchmark 5-grams
+            (2, "totally different words entirely here now forever and ever"),
+        ],
+    )
+    bench = _corpus(spark, [(100, BENCH_DOC)])
+    rows = {r["doc_id"]: r for r in contamination_report(corpus, bench, n=5).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_matched"] == 4  # the 4 distinct 5-grams of an 8-token doc
+    assert rows[1]["contamination"] > 0
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    corpus = _corpus(
+        spark,
+        [
+            (1, "x y " + BENCH_DOC + " z w"),
+            (2, "totally different words entirely here now forever and ever"),
+        ],
+    )
+    bench = _corpus(spark, [(100, BENCH_DOC)])
+    kept = [r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()]
+    assert kept == [2]
+
+
+def test_contamination_short_docs_are_safe(spark):
+    # docs shorter than n tokens produce empty n-gram arrays, not errors
+    corpus = _corpus(spark, [(1, "too short")])
+    bench = _corpus(spark, [(100, "also tiny")])
+    assert contamination_report(corpus, bench, n=5).count() == 0

@@ -68,3 +68,35 @@ def test_quality_and_lang_and_fingerprint_materialize(spark):
         assert r["n_tokens"] > 0
         assert 0.0 <= r["quality"] <= 1.5
         assert len(r["fingerprint"]) == 32
+
+
+def test_repetition_profile_scores_repetitive_doc_high(spark):
+    from dog_data_pipeline_spark.operators.text import with_repetition_profile
+
+    df = _docs(
+        spark,
+        [
+            ("rep", "spam spam spam spam spam spam spam spam"),
+            ("uniq", "eight distinct tokens appear exactly once here today"),
+            ("tiny", "ab"),  # < 3 tokens: trigram frac must be 0.0, not an error
+        ],
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_profile(df).collect()}
+    assert rows["rep"]["dup_token_frac"] > 0.8
+    assert rows["rep"]["dup_trigram_frac"] > 0.8
+    assert rows["uniq"]["dup_token_frac"] == 0.0
+    assert rows["uniq"]["dup_trigram_frac"] == 0.0
+    assert rows["tiny"]["dup_trigram_frac"] == 0.0
+
+
+def test_word_ngrams_window_shapes(spark):
+    from dog_data_pipeline_spark.operators.text import tokens, word_ngrams
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, [("a", "one two three four")])
+    row = df.select(
+        word_ngrams(tokens(F.col("text")), 2).alias("bi"),
+        word_ngrams(tokens(F.col("text")), 5).alias("five"),
+    ).collect()[0]
+    assert row["bi"] == ["one two", "two three", "three four"]
+    assert row["five"] == []  # shorter than n -> empty, ANSI-safe
