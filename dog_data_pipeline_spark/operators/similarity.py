@@ -121,6 +121,122 @@ def _lloyd(vectors: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarra
     return centroids
 
 
+def _nearest_cells(centroids: list[list[float]], vec_prefix: str, n: int):
+    """The n nearest centroid ids for a vector column, as one codegen'd
+    projection — centroids are plan literals, so no join and no Python
+    in the assignment path."""
+    dists = []
+    for ci, ctr in enumerate(centroids):
+        ctr_lit = F.array(*[F.lit(x) for x in ctr])
+        d = F.aggregate(
+            F.zip_with(vec_prefix, ctr_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+    ranked = F.array_sort(F.array(*dists))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def _train_centroids(
+    c: DataFrame, n_lists: int, seed: int, id_col: str = "c_id", vec_col: str = "c_v"
+) -> list[list[float]]:
+    """IVF-style coarse quantizer on a bounded deterministic sample
+    (~256 vectors per list, the FAISS convention): one TakeOrdered job,
+    then numpy Lloyd's on the driver — quantizer quality needs a fixed
+    sample size regardless of corpus size."""
+    max_train = max(256 * n_lists, 2048)
+    sample = (
+        c.select(id_col, vec_col).orderBy(F.hash(id_col), id_col).limit(max_train)
+    )
+    vecs = np.asarray([r[vec_col] for r in sample.collect()], dtype=np.float64)
+    return [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings and deduplicating WITHIN clusters only.
+
+    1. k-means coarse clustering (bounded-sample quantizer, centroid
+       assignment as plan-literal expressions — map-only over the
+       corpus);
+    2. within-cluster pairwise cosine > threshold → duplicate edges
+       (the self-join is per-cell: expected cost sum over cells of
+       |cell|², the SemDeDup trade that replaces the N² corpus join —
+       at scale you raise n_clusters to keep cells bounded);
+    3. connected components over edges → duplicate groups;
+    4. per group keep ONE representative — the member with the LOWEST
+       cosine to its cell centroid (the paper's keep rule: prefer the
+       least prototypical example, it carries the most information).
+
+    Returns (id_col, cell, dup_group, centroid_sim, keep) for every
+    vector that belongs to some duplicate group; vectors with no
+    semantic duplicate are implicitly kept and not listed.
+    """
+    from dog_data_pipeline_spark.operators.clustering import connected_components
+
+    c = _with_norm(emb, id_col, vec_col, "c")
+    centroids = _train_centroids(c, n_clusters, seed)
+    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
+
+    # cosine to own centroid: pick the centroid row-wise from an array
+    # literal (element_at is 1-based), fold the dot product JVM-side
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids])
+    cent_norms = F.array(
+        *[F.lit(float(np.sqrt(sum(x * x for x in ctr)))) for ctr in centroids]
+    )
+    own = F.element_at(cent_arr, F.col("cell") + 1)
+    cdot = F.aggregate(
+        F.zip_with(F.col("c_v"), own, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = assigned.withColumn(
+        "centroid_sim",
+        cdot / (F.col("c_norm") * F.element_at(cent_norms, F.col("cell") + 1)),
+    )
+
+    a = assigned.select(
+        F.col("c_id").alias("id_a"),
+        F.col("c_v").alias("v_a"),
+        F.col("c_norm").alias("n_a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("c_id").alias("id_b"),
+        F.col("c_v").alias("v_b"),
+        F.col("c_norm").alias("n_b"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot / (F.col("n_a") * F.col("n_b")) > threshold)
+        .select("id_a", "id_b")
+    )
+
+    groups = connected_components(edges)
+    w = Window.partitionBy("dup_group").orderBy(F.col("centroid_sim").asc(), F.col("c_id"))
+    return (
+        groups.select(F.col("id").alias("c_id"), F.col("cluster").alias("dup_group"))
+        .join(assigned.select("c_id", "cell", "centroid_sim"), "c_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(
+            F.col("c_id").alias(id_col), "cell", "dup_group", "centroid_sim", "keep"
+        )
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,28 +267,9 @@ def cosine_topk_ivf(
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
 
-    max_train = max(256 * n_lists, 2048)
-    sample = c.select("c_id", "c_v").orderBy(F.hash("c_id"), "c_id").limit(max_train)
-    vecs = np.asarray([r["c_v"] for r in sample.collect()], dtype=np.float64)
-    centroids = [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
-
-    def nearest_cells(vec_prefix: str, n: int):
-        # distance to each centroid as column expressions; returns the n
-        # nearest cell ids as an array column (centroids are plan literals)
-        dists = []
-        for ci, ctr in enumerate(centroids):
-            ctr_lit = F.array(*[F.lit(x) for x in ctr])
-            d = F.aggregate(
-                F.zip_with(vec_prefix, ctr_lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
-        ranked = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
-
-    c_cells = c.withColumn("cell", nearest_cells("c_v", 1)[0])
-    q_cells = q.withColumn("cell", F.explode(nearest_cells("q_v", n_probe)))
+    centroids = _train_centroids(c, n_lists, seed)
+    c_cells = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
+    q_cells = q.withColumn("cell", F.explode(_nearest_cells(centroids, "q_v", n_probe)))
 
     dot = F.aggregate(
         F.zip_with("q_v", "c_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

@@ -2856,6 +2856,30 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    None,  # kmeans coarse clustering → rows-only check
+    "SemDeDup (Abbas et al. 2023) semantic near-duplicate removal "
+    "(north-star dedup scale path): k-means cells bound the pairwise "
+    "cosine join to within-cluster candidates (raise n_clusters to keep "
+    "cells constant-size as the corpus grows), connected components "
+    "resolve edge sets to groups, and each group keeps its LEAST "
+    "prototypical member (lowest cosine to the cell centroid — the "
+    "paper's keep rule). Complements exact/minhash dedup: catches "
+    "paraphrases with no token overlap.",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=4, threshold=0.4
+    )
+    return out.select(
+        "vec_id", "cell", "dup_group", F.round("centroid_sim", 6).alias("centroid_sim"), "keep"
+    )
+
+
+@query(
     "rolling_fingerprint",
     None,  # xxhash64 is engine-specific → rows-only check
     "Order-sensitive document fingerprint: chained xxhash64 fold over "

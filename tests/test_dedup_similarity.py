@@ -195,3 +195,50 @@ def test_prefix_jaccard_equals_inverted_index_jaccard(spark):
     }
     assert base, "corpus must contain near-dup pairs"
     assert pref == base  # exact: prefix filtering loses no pair
+
+
+def test_semantic_dedup_finds_planted_copies_keeps_one(spark):
+    from dog_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, SF_DIR, "embeddings").limit(50)
+    # plant exact copies (cosine 1.0) of 3 vectors under shifted ids
+    copies = emb.limit(3).select((F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
+    out = semantic_dedup(
+        emb.unionByName(copies), "vec_id", "embedding", n_clusters=4, threshold=0.99
+    )
+    rows = out.collect()
+    # each planted copy pairs with its original: 3 groups of exactly 2
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["dup_group"], []).append(r)
+    assert len(groups) == 3
+    for members in groups.values():
+        assert len(members) == 2
+        assert sum(m["keep"] for m in members) == 1  # exactly one survivor
+        # copy and original sit in the same k-means cell
+        assert len({m["cell"] for m in members}) == 1
+
+
+def test_semantic_dedup_no_dups_empty(spark):
+    from dog_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, SF_DIR, "embeddings").limit(30)
+    # corpus max pairwise cosine is ~0.51 — at 0.99 nothing matches
+    assert semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, threshold=0.99).count() == 0
+
+
+def test_semantic_dedup_keep_rule_is_least_prototypical(spark):
+    from dog_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, SF_DIR, "embeddings").limit(40)
+    copies = emb.limit(5).select((F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
+    out = semantic_dedup(
+        emb.unionByName(copies), "vec_id", "embedding", n_clusters=2, threshold=0.99
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["dup_group"], []).append(r)
+    for members in by_group.values():
+        kept = [m for m in members if m["keep"]][0]
+        min_sim = min(m["centroid_sim"] for m in members)
+        assert abs(kept["centroid_sim"] - min_sim) < 1e-12
