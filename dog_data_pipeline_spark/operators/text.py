@@ -140,6 +140,67 @@ def with_bpe_token_count(
     return df.withColumn(out, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)))
 
 
+def token_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token unigram counts: (tok, cnt). One explode + one
+    partial-aggregated groupBy(tok) shuffle — the training pass of the
+    unigram LM below."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    freq: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020):
+    per-document cross-entropy under an add-alpha-smoothed unigram LM,
+    plus its exp (perplexity). Low perplexity = typical fluent text;
+    the classic keep/head-middle-tail split filters on this.
+
+    ``freq`` lets the LM be TRAINED on one corpus and APPLIED to
+    another (the CCNet pattern: train on Wikipedia, score CommonCrawl);
+    default trains on ``docs`` itself. Unseen tokens get the smoothing
+    floor alpha / (total + alpha*vocab) via the left join, so scoring a
+    disjoint corpus is well-defined.
+
+    Scale shape: vocab follows Heaps' law (sub-linear in corpus size) —
+    a few hundred MB at 100 TB — so the prob table is broadcast by
+    default and the scoring pass is explode + broadcast-join +
+    partial-aggregated groupBy(doc_id); set broadcast_vocab=False to
+    fall back to a shuffle join on tok for pathological vocabularies.
+    """
+    if freq is None:
+        freq = token_frequency_table(docs, text_col)
+    stats = freq.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    counts = freq.select("tok", "cnt")
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    doc_toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    # the 1-row stats broadcast attaches total/vocab everywhere, so seen
+    # and unseen tokens share one smoothed formula (unseen: cnt -> 0)
+    p = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("__total") + F.lit(alpha) * F.col("__vocab")
+    )
+    return (
+        doc_toks.join(counts, "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.avg(-F.log(p)).alias("avg_nll"))
+        .withColumn("ppl", F.exp(F.col("avg_nll")))
+    )
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram array (space-joined) from a token array, as a pure
     column expression: zip_with over n shifted slices. Empty array when

@@ -2388,6 +2388,44 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_perplexity_scores",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT sum(cnt) AS total, count(*) AS vocab FROM freq
+    )
+    SELECT doc_id,
+           round(avg(-ln((cnt + 0.5) / (total + 0.5 * vocab))), 4) AS avg_nll,
+           round(exp(avg(-ln((cnt + 0.5) / (total + 0.5 * vocab)))), 4) AS ppl
+    FROM tok JOIN freq USING (tok), stats
+    GROUP BY doc_id
+    """,
+    "CCNet-style LM quality score (Wenzek et al. 2020; north-star text "
+    "analysis): per-doc cross-entropy + perplexity under an add-0.5-"
+    "smoothed unigram LM trained on the corpus itself. Training is one "
+    "partial-aggregated groupBy(tok); scoring is explode + BROADCAST "
+    "vocab join (Heaps' law keeps the vocab sub-linear in corpus size) "
+    "+ partial-aggregated groupBy(doc_id) — no sort-merge anywhere. "
+    "The operator also takes a pre-trained freq table for the "
+    "train-on-wiki / score-on-crawl pattern, with a smoothing floor "
+    "for unseen tokens.",
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_cross_entropy(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+@query(
     "pii_masked_customers",
     r"""
     WITH synth AS (

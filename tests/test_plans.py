@@ -168,3 +168,24 @@ def test_volume_shipping_broadcasts_nation_dims_no_cartesian(spark):
     plan = plan_of(spark, "volume_shipping")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # both nation aliases
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = plan_of(spark, "benchmark_contamination")
+    # the benchmark n-gram set must be the broadcast build side; the
+    # corpus must never shuffle its exploded n-grams into a sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # per-doc overlap partial-aggregates
+
+
+def test_pii_masking_is_single_codegen_projection(spark):
+    # pure map-only export: no exchange of any kind in the plan
+    plan = plan_of(spark, "pii_masked_customers")
+    assert "Exchange" not in plan
+
+
+def test_repetition_filter_partial_aggregates(spark):
+    plan = plan_of(spark, "repetition_quality_filter")
+    assert "partial_" in plan  # both aggregation levels map-side combine
+    assert "CartesianProduct" not in plan

@@ -100,3 +100,37 @@ def test_word_ngrams_window_shapes(spark):
     ).collect()[0]
     assert row["bi"] == ["one two", "two three", "three four"]
     assert row["five"] == []  # shorter than n -> empty, ANSI-safe
+
+
+def test_lm_cross_entropy_rare_tokens_score_higher(spark):
+    from dog_data_pipeline_spark.operators.text import lm_cross_entropy
+
+    df = _docs(
+        spark,
+        [
+            ("common", "the the the the the the"),
+            ("rare", "xylophone quixotic zephyr"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in lm_cross_entropy(df, "doc_id").collect()}
+    assert rows["rare"]["avg_nll"] > rows["common"]["avg_nll"]
+    for r in rows.values():
+        assert abs(r["ppl"] - __import__("math").exp(r["avg_nll"])) < 1e-9
+
+
+def test_lm_cross_entropy_pretrained_freq_handles_unseen(spark):
+    from dog_data_pipeline_spark.operators.text import (
+        lm_cross_entropy,
+        token_frequency_table,
+    )
+
+    train = _docs(spark, [("t1", "alpha beta gamma alpha")])
+    freq = token_frequency_table(train)
+    score = _docs(spark, [("s1", "alpha neverseen")])
+    rows = lm_cross_entropy(score, "doc_id", freq=freq).collect()
+    assert len(rows) == 1  # unseen token floors, doesn't drop the doc
+    import math
+
+    # alpha: (2+.5)/(4+.5*3)=2.5/5.5; neverseen: .5/5.5
+    expect = -(math.log(2.5 / 5.5) + math.log(0.5 / 5.5)) / 2
+    assert abs(rows[0]["avg_nll"] - expect) < 1e-9
