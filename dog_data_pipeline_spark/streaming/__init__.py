@@ -16,3 +16,6 @@ from dog_data_pipeline_spark.streaming.multimodal import (  # noqa: F401
     stream_blob_table,
     track_stream,
 )
+from dog_data_pipeline_spark.streaming.joins import (  # noqa: F401
+    interval_join_streams,
+)

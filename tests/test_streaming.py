@@ -327,3 +327,62 @@ def test_streaming_video_ingest_matches_batch_and_resumes(spark, tmp_path):
     assert got2.groupBy("video_id", "frame_idx", "subject_id").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    from dog_data_pipeline_spark.streaming.joins import interval_join_streams
+
+    # split events by parity into two streams: clicks enrich with the
+    # other stream's events for the same user within +/- 30 minutes
+    base = load(spark, SF_DIR, "events")
+    d_l = tmp_path_factory.mktemp("ss_left")
+    d_r = tmp_path_factory.mktemp("ss_right")
+    left_b = base.filter(F.col("event_id") % 2 == 0).select("event_id", "ts", "user_id")
+    right_b = base.filter(F.col("event_id") % 2 == 1).select("event_id", "ts", "user_id")
+    left_b.write.mode("overwrite").parquet(str(d_l))
+    right_b.write.mode("overwrite").parquet(str(d_r))
+
+    schema = left_b.schema
+    ls = spark.readStream.schema(schema).parquet(str(d_l))
+    rs = spark.readStream.schema(schema).parquet(str(d_r))
+    out = interval_join_streams(
+        ls, rs, ["user_id"],
+        lower="interval 30 minutes", upper="interval 30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ss_join_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ss_join_out").select("event_id", "r_event_id").collect()
+
+    expect = (
+        left_b.alias("l")
+        .join(right_b.alias("r"), "user_id")
+        .filter(
+            (F.col("r.ts") >= F.expr("l.ts - interval 30 minutes"))
+            & (F.col("r.ts") <= F.expr("l.ts + interval 30 minutes"))
+        )
+        .select(F.col("l.event_id").alias("event_id"), F.col("r.event_id").alias("r_event_id"))
+        .collect()
+    )
+    assert len(got) > 0
+    assert {(r["event_id"], r["r_event_id"]) for r in got} == {
+        (r["event_id"], r["r_event_id"]) for r in expect
+    }
+
+
+def test_stream_stream_join_requires_no_unbounded_state(spark, tmp_path_factory):
+    from dog_data_pipeline_spark.streaming.joins import interval_join_streams
+
+    base = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    d = tmp_path_factory.mktemp("ss_state")
+    base.write.mode("overwrite").parquet(str(d))
+    s1 = spark.readStream.schema(base.schema).parquet(str(d))
+    s2 = spark.readStream.schema(base.schema).parquet(str(d))
+    out = interval_join_streams(s1, s2, ["user_id"], watermark="10 minutes")
+    # both watermarks + the interval condition must be in the analyzed
+    # plan — that's what lets the engine evict join state
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
