@@ -3600,6 +3600,43 @@ def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "Q6-shaped forecasting-revenue-change: pure filter + single "
+    "aggregate, the completing shape of the TPC-H sweep. Every "
+    "predicate pushes to the parquet scan (PushedFilters on shipdate/"
+    "discount/quantity) and the agg is a partial/final pair over the "
+    "pruned 2-column read — the plan is scan-bound, the ideal at any "
+    "scale.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

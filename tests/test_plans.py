@@ -189,3 +189,11 @@ def test_repetition_filter_partial_aggregates(spark):
     plan = plan_of(spark, "repetition_quality_filter")
     assert "partial_" in plan  # both aggregation levels map-side combine
     assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_broadcasts_vocab(spark):
+    plan = plan_of(spark, "lm_perplexity_scores")
+    # vocab join and the 1-row stats attach must both broadcast; the
+    # only wide exchanges are the two partial-aggregated groupBys
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
