@@ -112,6 +112,54 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ≈``budget`` tokens per stratum ("1B tokens per domain", the
+    mixture-building step of a pretraining run).
+
+    The naive form — per-stratum cumulative-sum window, cut at the
+    budget — sorts each stratum in ONE task (the low-cardinality-
+    partition straggler/OOM shape). Instead, two cheap passes:
+
+    1. aggregate per-stratum token totals (tiny: |strata| rows);
+    2. per-stratum keep fraction = min(1, budget/total), converted to
+       an md5 threshold IN the plan (hex/lpad column expressions, no
+       driver round-trip) and broadcast-joined back; the filter is then
+       the usual per-row deterministic-sampling predicate.
+
+    Realized token mass concentrates within O(√total) of the budget —
+    the zero-shuffle trade the module docstring describes, applied
+    per stratum. Selection stays stable under re-runs and engine
+    changes because the threshold is a pure function of the aggregate.
+    """
+    totals = df.groupBy(strata_col).agg(F.sum(tokens_col).alias("__total"))
+    frac = F.least(F.lit(1.0), F.lit(float(budget)) / F.col("__total"))
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(frac * F.lit(float(_HEX_SPACE))).cast("bigint"),
+                    F.lit(_HEX_SPACE - 1),
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    thresholds = totals.select(F.col(strata_col), thr.alias("__thr"))
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(_bucket_hex(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def split_sql_case(
     key_col: str,
     weights: Sequence[tuple[str, float]] = (

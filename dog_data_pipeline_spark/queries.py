@@ -3601,6 +3601,46 @@ def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_by_source",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(n_toks) AS total FROM d GROUP BY 1
+    ), thr AS (
+      SELECT source,
+             lower(lpad(to_hex(CAST(least(floor(least(1.0, 800.0 / total) * 4294967296.0), 4294967295) AS BIGINT)), 8, '0')) AS t
+      FROM totals
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+    FROM d JOIN thr USING (source)
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8) < t
+    GROUP BY d.source
+    """,
+    "Token-budget mixture sampling ('~800 tokens per source' here; '1B "
+    "per domain' in a pretraining run; north-star sampling): per-stratum "
+    "totals (tiny agg) set a keep fraction whose md5 threshold is "
+    "computed IN the plan and broadcast-joined back — no per-stratum "
+    "cumulative-sum window (the single-task-per-stratum straggler "
+    "shape), no driver round-trip, deterministic across engines.",
+)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import token_budget_sample
+    from dog_data_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(tokens(F.col("text")))
+    )
+    kept = token_budget_sample(docs, "doc_id", "source", "n_toks", 800.0, salt="budget")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("kept_tokens"),
+    )
+
+
+@query(
     "forecast_revenue_change",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,

@@ -121,3 +121,30 @@ def test_stratified_sample_matches_duckdb_and_hits_mix(docs):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_token_budget_sample_respects_budget_and_keeps_small_strata(spark):
+    from dog_data_pipeline_spark.operators.sampling import token_budget_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 400 else "small", 10) for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_toks INT")
+    kept = token_budget_sample(df, "doc_id", "source", "n_toks", 1000.0)
+    sums = {
+        r["source"]: r["s"]
+        for r in kept.groupBy("source").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    # 'small' stratum (400 tokens) is under budget: kept in full
+    assert sums["small"] == 400
+    # 'big' stratum (4000 tokens) lands near the 1000-token budget
+    assert 600 <= sums["big"] <= 1400
+
+
+def test_token_budget_sample_is_deterministic(spark):
+    from dog_data_pipeline_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", 5 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_toks INT")
+    a = {r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_toks", 200.0).collect()}
+    b = {r["doc_id"] for r in token_budget_sample(df.repartition(13), "doc_id", "source", "n_toks", 200.0).collect()}
+    assert a == b and len(a) > 0
