@@ -1,6 +1,7 @@
 """Text-analysis operators for LLM-training-data pipelines (north-star
 ops, SURVEY §7.2 step 5): tokenization, quality scoring, language ID,
-document fingerprinting.
+document fingerprinting, Gopher-style repetition signals, and
+CCNet-style unigram-LM perplexity scoring.
 
 All hot-path logic is pure column expressions (JVM-side, whole-stage
 codegen) — no Python UDFs. Each operator has an exact ANSI-SQL
