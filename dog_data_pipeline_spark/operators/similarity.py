@@ -202,28 +202,31 @@ def semantic_dedup(
         "centroid_sim",
         cdot / (F.col("c_norm") * F.element_at(cent_norms, F.col("cell") + 1)),
     )
+    # assigned feeds two actions (edge materialization inside
+    # connected_components, then the group/keep join): checkpoint it
+    # lazily so the scan + normalize + assign pipeline runs once
+    assigned = assigned.localCheckpoint(eager=False)
 
-    a = assigned.select(
-        F.col("c_id").alias("id_a"),
-        F.col("c_v").alias("v_a"),
-        F.col("c_norm").alias("n_a"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("c_id").alias("id_b"),
-        F.col("c_v").alias("v_b"),
-        F.col("c_norm").alias("n_b"),
-        "cell",
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot / (F.col("n_a") * F.col("n_b")) > threshold)
-        .select("id_a", "id_b")
-    )
+    # within-cell duplicate edges via per-cell numpy matmul
+    # (applyInPandas): the paper's shape — each cluster is pairwise-
+    # compared IN MEMORY, which is exactly what bounding cell size via
+    # n_clusters buys. An expression-level self-join on cell with
+    # zip_with dot folds gives the same pairs but runs the interpreted
+    # HOF per candidate pair — measured ~9s vs <2s at sf0.1 — while one
+    # Arrow batch + BLAS matmul per cell is O(|cell|² · d) at memory
+    # bandwidth.
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["c_v"].to_numpy())
+        norms = pdf["c_norm"].to_numpy()
+        ids = pdf["c_id"].to_numpy()
+        sims = (x @ x.T) / np.outer(norms, norms)
+        ia, ib = np.nonzero(np.triu(sims > threshold, k=1))
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    edges = assigned.select("c_id", "c_v", "c_norm", "cell").groupBy(
+        "cell"
+    ).applyInPandas(_cell_pairs, "id_a long, id_b long")
 
     groups = connected_components(edges)
     w = Window.partitionBy("dup_group").orderBy(F.col("centroid_sim").asc(), F.col("c_id"))

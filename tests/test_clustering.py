@@ -52,3 +52,19 @@ def test_clusters_on_planted_near_dups(spark):
     joined = reps.join(member, reps.keep_id == member.id)
     assert joined.filter(F.col("member_cluster") != F.col("cluster")).count() == 0
     assert n_pairs >= n_nodes - n_clusters  # spanning-forest lower bound
+
+
+def test_iterative_path_matches_union_find(spark):
+    # force the distributed label-propagation branch and check it agrees
+    # with the driver-side union-find on the same graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a LONG, id_b LONG",
+    )
+    fast = {(r["id"], r["cluster"]) for r in connected_components(pairs).collect()}
+    slow = {
+        (r["id"], r["cluster"])
+        for r in connected_components(pairs, small_threshold=0).collect()
+    }
+    assert fast == slow
+    assert {c for _, c in fast} == {1, 10, 20}
