@@ -109,3 +109,43 @@ def test_contamination_short_docs_are_safe(spark):
     corpus = _corpus(spark, [(1, "too short")])
     bench = _corpus(spark, [(100, "also tiny")])
     assert contamination_report(corpus, bench, n=5).count() == 0
+
+
+def test_redact_pii_is_idempotent(spark):
+    texts = [
+        "a@b.com then 10.0.0.255 then 555-123-9876",
+        "no pii at all",
+        "double aa@bb.org cc@dd.org and 192.168.1.1 1.2.3.4",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t STRING")
+    once = df.select(redact_pii(F.col("t")).alias("r"))
+    twice = once.select(redact_pii(F.col("r")).alias("r"))
+    assert [r["r"] for r in once.collect()] == [r["r"] for r in twice.collect()]
+
+
+def test_decontaminate_is_idempotent(spark):
+    corpus = _corpus(
+        spark,
+        [
+            (1, "x y " + BENCH_DOC + " z w"),
+            (2, "totally different words entirely here now forever and ever"),
+            (3, "more clean text that shares nothing with the benchmark docs"),
+        ],
+    )
+    bench = _corpus(spark, [(100, BENCH_DOC)])
+    once = decontaminate(corpus, bench, n=5)
+    twice = decontaminate(once, bench, n=5)
+    assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+        r["doc_id"] for r in twice.collect()
+    )
+
+
+def test_contamination_fraction_bounded(spark):
+    corpus = _corpus(
+        spark,
+        [(i, f"prefix{i} " + BENCH_DOC + f" suffix{i}") for i in range(10)],
+    )
+    bench = _corpus(spark, [(100, BENCH_DOC)])
+    for r in contamination_report(corpus, bench, n=5).collect():
+        assert 0.0 < r["contamination"] <= 1.0
+        assert r["n_matched"] <= r["n_ngrams"]

@@ -134,3 +134,17 @@ def test_lm_cross_entropy_pretrained_freq_handles_unseen(spark):
     # alpha: (2+.5)/(4+.5*3)=2.5/5.5; neverseen: .5/5.5
     expect = -(math.log(2.5 / 5.5) + math.log(0.5 / 5.5)) / 2
     assert abs(rows[0]["avg_nll"] - expect) < 1e-9
+
+
+def test_repetition_fracs_bounded_on_corpus(spark):
+    from dog_data_pipeline_spark.operators.text import with_repetition_profile
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    out = with_repetition_profile(load(spark, SF_DIR, "documents"))
+    bad = out.filter(
+        (F.col("dup_token_frac") < 0) | (F.col("dup_token_frac") >= 1)
+        | (F.col("dup_trigram_frac") < 0) | (F.col("dup_trigram_frac") >= 1)
+    ).count()
+    assert bad == 0
