@@ -1,0 +1,94 @@
+"""Deterministic sharded export + manifest — the hand-off format between
+a curation pipeline and a training job.
+
+Trainers consume a FIXED set of shard files (data-parallel ranks map to
+shards), re-runs must land every document in the same shard (resumable
+verification, per-shard caching), and an audit needs per-shard row
+counts without re-scanning the corpus. The writer here:
+
+- assigns ``shard = pmod(xxhash64(key), num_shards)`` — a pure function
+  of the row key: partition-layout- and run-independent, same contract
+  as the sampling module;
+- repartitions BY the shard column so each shard is written by one task
+  as one file (`partitionBy` then splits the task's output by value —
+  directories ``shard=K/part-*.parquet``);
+- computes the manifest (rows, docs bytes) per shard in the SAME pass
+  shape (one partial-aggregated groupBy on shard — at 100 TB this is
+  the only exchange besides the write's own repartition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_shard(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
+    """Deterministic shard id: pmod(xxhash64(key), num_shards)."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(num_shards))
+    )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 16,
+    size_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as ``path/shard=K/`` parquet and return the manifest
+    DataFrame (shard, n_rows[, total_size]) computed from the data.
+
+    ``size_col``: optional column whose per-shard sum lands in the
+    manifest (e.g. n_chars for a documents corpus — the trainer's
+    per-rank workload estimate).
+    """
+    sharded = with_shard(df, key_col, num_shards)
+    (
+        sharded.repartition(num_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("total_size"))
+    return sharded.groupBy("shard").agg(*aggs)
+
+
+def read_shard(spark, path: str, shard: int) -> DataFrame:
+    """Read one shard partition (directory-pruned scan)."""
+    return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+def verify_manifest(spark, path: str, manifest: DataFrame) -> DataFrame:
+    """Re-count rows per shard from the written files and diff against
+    the manifest: returns shards whose counts disagree (empty = clean).
+    The read-back groups on the partition column, so input pruning makes
+    this a metadata-light scan."""
+    actual = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        manifest.join(actual, "shard", "full")
+        .filter(
+            F.coalesce(F.col("n_rows"), F.lit(-1))
+            != F.coalesce(F.col("actual_rows"), F.lit(-2))
+        )
+        .select("shard", "n_rows", "actual_rows")
+    )
+
+
+def shard_paths(path: str) -> list[str]:
+    """The shard directories present under an export root."""
+    return sorted(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("shard=")
+    )
