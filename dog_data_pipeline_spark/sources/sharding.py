@@ -85,6 +85,57 @@ def verify_manifest(spark, path: str, manifest: DataFrame) -> DataFrame:
     )
 
 
+def upsert_sharded(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    num_shards: int = 16,
+) -> list[int]:
+    """Upsert ``updates`` into a sharded export, rewriting ONLY the
+    shards that contain an updated key. Returns the rewritten shard ids.
+
+    Because the shard id is a pure function of the key, an update batch
+    touches a bounded, knowable set of shard directories: read back just
+    those (partition-pruned), drop the rows whose key is being replaced
+    (left-anti join), union the new rows, and rewrite with dynamic
+    partition overwrite — untouched shard files are never rewritten.
+    At 100 TB this is the difference between an incremental refresh
+    costing O(updated shards) and an O(corpus) rewrite. Last-writer-wins
+    within a batch is NOT resolved here — feed deduplicated updates (or
+    compose with exact_dup_groups upstream).
+    """
+    upd = with_shard(updates, key_col, num_shards)
+    affected = sorted(
+        r["shard"] for r in upd.select("shard").distinct().collect()
+    )
+    if not affected:
+        return []
+    if os.path.isdir(path) and any(
+        d.startswith("shard=") for d in os.listdir(path)
+    ):
+        current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
+        keep = current.join(
+            F.broadcast(upd.select(key_col).distinct()), key_col, "left_anti"
+        )
+        # materialize BEFORE overwriting: the merged plan reads the same
+        # path it writes, which Spark's file sink (correctly) rejects;
+        # the checkpoint swaps the file scan for materialized blocks.
+        # Memory cost is the affected shards only — for shards too big
+        # for the block manager, use catalog.py's stage-then-swap.
+        merged = keep.unionByName(upd).localCheckpoint()
+    else:
+        merged = upd
+    (
+        merged.repartition(len(affected), "shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return affected
+
+
 def shard_paths(path: str) -> list[str]:
     """The shard directories present under an export root."""
     return sorted(

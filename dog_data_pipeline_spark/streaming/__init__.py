@@ -19,3 +19,6 @@ from dog_data_pipeline_spark.streaming.multimodal import (  # noqa: F401
 from dog_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_join_streams,
 )
+from dog_data_pipeline_spark.streaming.upsert import (  # noqa: F401
+    upsert_sink,
+)

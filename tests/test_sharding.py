@@ -66,3 +66,70 @@ def test_read_shard_prunes_and_roundtrips(spark, tmp_path):
         one._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan  # directory pruning, not a full scan
+
+
+def test_upsert_rewrites_only_affected_shards(spark, tmp_path):
+    from dog_data_pipeline_spark.sources.sharding import upsert_sharded, with_shard
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "ups")
+    write_sharded(docs, out, "doc_id", num_shards=8)
+    before = {d: sorted(os.listdir(d)) for d in shard_paths(out)}
+
+    updates = spark.createDataFrame(
+        [(5, "updated text five", "en", "srcX", 17),
+         (10**6, "brand new doc", "en", "srcX", 13)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    touched = upsert_sharded(spark, out, updates, "doc_id", num_shards=8)
+    expected_shards = {
+        r["shard"] for r in with_shard(updates, "doc_id", 8).collect()
+    }
+    assert set(touched) == expected_shards
+
+    after = {d: sorted(os.listdir(d)) for d in shard_paths(out)}
+    for d in before:
+        shard_id = int(d.rsplit("=", 1)[1])
+        if shard_id not in expected_shards:
+            assert after[d] == before[d], f"untouched shard {d} rewritten"
+
+    final = spark.read.parquet(out)
+    assert final.count() == docs.count() + 1  # one replace + one insert
+    assert (
+        final.filter(F.col("doc_id") == 5).select("text").collect()[0]["text"]
+        == "updated text five"
+    )
+    assert final.filter(F.col("doc_id") == 10**6).count() == 1
+
+
+def test_streaming_upsert_sink_last_batch_wins(spark, tmp_path):
+    from dog_data_pipeline_spark.streaming.upsert import upsert_sink
+
+    schema = "doc_id LONG, text STRING, n_chars LONG"
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "v1 one", 6), (2, "v1 two", 6)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(1, "v2 one", 6), (3, "v1 three", 8)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = str(tmp_path / "target")
+    q = upsert_sink(
+        stream, out, "doc_id", checkpoint=str(tmp_path / "ckpt"), num_shards=4
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert got[2] == "v1 two" and got[3] == "v1 three"
+    assert got[1] in ("v1 one", "v2 one")  # whichever file listed later wins
+    assert len(got) == 3
