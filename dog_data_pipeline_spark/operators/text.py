@@ -141,6 +141,44 @@ def with_bpe_token_count(
     return df.withColumn(out, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)))
 
 
+def with_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step before tokenization/packing (chunk
+    size and overlap in TOKENS; stride = chunk_tokens - overlap).
+
+    One row per (doc, chunk): (id_col, chunk_idx, chunk, n_chunk_tokens).
+    The chunk array is built inside ONE generator expression
+    (inline of transform(sequence(chunks))) — per-doc cost is
+    O(tokens), the sequence is over chunk COUNTS (a handful per doc,
+    unlike per-token sequences), and no computed column rides outside
+    the Generate (the recompute-per-exploded-row trap). Map-only:
+    chunking shuffles nothing at any scale.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = F.floor((n - 1) / stride).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk"
+            ),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.inline(chunks))
+
+
 def token_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token unigram counts: (tok, cnt). One explode + one
     partial-aggregated groupBy(tok) shuffle — the training pass of the

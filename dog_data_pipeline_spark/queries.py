@@ -2388,6 +2388,40 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(floor((len(toks) - 1) / 24) AS INT) + 1 AS k
+      FROM t
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+           array_to_string(toks[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') AS chunk,
+           CAST(least(32, n - (i-1)*24) AS INT) AS n_chunk_tokens
+    FROM p, unnest(range(1, k + 1)) AS u(i)
+    """,
+    "Context-window chunking (north-star text prep): 32-token windows "
+    "with 8-token overlap (stride 24), one generator expression per doc "
+    "(inline of transform(sequence(n_chunks))) — map-only, no shuffle, "
+    "and the per-doc sequence is over chunk counts, not tokens. The "
+    "overlap preserves cross-boundary context for training windows.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_chunks(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk",
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+    )
+
+
+@query(
     "lm_perplexity_scores",
     r"""
     WITH tok AS (

@@ -148,3 +148,33 @@ def test_repetition_fracs_bounded_on_corpus(spark):
         | (F.col("dup_trigram_frac") < 0) | (F.col("dup_trigram_frac") >= 1)
     ).count()
     assert bad == 0
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from dog_data_pipeline_spark.operators.text import with_chunks
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = _docs(spark, [("d", text)])
+    rows = sorted(
+        with_chunks(df, "doc_id", chunk_tokens=20, overlap=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 15 over 50 tokens -> starts at 0,15,30,45 -> 4 chunks
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk"].split()[:1] == ["t0"]
+    # overlap: chunk 1 starts 5 tokens before chunk 0 ends
+    assert rows[0]["chunk"].split()[-5:] == rows[1]["chunk"].split()[:5]
+    assert rows[-1]["n_chunk_tokens"] == 5  # 50 - 45
+    # every token appears in some chunk
+    seen = {t for r in rows for t in r["chunk"].split()}
+    assert seen == {f"t{i}" for i in range(50)}
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    from dog_data_pipeline_spark.operators.text import with_chunks
+
+    df = _docs(spark, [("s", "just three tokens")])
+    rows = with_chunks(df, "doc_id", chunk_tokens=32, overlap=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk"] == "just three tokens"
+    assert rows[0]["n_chunk_tokens"] == 3
