@@ -2422,6 +2422,56 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "packed_sequence_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(floor((len(toks) - 1) / 24) AS INT) + 1 AS k
+      FROM t
+    ), chunks AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+             CAST(least(32, n - (i-1)*24) AS INT) AS n_chunk_tokens
+      FROM p, unnest(range(1, k + 1)) AS u(i)
+    ), keyed AS (
+      SELECT *,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)), 1, 6))::BIGINT % 8 AS BIGINT) AS shard,
+             md5('pack-order:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)) AS ord
+      FROM chunks
+    ), binned AS (
+      SELECT shard, n_chunk_tokens,
+             CAST(floor((sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens) / 256.0) AS BIGINT) AS bin
+      FROM keyed
+    )
+    SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens
+    FROM binned GROUP BY shard, bin
+    """,
+    "Sequence packing (north-star text prep): chunks pack into "
+    "~256-token training sequences via shard-parallel greedy layout — "
+    "md5-deterministic shard + within-shard order, one per-shard "
+    "running-total window (partitions bounded by num_shards choice, "
+    "the same knob as the export sharding), bin = floor(prefix/budget). "
+    "Engine-portable: the oracle replays the identical layout in SQL.",
+)
+def packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.packing import packed_sequences
+    from dog_data_pipeline_spark.operators.text import with_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = with_chunks(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    out = packed_sequences(chunks, budget=256, num_shards=8)
+    return out.select(
+        "shard",
+        "bin",
+        "n_chunks",
+        F.col("seq_tokens").cast("long").alias("seq_tokens"),
+    )
+
+
+@query(
     "lm_perplexity_scores",
     r"""
     WITH tok AS (

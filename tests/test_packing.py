@@ -1,0 +1,60 @@
+"""Sequence-packing properties: determinism, budget bounds, identity
+preservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.packing import pack_chunks, packed_sequences
+from dog_data_pipeline_spark.operators.text import with_chunks
+from dog_data_pipeline_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def _chunks(spark):
+    docs = load(spark, SF_DIR, "documents")
+    return with_chunks(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+def test_packing_is_partition_invariant(spark):
+    c = _chunks(spark)
+    a = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard"], r["bin"], r["position"])
+        for r in pack_chunks(c, budget=256, num_shards=8).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard"], r["bin"], r["position"])
+        for r in pack_chunks(c.repartition(11), budget=256, num_shards=8).collect()
+    }
+    assert a == b
+
+
+def test_packing_budget_overrun_bounded_by_one_chunk(spark):
+    seqs = packed_sequences(_chunks(spark), budget=256, num_shards=8).collect()
+    max_chunk = 32
+    for r in seqs:
+        assert r["seq_tokens"] < 256 + max_chunk
+    # all but each shard's (possibly short) last bin are near-full
+    by_shard = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        last = max(x["bin"] for x in rows)
+        for r in rows:
+            if r["bin"] != last:
+                assert r["seq_tokens"] >= 256 - max_chunk
+
+
+def test_packing_preserves_every_chunk_once(spark):
+    c = _chunks(spark)
+    packed = pack_chunks(c, budget=256, num_shards=8)
+    assert packed.count() == c.count()
+    assert packed.select("doc_id", "chunk_idx").distinct().count() == c.count()
+    # positions are dense within each bin
+    dense = (
+        packed.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("position").alias("mx"))
+        .filter(F.col("mx") != F.col("n") - 1)
+        .count()
+    )
+    assert dense == 0
