@@ -165,7 +165,13 @@ def with_chunks(
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    k = F.floor((n - 1) / stride).cast("int") + 1
+    # chunk count: stop once a chunk reaches the end of the doc —
+    # floor((n-1)/stride)+1 would emit a redundant trailing chunk that
+    # is pure overlap whenever the last stride window is already covered
+    # (found by the hypothesis differential: 4 tokens, size 4, stride 3)
+    k = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens - 1) / stride).cast("int") + 2
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.struct(

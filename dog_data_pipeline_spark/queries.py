@@ -2394,7 +2394,8 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ), p AS (
       SELECT doc_id, toks, len(toks) AS n,
-             CAST(floor((len(toks) - 1) / 24) AS INT) + 1 AS k
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(floor((len(toks) - 32 - 1) / 24) AS INT) + 2 END AS k
       FROM t
     )
     SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
@@ -2428,7 +2429,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ), p AS (
       SELECT doc_id, toks, len(toks) AS n,
-             CAST(floor((len(toks) - 1) / 24) AS INT) + 1 AS k
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(floor((len(toks) - 32 - 1) / 24) AS INT) + 2 END AS k
       FROM t
     ), chunks AS (
       SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,

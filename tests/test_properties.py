@@ -128,3 +128,68 @@ def test_ntile_ranged_matches_builtin_property(spark_prop, vals, k, parts):
         for r in df.withColumn("b", F.ntile(k).over(w)).collect()
     }
     assert got == want
+
+
+# --- word n-grams / chunking vs a python reference model ---------------
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+_texts = st.lists(
+    st.lists(_word, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    t = text.strip()
+    return t.split() if t else [""]
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=_texts, n=st.integers(min_value=2, max_value=6))
+def test_word_ngrams_matches_python_model(spark_prop, texts, n):
+    from dog_data_pipeline_spark.operators.text import tokens, word_ngrams
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, text STRING"
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", word_ngrams(tokens(F.col("text")), n).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        expect = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        assert got[i] == expect, (t, n)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    texts=_texts,
+    size=st.integers(min_value=4, max_value=20),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+def test_chunking_matches_python_model(spark_prop, texts, size, overlap):
+    from dog_data_pipeline_spark.operators.text import with_chunks
+
+    df = spark_prop.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id STRING, text STRING"
+    )
+    rows = with_chunks(df, "doc_id", chunk_tokens=size, overlap=overlap).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk"], r["n_chunk_tokens"])
+        )
+    stride = size - overlap
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        expect = []
+        idx = 0
+        for start in range(0, len(toks), stride):
+            piece = toks[start : start + size]
+            expect.append((idx, " ".join(piece), len(piece)))
+            idx += 1
+            if start + size >= len(toks):
+                break
+        assert sorted(got[str(i)]) == sorted(expect), (t, size, overlap)

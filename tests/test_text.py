@@ -159,12 +159,13 @@ def test_chunking_covers_and_overlaps(spark):
         with_chunks(df, "doc_id", chunk_tokens=20, overlap=5).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    # stride 15 over 50 tokens -> starts at 0,15,30,45 -> 4 chunks
-    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    # stride 15 over 50 tokens -> starts 0,15,30; the start-45 window is
+    # already fully covered by chunk 2 (reaches token 50), so no 4th
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
     assert rows[0]["chunk"].split()[:1] == ["t0"]
     # overlap: chunk 1 starts 5 tokens before chunk 0 ends
     assert rows[0]["chunk"].split()[-5:] == rows[1]["chunk"].split()[:5]
-    assert rows[-1]["n_chunk_tokens"] == 5  # 50 - 45
+    assert rows[-1]["n_chunk_tokens"] == 20  # tokens 30..49
     # every token appears in some chunk
     seen = {t for r in rows for t in r["chunk"].split()}
     assert seen == {f"t{i}" for i in range(50)}
