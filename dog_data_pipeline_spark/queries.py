@@ -2512,6 +2512,63 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_datacard",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','for'], x)))::DOUBLE
+               / len(string_split_regex(trim(text), '\s+')) * 0.3
+             + least(len(string_split_regex(trim(text), '\s+')), 100)::DOUBLE / 100 * 0.4
+             + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text) * 0.3 AS quality,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), fc AS (
+      SELECT fp, count(*) AS n FROM q GROUP BY fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(CASE WHEN fc.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+           round(quantile_cont(q.n_tokens, 0.5), 1) AS median_tokens
+    FROM q JOIN fc USING (fp)
+    GROUP BY source
+    """,
+    "Corpus datacard (the per-source summary a dataset release ships): "
+    "docs, token mass, mean quality score, exact-duplicate incidence "
+    "(normalized-fingerprint multiplicity), median length. One scan + "
+    "one fingerprint aggregate + one per-source aggregate — every stage "
+    "partial-aggregates; the fingerprint join shuffles hashes, not "
+    "text.",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import (
+        with_fingerprint,
+        with_quality_score,
+    )
+
+    docs = with_fingerprint(
+        with_quality_score(_t(spark, sf_dir, "documents"), "text"), "text", out="fp"
+    )
+    fc = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        docs.join(fc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 1).alias("median_tokens"),
+        )
+    )
+
+
+@query(
     "pii_masked_customers",
     r"""
     WITH synth AS (
