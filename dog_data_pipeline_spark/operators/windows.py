@@ -143,3 +143,39 @@ def ntile_ranged(
     return ranked.withColumn(out, bucket.cast("int")).drop(
         "__pid", "__off", "__n", "__rank"
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    out: str = "n_events",
+) -> DataFrame:
+    """Dense per-key daily calendar with zero-filled gaps — the
+    resample/gap-fill step before any time-series model sees the data
+    (a missing day must read as 0, not as an absent row).
+
+    Shape: one partial-aggregated (key, day) count, a tiny per-key span
+    aggregate, then sequence()-explode of each key's [min_day, max_day]
+    span joined back to the counts. The calendar explode fans out to
+    span-length rows per key — bounded by the observation window, never
+    by the event volume — and joins on (key, day) where the dense side
+    is generated, not shuffled from facts.
+    """
+    keys = [F.col(c) for c in key_cols]
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = df.groupBy(*keys, day.alias("day")).agg(
+        F.count(F.lit(1)).alias(out)
+    )
+    spans = daily.groupBy(*key_cols).agg(
+        F.min("day").alias("__mn"), F.max("day").alias("__mx")
+    )
+    cal = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return cal.join(daily, [*key_cols, "day"], "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(0))
+    )

@@ -2512,6 +2512,39 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gap_filled_daily_counts",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1
+    ), cal AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM s
+    )
+    SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n_events
+    FROM cal c LEFT JOIN d USING (user_id, day)
+    """,
+    "Gap-filled per-user daily activity (resample step for time-series "
+    "models: a missing day must read 0, not be absent): per-key span + "
+    "sequence()-explode generates the dense calendar — fan-out bounded "
+    "by the observation window, not event volume — left-joined to the "
+    "partial-aggregated daily counts.",
+)
+def gap_filled_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.windows import gap_fill_daily
+
+    events = _t(spark, sf_dir, "events")
+    out = gap_fill_daily(events, ("user_id",), "ts", out="n_events")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query(
     "corpus_datacard",
     r"""
     WITH q AS (

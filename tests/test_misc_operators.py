@@ -79,3 +79,27 @@ def test_asof_join_matches_pandas_merge_asof(spark_asof, left, right):
     else:
         expected = {i: None for _, _, i in lrows}
     assert got == expected
+
+
+def test_gap_fill_daily_zero_fills_missing_days(spark):
+    from dog_data_pipeline_spark.operators.windows import gap_fill_daily
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+        (1, "2024-01-04 09:00:00"),  # days 2,3 missing
+        (2, "2024-02-10 00:00:00"),  # single-day span
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts STRING").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["user_id"], str(r["day"])[:10]): r["n_events"]
+        for r in gap_fill_daily(df).collect()
+    }
+    assert out[(1, "2024-01-01")] == 2
+    assert out[(1, "2024-01-02")] == 0
+    assert out[(1, "2024-01-03")] == 0
+    assert out[(1, "2024-01-04")] == 1
+    assert out[(2, "2024-02-10")] == 1
+    assert len(out) == 5  # dense span for user 1 (4 days) + 1 day for user 2
