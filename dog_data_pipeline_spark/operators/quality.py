@@ -1,0 +1,89 @@
+"""Data-quality expectation checks (the dbt-tests / Deequ shape): each
+check compiles to ONE aggregate counting violations, and the report is
+the union of those single-row aggregates — no collects, no UDFs, every
+check partial-aggregates and the whole report is one job.
+
+A curation pipeline gates promotion on this report (ship the corpus
+only if every row says passed) — cheap enough to run on every
+incremental batch because each check is a scan-bound aggregate over
+only the columns it references.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Check:
+    name: str
+    violations: DataFrame  # single-row DataFrame with column n BIGINT
+
+
+def not_null(df: DataFrame, col: str, name: str | None = None) -> Check:
+    return Check(
+        name or f"not_null:{col}",
+        df.agg(F.count_if(F.col(col).isNull()).alias("n")),
+    )
+
+
+def in_range(
+    df: DataFrame, col: str, lo: float, hi: float, name: str | None = None
+) -> Check:
+    bad = F.col(col).isNull() | (F.col(col) < lo) | (F.col(col) > hi)
+    return Check(
+        name or f"in_range:{col}", df.agg(F.count_if(bad).alias("n"))
+    )
+
+
+def accepted_values(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> Check:
+    bad = ~F.col(col).isin(values) | F.col(col).isNull()
+    return Check(
+        name or f"accepted_values:{col}", df.agg(F.count_if(bad).alias("n"))
+    )
+
+
+def unique(df: DataFrame, cols: list[str], name: str | None = None) -> Check:
+    dup_rows = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n"))
+    )
+    return Check(name or f"unique:{','.join(cols)}", dup_rows)
+
+
+def foreign_key(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+    name: str | None = None,
+) -> Check:
+    """Rows whose key has no match in the dimension. The dim side is
+    reduced to distinct keys; Spark broadcasts it when small, which is
+    the normal case for FK targets."""
+    orphans = df.join(
+        dim.select(F.col(dim_col).alias(col)).distinct(), col, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return Check(name or f"foreign_key:{col}", orphans)
+
+
+def dq_report(checks: list[Check]) -> DataFrame:
+    """(check_name, n_violations, passed) — one row per check."""
+    out = None
+    for c in checks:
+        row = c.violations.select(
+            F.lit(c.name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("no checks given")
+    return out

@@ -2512,6 +2512,61 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_violation_report",
+    """
+    SELECT 'foreign_key:l_orderkey' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS passed
+    UNION ALL
+    SELECT 'in_range:l_quantity',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+    UNION ALL
+    SELECT 'not_null:o_totalprice',
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NULL) AS BIGINT),
+           (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) = 0
+    UNION ALL
+    SELECT 'unique:c_custkey',
+           CAST((SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT),
+           (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1)) = 0
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus',
+           CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) = 0
+    """,
+    "Data-quality expectation report (dbt-tests/Deequ shape): FK "
+    "integrity, range, null, uniqueness, accepted-values — each check "
+    "one partial-aggregated count over only its referenced columns, "
+    "unioned into a single gating report. The FK check plans a "
+    "broadcast left-anti join (dim keys broadcast).",
+)
+def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import (
+        accepted_values,
+        dq_report,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return dq_report(
+        [
+            foreign_key(li, "l_orderkey", orders, "o_orderkey"),
+            in_range(li, "l_quantity", 1, 50),
+            not_null(orders, "o_totalprice"),
+            unique(cust, ["c_custkey"]),
+            accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        ]
+    )
+
+
+@query(
     "gap_filled_daily_counts",
     """
     WITH d AS (

@@ -103,3 +103,37 @@ def test_gap_fill_daily_zero_fills_missing_days(spark):
     assert out[(1, "2024-01-04")] == 1
     assert out[(2, "2024-02-10")] == 1
     assert len(out) == 5  # dense span for user 1 (4 days) + 1 day for user 2
+
+
+def test_dq_checks_count_planted_violations(spark):
+    from dog_data_pipeline_spark.operators.quality import (
+        accepted_values,
+        dq_report,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 99.0, "C"), (3, 5.0, None), (9, -1.0, "A")],
+        "k LONG, v DOUBLE, s STRING",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k LONG")
+    rep = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in dq_report(
+            [
+                foreign_key(fact, "k", dim, "k"),
+                in_range(fact, "v", 0, 50),
+                not_null(fact, "s"),
+                unique(fact, ["k"]),
+                accepted_values(fact, "s", ["A", "B", "C"]),
+            ]
+        ).collect()
+    }
+    assert rep["foreign_key:k"] == (1, False)      # k=9 orphan
+    assert rep["in_range:v"] == (3, False)         # null, 99, -1
+    assert rep["not_null:s"] == (1, False)
+    assert rep["unique:k"] == (2, False)           # two rows share k=3
+    assert rep["accepted_values:s"] == (1, False)  # the null
