@@ -386,3 +386,38 @@ def test_stream_stream_join_requires_no_unbounded_state(spark, tmp_path_factory)
     # plan — that's what lets the engine evict join state
     plan = out._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_streaming_quality_scoring_and_redaction_compose(spark, tmp_path):
+    """The map-only curation operators (quality score, repetition
+    profile, PII redaction) are pure column expressions, so they run
+    unchanged on a stream — prove it by comparing against batch."""
+    from dog_data_pipeline_spark.operators.privacy import redact_pii
+    from dog_data_pipeline_spark.operators.text import (
+        with_quality_score,
+        with_repetition_profile,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    d = tmp_path / "docs_stream"
+    docs.write.mode("overwrite").parquet(str(d))
+
+    def curate(df):
+        scored = with_repetition_profile(with_quality_score(df, "text"), "text")
+        return scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("dup_token_frac") < 0.7)
+        ).select("doc_id", redact_pii(F.col("text")).alias("text"), "quality")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(d))
+    q = (
+        curate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("curated_stream").collect()}
+    expect = {r["doc_id"] for r in curate(docs).collect()}
+    assert got == expect and len(got) > 0
