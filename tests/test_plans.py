@@ -197,3 +197,28 @@ def test_lm_perplexity_broadcasts_vocab(spark):
     # only wide exchanges are the two partial-aggregated groupBys
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_map_only(spark):
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan  # no shuffle anywhere: pure Generate
+
+
+def test_packing_has_no_global_sort(spark):
+    plan = plan_of(spark, "packed_sequence_stats")
+    # the running-total window partitions by shard — never a
+    # single-partition global sort
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_fk_check_broadcasts_dim_keys(spark):
+    plan = plan_of(spark, "dq_violation_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_fill_generates_calendar_without_cartesian(spark):
+    plan = plan_of(spark, "gap_filled_daily_counts")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the calendar comes from sequence-explode
