@@ -97,6 +97,29 @@ def cmd_track_samples(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Full corpus curation: quality gate -> exact dedup ->
+    decontamination -> chunk -> pack -> sharded export."""
+    from dog_data_pipeline_spark.pipelines.curate import curate_corpus
+
+    spark = _spark("cli-curate")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    result = curate_corpus(
+        docs,
+        bench,
+        min_quality=args.min_quality,
+        chunk_tokens=args.chunk_tokens,
+        chunk_overlap=args.chunk_overlap,
+        pack_budget=args.pack_budget,
+        num_shards=args.num_shards,
+        output_path=args.output,
+    )
+    for stage, n in result.stats.items():
+        print(f"curate: {stage} = {n}")
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run a registry query by name and show the head of the result."""
     from dog_data_pipeline_spark.queries import REGISTRY
@@ -138,6 +161,17 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--threshold", type=float, default=0.3)
     st.add_argument("--segment-sec", type=int, default=2)
     st.set_defaults(fn=cmd_track_samples)
+
+    sc = sub.add_parser("curate", help="corpus -> curated training shards")
+    sc.add_argument("--input", required=True, help="documents parquet")
+    sc.add_argument("--output", required=True, help="sharded export dir")
+    sc.add_argument("--benchmark", default=None, help="benchmark docs parquet")
+    sc.add_argument("--min-quality", type=float, default=0.5)
+    sc.add_argument("--chunk-tokens", type=int, default=32)
+    sc.add_argument("--chunk-overlap", type=int, default=8)
+    sc.add_argument("--pack-budget", type=int, default=256)
+    sc.add_argument("--num-shards", type=int, default=16)
+    sc.set_defaults(fn=cmd_curate)
 
     sq = sub.add_parser("query", help="run a registry query")
     sq.add_argument("name")

@@ -1,0 +1,117 @@
+"""End-to-end LLM-corpus curation pipeline: the composed path a user
+runs to turn a raw document table into training-ready shards.
+
+    raw docs
+      → quality gate        (heuristic score + Gopher repetition)
+      → exact dedup         (normalized-fingerprint, min-id keeps)
+      → decontamination     (benchmark n-gram overlap, broadcast)
+      → chunk               (overlapping context windows)
+      → pack                (shard-parallel ~budget-token sequences)
+      → sharded export      (deterministic shards + manifest)
+
+Every stage is one of the package's tested operators; this module only
+composes them and reports. Stage costs at 100 TB: two map-only passes
+(quality, chunking), one fingerprint aggregate, one broadcast
+semi-join (decontamination), one bounded per-shard window (packing),
+one write. Nothing quadratic, nothing driver-bound except the
+benchmark gram set (MBs by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationResult:
+    kept: DataFrame       # curated documents
+    chunks: DataFrame     # packed chunk rows (shard, bin, position)
+    manifest: DataFrame   # export manifest (None if no output path)
+    stats: dict           # per-stage row counts
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    max_dup_token_frac: float = 0.7,
+    contamination_n: int = 5,
+    chunk_tokens: int = 32,
+    chunk_overlap: int = 8,
+    pack_budget: int = 256,
+    num_shards: int = 16,
+    output_path: str | None = None,
+) -> CurationResult:
+    """Run the full curation pipeline; see module docstring.
+
+    ``benchmark=None`` skips decontamination. ``output_path=None`` skips
+    the export (chunks are still computed lazily — callers can write
+    them elsewhere). Row counts in ``stats`` each materialize one
+    aggregate; they are the pipeline's audit trail, not a side effect.
+    """
+    from dog_data_pipeline_spark.operators.contamination import decontaminate
+    from dog_data_pipeline_spark.operators.dedup import exact_dup_groups
+    from dog_data_pipeline_spark.operators.packing import pack_chunks
+    from dog_data_pipeline_spark.operators.text import (
+        with_chunks,
+        with_quality_score,
+        with_repetition_profile,
+    )
+    from dog_data_pipeline_spark.sources.sharding import write_sharded
+
+    stats: dict = {"input": docs.count()}
+
+    scored = with_repetition_profile(with_quality_score(docs, text_col), text_col)
+    quality_ok = scored.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+    ).select(*docs.columns)
+    stats["after_quality"] = quality_ok.count()
+
+    from dog_data_pipeline_spark.operators.text import normalized_text
+
+    groups = exact_dup_groups(quality_ok, id_col, text_col)
+    with_fp = quality_ok.withColumn("__fp", F.md5(normalized_text(F.col(text_col))))
+    deduped = (
+        with_fp.join(groups, with_fp["__fp"] == groups["fingerprint"], "left")
+        .filter(F.col("keep_id").isNull() | (F.col(id_col) == F.col("keep_id")))
+        .select(*docs.columns)
+    )
+    stats["after_exact_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        cleaned = decontaminate(
+            deduped, benchmark, n=contamination_n, id_col=id_col, text_col=text_col
+        )
+    else:
+        cleaned = deduped
+    stats["after_decontamination"] = cleaned.count()
+
+    chunks = with_chunks(
+        cleaned, id_col, text_col, chunk_tokens=chunk_tokens, overlap=chunk_overlap
+    )
+    packed = pack_chunks(
+        chunks, budget=pack_budget, num_shards=num_shards, id_cols=(id_col, "chunk_idx")
+    )
+    stats["chunks"] = packed.count()
+
+    manifest = None
+    if output_path is not None:
+        # preserve the PACKING shard: a training sequence's chunks must
+        # land in the same shard file
+        manifest = write_sharded(
+            packed,
+            output_path,
+            id_col,
+            num_shards=num_shards,
+            size_col="n_chunk_tokens",
+            use_existing_shard=True,
+        )
+        stats["shards"] = manifest.count()
+    return CurationResult(kept=cleaned, chunks=packed, manifest=manifest, stats=stats)

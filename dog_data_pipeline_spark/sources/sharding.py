@@ -39,15 +39,18 @@ def write_sharded(
     num_shards: int = 16,
     size_col: str | None = None,
     mode: str = "overwrite",
+    use_existing_shard: bool = False,
 ) -> DataFrame:
     """Write ``df`` as ``path/shard=K/`` parquet and return the manifest
     DataFrame (shard, n_rows[, total_size]) computed from the data.
 
     ``size_col``: optional column whose per-shard sum lands in the
     manifest (e.g. n_chars for a documents corpus — the trainer's
-    per-rank workload estimate).
+    per-rank workload estimate). ``use_existing_shard``: the df already
+    carries a ``shard`` column that must be preserved (e.g. the packing
+    shard, where a sequence's chunks must land in one file).
     """
-    sharded = with_shard(df, key_col, num_shards)
+    sharded = df if use_existing_shard else with_shard(df, key_col, num_shards)
     (
         sharded.repartition(num_shards, "shard")
         .write.mode(mode)

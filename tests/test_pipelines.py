@@ -7,11 +7,13 @@ frequency threshold, completeness, int+10 pad, extent-preserving clamp.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 from dog_data_pipeline_spark.functions.geometry import recenter_clamp
+from tests.conftest import SF_DIR
 from dog_data_pipeline_spark.pipelines.merge_raw import merge_to_raw
 from dog_data_pipeline_spark.pipelines.preprocess import (
     a2d_manifest,
@@ -208,3 +210,55 @@ def test_merge_to_raw_empty_catalog(spark):
     out = merge_to_raw(None, manifest, "d")
     r = out.collect()[0]
     assert (r["file_index"], r["file_path"]) == (0, "000000.mp4")
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    from dog_data_pipeline_spark.pipelines.curate import curate_corpus
+    from dog_data_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_DIR, "documents")
+    # plant an exact duplicate so the dedup stage has work
+    dup = docs.limit(3).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dup)
+    bench = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    out = str(tmp_path / "curated")
+    res = curate_corpus(
+        corpus.filter(F.col("source") != "src1"),
+        bench,
+        output_path=out,
+        num_shards=4,
+    )
+    s = res.stats
+    assert s["after_quality"] <= s["input"]
+    assert s["after_exact_dedup"] < s["after_quality"]  # planted dups removed
+    assert s["after_decontamination"] <= s["after_exact_dedup"]
+    assert s["chunks"] > 0 and s["shards"] == 4
+    # a training sequence's chunks never split across export shards
+    packed = spark.read.parquet(out)
+    assert packed.count() == s["chunks"]
+    # every curated doc id appears in the packed output
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    packed_ids = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+    assert packed_ids == kept_ids
+
+
+def test_curate_cli_smoke(spark, tmp_path):
+    import subprocess, sys
+
+    from dog_data_pipeline_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_in")
+    docs.limit(60).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "cli_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "dog_data_pipeline_spark", "curate",
+         "--input", src, "--output", out, "--num-shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curate: chunks" in r.stdout
+    assert os.path.isdir(out)
