@@ -144,3 +144,29 @@ def convert_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(dst_format).save(dst_path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip"
+) -> None:
+    """JSON-Lines sink — the lingua franca corpus interchange format
+    (one JSON object per line; gzip per-file by default, which stays
+    splittable across files because parallelism comes from file count).
+    Spark's json writer IS jsonl: one object per line, newline-delimited.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSONL scan. Pass an explicit DDL ``schema`` in production —
+    schema inference is a full extra pass over the data, the classic
+    accidental 2x read at corpus scale."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -107,3 +107,29 @@ def test_avro_partitioned_and_convert_roundtrip(spark, tmp_path):
     pq = str(tmp_path / "orders_pq")
     convert_table(spark, path, "avro", pq, "parquet")
     assert spark.read.parquet(pq).count() == orders.count()
+
+
+def test_jsonl_roundtrip_and_line_format(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from dog_data_pipeline_spark.sources.formats import read_jsonl, write_jsonl
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark, out, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+    # the files really are one-JSON-object-per-line, gzipped
+    files = glob.glob(out + "/part-*.json.gz")
+    assert files
+    with gzip.open(files[0], "rt") as f:
+        first = f.readline()
+    assert json.loads(first)["doc_id"] in a
