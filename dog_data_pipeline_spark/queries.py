@@ -2512,6 +2512,65 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_snapshot_diff",
+    r"""
+    WITH v2 AS (
+      -- deterministic synthetic "next release": drop ~5% of docs,
+      -- edit ~10% of the survivors, add ~2% new docs under shifted ids
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':edit'), 1, 8) < '19999999'
+                  THEN text || ' edited' ELSE text END AS text
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':drop'), 1, 8) >= '0ccccccc'
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' new'
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':add'), 1, 8) < '051eb851'
+    ), fa AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents
+    ), fb AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM v2
+    )
+    SELECT CASE WHEN fb.fp IS NULL THEN 'removed'
+                WHEN fa.fp IS NULL THEN 'added'
+                WHEN fa.fp <> fb.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fa FULL JOIN fb USING (doc_id)
+    GROUP BY 1
+    """,
+    "Corpus snapshot diff (data versioning between releases): normalized "
+    "fingerprints full-outer-joined on doc key classify added/removed/"
+    "changed/unchanged — the shuffle carries (id, md5), never text. The "
+    "'next release' is synthesized deterministically (md5-threshold "
+    "drop/edit/add) so both engines diff identical snapshots.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import _bucket_hex, _threshold_hex
+    from dog_data_pipeline_spark.operators.versioning import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    edited = F.when(
+        _bucket_hex(key, "edit") < _threshold_hex(0.1),
+        F.concat(F.col("text"), F.lit(" edited")),
+    ).otherwise(F.col("text"))
+    survivors = docs.filter(_bucket_hex(key, "drop") >= _threshold_hex(0.05)).select(
+        "doc_id", edited.alias("text")
+    )
+    additions = docs.filter(_bucket_hex(key, "add") < _threshold_hex(0.02)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    v2 = survivors.unionByName(additions)
+    return (
+        snapshot_diff(docs, v2, "doc_id", "text")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "dq_violation_report",
     """
     SELECT 'foreign_key:l_orderkey' AS check_name,

@@ -137,3 +137,21 @@ def test_dq_checks_count_planted_violations(spark):
     assert rep["not_null:s"] == (1, False)
     assert rep["unique:k"] == (2, False)           # two rows share k=3
     assert rep["accepted_values:s"] == (1, False)  # the null
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from dog_data_pipeline_spark.operators.versioning import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Whitespace   Churn")],
+        "doc_id LONG, text STRING",
+    )
+    b = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "whitespace churn")],  # normalization-equal to version a
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(a, b).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   5: "added", 4: "unchanged"}
