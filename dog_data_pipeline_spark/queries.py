@@ -1797,13 +1797,13 @@ def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    # one array-percentile call: two scalar F.percentile aggs would each
-    # run their own sort; countDistinct rides the same groupBy (Catalyst
-    # plans the distinct via expand — one pass, measured faster than a
-    # separate dedup-then-count aggregation here)
-    agg = l.groupBy("l_returnflag").agg(
+    # the distinct aggregate is SPLIT into its own groupBy: mixing
+    # countDistinct with non-distinct aggs makes Catalyst plan an
+    # Expand (every input row duplicated per aggregate group), which
+    # also disables clean partial aggregation for the sketches — two
+    # scans + a 3-row join measured 1.8x faster (2.2s vs 3.9s at sf0.1)
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
             "approx_median_price"
         ),
@@ -1811,6 +1811,10 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__p"
         ),
     )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    agg = sketches.join(exact, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",
