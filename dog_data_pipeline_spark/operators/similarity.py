@@ -153,6 +153,69 @@ def _train_centroids(
     return [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
 
 
+def with_prototypicality(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster assignment + cosine-to-own-centroid for every vector:
+    (id_col, cell, centroid_sim) joined onto the input columns.
+
+    This is the shared scoring core of SemDeDup (drop near-identical
+    cluster cores) and SSL-prototypes/D4-style pruning (drop the most
+    prototypical examples — they carry the least marginal information).
+    Map-only after the bounded-sample quantizer: centroids are plan
+    literals, assignment and the dot fold run in one codegen'd
+    projection.
+    """
+    c = _with_norm(emb, id_col, vec_col, "c")
+    centroids = _train_centroids(c, n_clusters, seed)
+    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids])
+    cent_norms = F.array(
+        *[F.lit(float(np.sqrt(sum(x * x for x in ctr)))) for ctr in centroids]
+    )
+    own = F.element_at(cent_arr, F.col("cell") + 1)
+    cdot = F.aggregate(
+        F.zip_with(F.col("c_v"), own, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return assigned.withColumn(
+        "centroid_sim",
+        cdot / (F.col("c_norm") * F.element_at(cent_norms, F.col("cell") + 1)),
+    )
+
+
+def prototype_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    prune_fraction: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """SSL-prototypes/D4 pruning flags: within each cluster, mark the
+    ``prune_fraction`` MOST prototypical vectors (highest cosine to
+    centroid) for removal — cluster cores are the most redundant mass
+    in a training corpus. Per-cell percent_rank window; cells are
+    bounded by n_clusters choice, so no single-task sort at scale.
+
+    Returns (id_col, cell, centroid_sim, prune)."""
+    scored = with_prototypicality(emb, id_col, vec_col, n_clusters, seed)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centroid_sim").desc(), F.col("c_id")
+    )
+    return scored.select(
+        F.col("c_id").alias(id_col),
+        "cell",
+        "centroid_sim",
+        (F.percent_rank().over(w) < prune_fraction).alias("prune"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -182,30 +245,12 @@ def semantic_dedup(
     """
     from dog_data_pipeline_spark.operators.clustering import connected_components
 
-    c = _with_norm(emb, id_col, vec_col, "c")
-    centroids = _train_centroids(c, n_clusters, seed)
-    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
-
-    # cosine to own centroid: pick the centroid row-wise from an array
-    # literal (element_at is 1-based), fold the dot product JVM-side
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids])
-    cent_norms = F.array(
-        *[F.lit(float(np.sqrt(sum(x * x for x in ctr)))) for ctr in centroids]
-    )
-    own = F.element_at(cent_arr, F.col("cell") + 1)
-    cdot = F.aggregate(
-        F.zip_with(F.col("c_v"), own, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = assigned.withColumn(
-        "centroid_sim",
-        cdot / (F.col("c_norm") * F.element_at(cent_norms, F.col("cell") + 1)),
-    )
     # assigned feeds two actions (edge materialization inside
     # connected_components, then the group/keep join): checkpoint it
     # lazily so the scan + normalize + assign pipeline runs once
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = with_prototypicality(
+        emb, id_col, vec_col, n_clusters, seed
+    ).localCheckpoint(eager=False)
 
     # within-cell duplicate edges via per-cell numpy matmul
     # (applyInPandas): the paper's shape — each cluster is pairwise-

@@ -3212,6 +3212,28 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prototype_pruning",
+    None,  # kmeans coarse clustering → rows-only check
+    "SSL-prototypes/D4-style data pruning (north-star dedup/pruning "
+    "family): within each k-means cell, flag the 20% most prototypical "
+    "vectors (highest cosine to centroid) — cluster cores are the most "
+    "redundant training mass. Per-cell percent_rank window; cell sizes "
+    "are bounded by the n_clusters knob, so no single-task sort at "
+    "scale. Shares the quantizer/assignment core with semantic_dedup.",
+)
+def prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(
+        emb, "vec_id", "embedding", n_clusters=8, prune_fraction=0.2
+    )
+    return out.select(
+        "vec_id", "cell", F.round("centroid_sim", 6).alias("centroid_sim"), "prune"
+    )
+
+
+@query(
     "rolling_fingerprint",
     None,  # xxhash64 is engine-specific → rows-only check
     "Order-sensitive document fingerprint: chained xxhash64 fold over "

@@ -242,3 +242,36 @@ def test_semantic_dedup_keep_rule_is_least_prototypical(spark):
         kept = [m for m in members if m["keep"]][0]
         min_sim = min(m["centroid_sim"] for m in members)
         assert abs(kept["centroid_sim"] - min_sim) < 1e-12
+
+
+def test_prototype_prune_flags_cluster_cores(spark):
+    from dog_data_pipeline_spark.operators.similarity import prototype_prune
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = prototype_prune(emb, "vec_id", "embedding", n_clusters=4, prune_fraction=0.25)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # every vector gets a verdict
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        pruned = [m for m in members if m["prune"]]
+        frac = len(pruned) / len(members)
+        assert frac <= 0.35, (cell, frac)  # ~25% plus rank granularity
+        # pruned members are the TOP of the centroid_sim ranking
+        if pruned:
+            min_pruned = min(m["centroid_sim"] for m in pruned)
+            kept_above = [
+                m for m in members
+                if not m["prune"] and m["centroid_sim"] > min_pruned + 1e-12
+            ]
+            assert not kept_above
+
+
+def test_prototype_prune_deterministic(spark):
+    from dog_data_pipeline_spark.operators.similarity import prototype_prune
+
+    emb = load(spark, SF_DIR, "embeddings")
+    a = {r["vec_id"]: r["prune"] for r in prototype_prune(emb).collect()}
+    b = {r["vec_id"]: r["prune"] for r in prototype_prune(emb.repartition(7)).collect()}
+    assert a == b
