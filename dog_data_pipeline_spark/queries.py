@@ -1830,6 +1830,43 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_cms",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS cms_within_bound
+    FROM events GROUP BY event_type
+    """,
+    "Count-Min-Sketch heavy hitters (generic agg surface, sketch "
+    "family beside HLL): one count_min_sketch aggregate (mergeable, "
+    "constant memory — the streaming/distributed frequency sketch), "
+    "deserialized once on the driver; per-key estimates must satisfy "
+    "the CMS guarantee exact <= est <= exact + eps*N, asserted as a "
+    "column the oracle expects TRUE. The exact counts ride a normal "
+    "partial-aggregated groupBy.",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 0.005
+    ev = _t(spark, sf_dir, "events")
+    blob = ev.agg(
+        F.count_min_sketch("event_type", F.lit(eps), F.lit(0.99), F.lit(42)).alias("s")
+    ).collect()[0]["s"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
+    exact = [
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    total = sum(n for _, n in exact)
+    rows = []
+    for key, n in exact:
+        est = cms.estimateCount(key)
+        rows.append((key, n, bool(n <= est <= n + eps * total)))
+    return spark.createDataFrame(
+        rows, "event_type STRING, n_exact BIGINT, cms_within_bound BOOLEAN"
+    )
+
+
+@query(
     "stats_aggregates",
     """
     SELECT l_returnflag,
