@@ -58,3 +58,41 @@ def test_packing_preserves_every_chunk_once(spark):
         .count()
     )
     assert dense == 0
+
+
+def test_packing_matches_python_md5_replay(spark):
+    """The layout contract: an auditor can reproduce (shard, bin,
+    position) for every chunk with nothing but hashlib — replay it in
+    python and diff."""
+    import hashlib
+
+    rows = [(d, i, 5 + (d * 7 + i) % 9) for d in range(40) for i in range(d % 4 + 1)]
+    df = spark.createDataFrame(rows, "doc_id LONG, chunk_idx INT, n_chunk_tokens INT")
+    budget, shards = 64, 4
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["shard"], r["bin"], r["position"])
+        for r in pack_chunks(df, budget=budget, num_shards=shards).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    keyed = []
+    for d, i, n in rows:
+        key = f"{d}:{i}"
+        keyed.append(
+            (int(md5(key)[:6], 16) % shards, md5("pack-order:" + key), d, i, n)
+        )
+    expect = {}
+    for shard in range(shards):
+        members = sorted(
+            [k for k in keyed if k[0] == shard], key=lambda k: (k[1], k[2], k[3])
+        )
+        prefix, bins = 0, {}
+        for _, _, d, i, n in members:
+            b = prefix // budget
+            pos = bins.get(b, 0)
+            bins[b] = pos + 1
+            expect[(d, i)] = (shard, b, pos)
+            prefix += n
+    assert got == expect
