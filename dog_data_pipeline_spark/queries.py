@@ -2757,6 +2757,61 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ccnet_quality_tiers",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT sum(cnt) AS total, count(*) AS vocab FROM freq
+    ), scored AS (
+      SELECT doc_id, round(exp(avg(-ln((cnt + 0.5) / (total + 0.5 * vocab)))), 4) AS ppl
+      FROM tok JOIN freq USING (tok), stats
+      GROUP BY doc_id
+    ), tiered AS (
+      SELECT s.doc_id, d.lang, s.ppl,
+             ntile(3) OVER (PARTITION BY d.lang ORDER BY s.ppl, s.doc_id) AS b
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, ppl,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+    FROM tiered
+    """,
+    "CCNet head/middle/tail quality split (Wenzek et al. 2020): "
+    "per-language perplexity terciles under the corpus unigram LM. The "
+    "terciles come from the DISTRIBUTED exact ntile (ntile_ranged: "
+    "range-partition + per-slice rank + broadcast offsets) — never a "
+    "per-language single-task sort, the straggler shape a plain "
+    "ntile().over(partitionBy(lang)) plans at 100 TB. Ordering uses the "
+    "ROUNDED perplexity with doc_id tie-break so both engines rank "
+    "identically despite float summation-order differences.",
+)
+def ccnet_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import lm_cross_entropy
+    from dog_data_pipeline_spark.operators.windows import ntile_ranged
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        lm_cross_entropy(docs, "doc_id", "text")
+        .select("doc_id", F.round("ppl", 4).alias("ppl"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    tiered = ntile_ranged(
+        scored, 3, partition_by=["lang"], order_by=["ppl", "doc_id"], out="b"
+    )
+    return tiered.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("tier"),
+    )
+
+
+@query(
     "pii_masked_customers",
     r"""
     WITH synth AS (
