@@ -40,6 +40,7 @@ def write_sharded(
     size_col: str | None = None,
     mode: str = "overwrite",
     use_existing_shard: bool = False,
+    split_col: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``path/shard=K/`` parquet and return the manifest
     DataFrame (shard, n_rows[, total_size]) computed from the data.
@@ -49,18 +50,23 @@ def write_sharded(
     per-rank workload estimate). ``use_existing_shard``: the df already
     carries a ``shard`` column that must be preserved (e.g. the packing
     shard, where a sequence's chunks must land in one file).
+    ``split_col``: optional split-assignment column (train/val/test);
+    the layout becomes ``split=S/shard=K/`` so a trainer's scan of one
+    split prunes the others at planning time, and the manifest reports
+    per (split, shard).
     """
     sharded = df if use_existing_shard else with_shard(df, key_col, num_shards)
+    part_cols = ([split_col] if split_col else []) + ["shard"]
     (
-        sharded.repartition(num_shards, "shard")
+        sharded.repartition(num_shards, *part_cols)
         .write.mode(mode)
-        .partitionBy("shard")
+        .partitionBy(*part_cols)
         .parquet(path)
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if size_col is not None:
         aggs.append(F.sum(size_col).alias("total_size"))
-    return sharded.groupBy("shard").agg(*aggs)
+    return sharded.groupBy(*part_cols).agg(*aggs)
 
 
 def read_shard(spark, path: str, shard: int) -> DataFrame:

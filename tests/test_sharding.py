@@ -133,3 +133,31 @@ def test_streaming_upsert_sink_last_batch_wins(spark, tmp_path):
     assert got[2] == "v1 two" and got[3] == "v1 three"
     assert got[1] in ("v1 one", "v2 one")  # whichever file listed later wins
     assert len(got) == 3
+
+
+def test_split_aware_export_prunes_and_keeps_splits_stable(spark, tmp_path):
+    from dog_data_pipeline_spark.operators.sampling import with_split
+    from dog_data_pipeline_spark.sources.sharding import write_sharded
+
+    docs = with_split(load(spark, SF_DIR, "documents"), "doc_id")
+    out = str(tmp_path / "split_export")
+    manifest = write_sharded(
+        docs, out, "doc_id", num_shards=4, split_col="split"
+    )
+    rows = manifest.collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    # layout: split=S/shard=K directories
+    assert os.path.isdir(os.path.join(out, "split=train", "shard=0"))
+    # a train-only scan prunes the other splits at planning time
+    train = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        train._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # split assignment matches the sampling module's stable hash
+    got_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    expect_train = {
+        r["doc_id"] for r in docs.filter(F.col("split") == "train").collect()
+    }
+    assert got_train == expect_train
