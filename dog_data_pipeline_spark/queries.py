@@ -2757,6 +2757,48 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curriculum_order",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','for'], x)))::DOUBLE
+               / len(string_split_regex(trim(text), '\s+')) * 0.3
+             + least(len(string_split_regex(trim(text), '\s+')), 100)::DOUBLE / 100 * 0.4
+             + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text) * 0.3, 4) AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS BIGINT) AS curriculum_pos
+    FROM q
+    """,
+    "Curriculum ordering (easy/clean-first training schedules): every "
+    "document gets a dense position by descending quality score. The "
+    "global order comes from dense_ids' range-partition + per-slice "
+    "rank + offset composition — a PARALLEL global sort, never the "
+    "single-task row_number window a naive orderBy plans. Rounded "
+    "quality + doc_id tie-break keeps both engines' orders identical.",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.relational import dense_ids
+    from dog_data_pipeline_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text").select(
+        "doc_id", F.round("quality", 4).alias("quality")
+    )
+    # descending quality with ascending tie-break, as one range-sortable
+    # key: (-quality, doc_id) in a struct
+    keyed = scored.withColumn(
+        "__ord", F.struct((-F.col("quality")).alias("q"), F.col("doc_id").alias("d"))
+    )
+    return (
+        dense_ids(keyed, "__ord", out="curriculum_pos")
+        .select("doc_id", "quality", "curriculum_pos")
+    )
+
+
+@query(
     "ccnet_quality_tiers",
     r"""
     WITH tok AS (
