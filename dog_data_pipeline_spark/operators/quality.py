@@ -74,6 +74,37 @@ def foreign_key(
     return Check(name or f"foreign_key:{col}", orphans)
 
 
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostics: the top-k hottest keys with their row
+    counts, each key's share of the table, and its skew factor
+    (count / mean-rows-per-key). A skew factor in the hundreds on a
+    join key is the signal to reach for salted_join / AQE skew
+    handling BEFORE the 100-TB run falls over on one straggler task.
+
+    One partial-aggregated groupBy + a TakeOrdered top-k + a broadcast
+    of the 1-row totals — nothing driver-bound.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.orderBy(F.col("n_rows").desc(), key_col)
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__keys")), 2
+            ).alias("skew_factor"),
+        )
+    )
+
+
 def dq_report(checks: list[Check]) -> DataFrame:
     """(check_name, n_violations, passed) — one row per check."""
     out = None

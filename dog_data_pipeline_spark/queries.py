@@ -2612,6 +2612,33 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_report",
+    """
+    WITH c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT sum(n_rows) AS total, count(*) AS keys FROM c
+    )
+    SELECT l_partkey, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows / (total / keys), 2) AS skew_factor
+    FROM c, t
+    ORDER BY n_rows DESC, l_partkey
+    LIMIT 10
+    """,
+    "Join-key skew diagnostics (the pre-flight for salted_join / AQE "
+    "skew handling): top-10 hottest l_partkey values with row share and "
+    "skew factor (count over mean rows/key). One partial-aggregated "
+    "groupBy + TakeOrdered + broadcast totals.",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", top_k=10)
+
+
+@query(
     "dq_violation_report",
     """
     SELECT 'foreign_key:l_orderkey' AS check_name,

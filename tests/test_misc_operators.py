@@ -155,3 +155,17 @@ def test_snapshot_diff_classifies_all_cases(spark):
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(a, b).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    5: "added", 4: "unchanged"}
+
+
+def test_skew_report_flags_hot_key(spark):
+    from dog_data_pipeline_spark.operators.quality import skew_report
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, 900).select(F.lit("hot").alias("k"))
+    cold = spark.range(0, 100).select(F.concat(F.lit("c"), F.col("id")).alias("k"))
+    rep = skew_report(hot.unionByName(cold), "k", top_k=3).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["n_rows"] == 900
+    assert rep[0]["share"] == 0.9
+    # 101 keys, 1000 rows -> mean ~9.9 rows/key; hot is ~91x the mean
+    assert rep[0]["skew_factor"] > 80
+    assert all(r["skew_factor"] <= 1.0 for r in rep[1:])
