@@ -160,6 +160,40 @@ def token_budget_sample(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split hash is computed on each document's
+    DUPLICATE-CLUSTER representative, not on the document itself, so
+    every member of a near-dup cluster lands in the same split. Docs
+    with no duplicate keep their own key (identical to with_split).
+
+    ``dup_pairs``: (id_a, id_b) edges from any pair detector
+    (jaccard/minhash/simhash/embedding/semantic). Cluster resolution
+    reuses connected_components; the label join is the only extra
+    shuffle over plain with_split.
+    """
+    from dog_data_pipeline_spark.operators.clustering import connected_components
+
+    labels = connected_components(dup_pairs).withColumnRenamed("id", key_col)
+    joined = docs.join(labels, key_col, "left")
+    keyed = joined.withColumn(
+        "__split_key", F.coalesce(F.col("cluster"), F.col(key_col))
+    )
+    out = with_split(keyed, "__split_key", weights, salt, split_col)
+    return out.drop("__split_key", "cluster")
+
+
 def split_sql_case(
     key_col: str,
     weights: Sequence[tuple[str, float]] = (

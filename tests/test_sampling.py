@@ -148,3 +148,36 @@ def test_token_budget_sample_is_deterministic(spark):
     a = {r["doc_id"] for r in token_budget_sample(df, "doc_id", "source", "n_toks", 200.0).collect()}
     b = {r["doc_id"] for r in token_budget_sample(df.repartition(13), "doc_id", "source", "n_toks", 200.0).collect()}
     assert a == b and len(a) > 0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from dog_data_pipeline_spark.operators.sampling import leakage_safe_split
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plant near-identical copies under shifted ids
+    dup = docs.limit(20).select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    assert pairs.count() >= 20
+    out = leakage_safe_split(corpus, pairs, "doc_id")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    # every planted pair shares a split
+    for r in pairs.collect():
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r["id_a"], r["id_b"])
+    # and non-duplicated docs keep the plain with_split assignment
+    from dog_data_pipeline_spark.operators.sampling import with_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, "doc_id").collect()
+    }
+    dup_ids = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    for d, s in split_of.items():
+        if d not in dup_ids:
+            assert s == plain.get(d, s)
