@@ -358,6 +358,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     block_bits: int = 16,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -367,10 +368,15 @@ def simhash_pairs(
     within blocks. For a guaranteed-recall variant, block on each of
     ceil(64/(max_hamming+1)) disjoint bit-chunks instead (pigeonhole);
     this single-block version is the cheap high-precision screen.
+
+    ``sig`` optionally supplies precomputed (id, simhash) signatures —
+    callers that also need the signatures elsewhere (e.g. the registry's
+    brute-force certification) pass them in so the 64-aggregate
+    signature job runs once.
     """
-    sig = simhash64(df, id_col, text_col).withColumn(
-        "block", F.shiftright("simhash", 64 - block_bits)
-    )
+    if sig is None:
+        sig = simhash64(df, id_col, text_col)
+    sig = sig.withColumn("block", F.shiftright("simhash", 64 - block_bits))
     a = sig.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block"
     )
@@ -391,6 +397,7 @@ def simhash_pairs_pigeonhole(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall at hamming <= h
     (the pigeonhole variant ``simhash_pairs`` documents).
@@ -409,7 +416,8 @@ def simhash_pairs_pigeonhole(
     """
     n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)
-    sig = simhash64(df, id_col, text_col)
+    if sig is None:
+        sig = simhash64(df, id_col, text_col)
     chunks = []
     off = 0
     for i in range(n_chunks):

@@ -105,21 +105,25 @@ def with_rolling_fingerprint(
     (two docs with the same tokens in different order get different
     fingerprints, unlike a token-set hash).
 
-    rfp = fold(tokens, acc -> xxhash64(acc, token)). Chaining through
-    xxhash64 instead of the classic ``acc*base + h(token)`` polynomial
-    keeps the fold free of long arithmetic: Spark 4 defaults to ANSI
-    mode, where 64-bit overflow THROWS instead of wrapping, so a
-    polynomial fold over full-range token hashes aborts on any document
-    with enough tokens to overflow. Spark-only (no SQL oracle: xxhash64
-    is engine-specific) → rows-only correctness check.
+    rfp = fold(tokens, acc -> md5(acc || ':' || token)), acc0 = ''.
+    Chaining through a hash instead of the classic ``acc*base +
+    h(token)`` polynomial keeps the fold free of long arithmetic:
+    Spark 4 defaults to ANSI mode, where 64-bit overflow THROWS instead
+    of wrapping, so a polynomial fold over full-range token hashes
+    aborts on any document with enough tokens to overflow. The chain
+    hash is md5 (not xxhash64) deliberately: md5 is the one keyed hash
+    both Spark and DuckDB implement bit-identically, so the fold is
+    cross-engine reproducible and the registry query carries a full
+    value-hash oracle (``list_reduce(list_prepend('', toks), (acc, t)
+    -> md5(acc || ':' || t))``) instead of a rows-only check.
     """
     toks = tokens(F.col(text_col))
     return df.withColumn(
         out,
         F.aggregate(
             toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: F.xxhash64(acc, t),
+            F.lit(""),
+            lambda acc, t: F.md5(F.concat(acc, F.lit(":"), t)),
         ),
     )
 

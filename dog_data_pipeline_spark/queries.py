@@ -3107,52 +3107,179 @@ def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_dedup",
-    None,  # hash family is engine-specific → rows-only check
-    "MinHash+LSH near-dedup (north-star dedup): 64 minhashes from "
-    "seed-parameterized xxhash64, 16 bands, bucket self-join, "
-    "signature-estimated jaccard >= 0.35. The sub-quadratic scale path — "
-    "the shuffle carries (band_hash, id) rows only.",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard,
+           TRUE AS lsh_recall_complete
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    """,
+    "MinHash+LSH near-dedup, SELF-CERTIFYING (north-star dedup): 64 "
+    "minhashes from seed-parameterized xxhash64, 16 bands, bucket "
+    "self-join, signature-estimated jaccard >= 0.35 — then the standard "
+    "candidate->verify pipeline recomputes EXACT jaccard on candidates "
+    "and keeps pairs above the true threshold 0.5. The oracle replays "
+    "the exact-jaccard join in SQL: rows hash-match iff LSH candidate "
+    "generation recovered every true pair (lsh_recall_complete also "
+    "asserts the anti-join of true pairs vs candidates is empty — a "
+    "missed pair flips the boolean AND drops a row, both hash-visible). "
+    "The hash family itself is engine-specific; what gets certified is "
+    "the detector's end-to-end dedup decision. Scale shape unchanged: "
+    "the bucket join shuffles (band_hash, id) rows only; exact "
+    "verification touches candidate-cardinality rows.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(
+    cand = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.35
+    ).select("id_a", "id_b")
+    exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    verified = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missed")
     )
-    return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    return verified.crossJoin(F.broadcast(missed)).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        (F.col("__n_missed") == 0).alias("lsh_recall_complete"),
+    )
+
+
+def _pair_set_equal(left: DataFrame, right: DataFrame, out: str) -> DataFrame:
+    """1-row boolean: the (id_a, id_b) sets of `left` and `right` are
+    identical (symmetric difference empty). The certification primitive
+    for detector-vs-bruteforce replays."""
+    l = left.select("id_a", "id_b")
+    r = right.select("id_a", "id_b")
+    sym = l.join(r, ["id_a", "id_b"], "left_anti").union(
+        r.join(l, ["id_a", "id_b"], "left_anti")
+    )
+    return sym.agg((F.count(F.lit(1)) == 0).alias(out))
 
 
 @query(
     "simhash_dedup",
-    None,  # xxhash64 is engine-specific → rows-only check
-    "SimHash near-dedup (north-star dedup): 64-bit signatures from "
-    "token-hash bit votes, blocked self-join on top-16 signature bits, "
-    "hamming distance <= 12 via bit_count(xor).",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS matches_blocked_bruteforce,
+           TRUE AS all_pairs_within_hamming
+    FROM documents
+    """,
+    "SimHash near-dedup, SELF-CERTIFYING (north-star dedup): 64-bit "
+    "signatures from token-hash bit votes, blocked self-join on top-16 "
+    "signature bits, hamming <= 12 via bit_count(xor). xxhash64 "
+    "signatures have no cross-engine SQL analog, so the query certifies "
+    "the detector against an independent in-plan replay instead "
+    "(heavy_hitters_cms pattern — invariants emitted as columns the "
+    "oracle expects TRUE): matches_blocked_bruteforce asserts the "
+    "blocked bucket join emits EXACTLY the pairs a brute-force "
+    "all-pairs scan (broadcast nested-loop over the tiny signature "
+    "table, certification-only — the operator itself stays "
+    "sub-quadratic) finds under the same block+hamming predicate; "
+    "all_pairs_within_hamming re-checks every emitted hamming. A "
+    "bucketing/join bug flips a boolean and fails the value hash.",
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.dedup import simhash_pairs
+    from dog_data_pipeline_spark.operators.dedup import simhash64, simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=12, block_bits=16)
+    # signatures feed the operator AND the brute-force replay: compute once
+    sig = simhash64(docs, "doc_id", "text").localCheckpoint(eager=False)
+    emitted = simhash_pairs(
+        docs, "doc_id", "text", max_hamming=12, block_bits=16, sig=sig
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.shiftright("sa", 48) == F.shiftright("sb", 48))
+            & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 12)
+        )
+        .select("id_a", "id_b")
+    )
+    set_ok = _pair_set_equal(emitted, brute, "matches_blocked_bruteforce")
+    ham_ok = emitted.agg(
+        (F.count(F.when(F.col("hamming") > 12, 1)) == 0).alias(
+            "all_pairs_within_hamming"
+        )
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(set_ok))
+        .crossJoin(F.broadcast(ham_ok))
+    )
 
 
 @query(
     "simhash_pigeonhole_dedup",
-    None,  # xxhash64 is engine-specific → rows-only check
-    "SimHash near-dedup with GUARANTEED recall (north-star dedup): the "
-    "signature splits into max_hamming+1 disjoint chunks — h differing "
-    "bits cannot touch all h+1 chunks, so every hamming<=h pair agrees "
-    "on at least one bucket (pigeonhole). Candidate bucket join, then "
-    "exact bit_count(xor). Recall-1.0 complement to simhash_dedup's "
-    "cheap top-bits screen; recall property-tested against the exact "
-    "all-pairs hamming join.",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS recall_complete,
+           TRUE AS all_pairs_within_hamming
+    FROM documents
+    """,
+    "SimHash near-dedup with GUARANTEED recall, SELF-CERTIFYING "
+    "(north-star dedup): the signature splits into max_hamming+1 "
+    "disjoint chunks — h differing bits cannot touch all h+1 chunks, so "
+    "every hamming<=h pair agrees on at least one bucket (pigeonhole). "
+    "Candidate bucket join, then exact bit_count(xor). The recall-1.0 "
+    "THEOREM is verified on the data every run: recall_complete asserts "
+    "the bucketed operator's pair set equals the unrestricted "
+    "brute-force hamming<=3 join (broadcast nested-loop replay, "
+    "certification-only — the operator stays sub-quadratic), emitted as "
+    "a column the oracle expects TRUE. Complement to simhash_dedup's "
+    "cheap top-bits precision screen.",
 )
 def simhash_pigeonhole_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.dedup import simhash_pairs_pigeonhole
+    from dog_data_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_pairs_pigeonhole,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs_pigeonhole(docs, "doc_id", "text", max_hamming=3)
+    sig = simhash64(docs, "doc_id", "text").localCheckpoint(eager=False)
+    emitted = simhash_pairs_pigeonhole(docs, "doc_id", "text", max_hamming=3, sig=sig)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        )
+        .select("id_a", "id_b")
+    )
+    set_ok = _pair_set_equal(emitted, brute, "recall_complete")
+    ham_ok = emitted.agg(
+        (F.count(F.when(F.col("hamming") > 3, 1)) == 0).alias(
+            "all_pairs_within_hamming"
+        )
+    )
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(set_ok))
+        .crossJoin(F.broadcast(ham_ok))
+    )
 
 
 @query(
@@ -3186,11 +3313,47 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    None,  # iterative fixpoint algorithm — no SQL analog; rows-only check
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    ), ed AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(node, front) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT walk.node, ed.b FROM walk JOIN ed ON walk.front = ed.a
+    ), comp AS (
+      SELECT node AS id, min(front) AS cluster FROM walk GROUP BY node
+    )
+    SELECT cluster, min(id) AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY cluster
+    """,
     "Connected components over near-dup pairs (iterative min-label "
-    "propagation, localCheckpoint-truncated lineage): A~B + B~C collapse "
-    "into one cluster with a min-id representative — the step that turns "
-    "pair detectors into an actual corpus curation decision.",
+    "propagation, localCheckpoint-truncated lineage; driver union-find "
+    "fast path under 2M edges): A~B + B~C collapse into one cluster "
+    "with a min-id representative — the step that turns pair detectors "
+    "into an actual corpus curation decision. FULL value-hash oracle: "
+    "DuckDB replays the jaccard edge set and resolves components with a "
+    "recursive reachability CTE (min reachable id == min-label "
+    "fixpoint), so the cluster labels themselves are checked, not just "
+    "row counts.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.clustering import (
@@ -3308,49 +3471,129 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_EXACT_CERT_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]))
+               / (qnorm * c.norm) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, round(min(cosine), 6) AS kth_exact_cosine,
+           TRUE AS returned_full_k, TRUE AS {recall_col},
+           TRUE AS approx_kth_le_exact
+    FROM ranked WHERE rank <= 10 GROUP BY query_id
+"""
+
+
+def _knn_certificate(
+    exact: DataFrame, approx: DataFrame, k: int, min_hits: int, recall_col: str
+) -> DataFrame:
+    """Per-query ANN certificate vs the exact top-k: the exact kth
+    cosine (the SQL-checkable anchor), full-k return, recall@k >= a
+    measured-safe floor, and the dominance invariant that an
+    approximate kth cosine can never beat the exact kth (candidates are
+    a corpus subset reranked with the identical fold, so the comparison
+    is exact — no epsilon)."""
+    ex_agg = exact.groupBy("query_id").agg(
+        F.round(F.min("cosine"), 6).alias("kth_exact_cosine"),
+        F.min("cosine").alias("__ex_kth"),
+    )
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    ap_agg = approx.groupBy("query_id").agg(
+        F.min("cosine").alias("__ap_kth"), F.count(F.lit(1)).alias("__ap_n")
+    )
+    return (
+        ex_agg.join(hits, "query_id", "left")
+        .join(ap_agg, "query_id", "left")
+        .select(
+            "query_id",
+            "kth_exact_cosine",
+            (F.coalesce("__ap_n", F.lit(0)) == k).alias("returned_full_k"),
+            (F.coalesce("__hits", F.lit(0)) >= min_hits).alias(recall_col),
+            (F.col("__ap_kth") <= F.col("__ex_kth")).alias("approx_kth_le_exact"),
+        )
+    )
+
+
 @query(
     "knn_cosine_lsh",
-    None,  # approximate (bucket-dependent recall) → rows-only check
+    _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_5"),
     "Approximate top-k cosine via multi-table random-hyperplane LSH "
     "(12 tables x 4 bits), exact rerank within candidate buckets "
     "(north-star similarity scale path — replaces the full cross "
-    "product with bucket joins; ~0.88 recall@10 on this corpus).",
+    "product with bucket joins; ~0.85 recall@10 on this corpus), "
+    "SELF-CERTIFYING: the query emits a per-query certificate against "
+    "the exact top-k — the exact kth cosine (value-hash-anchored in "
+    "SQL), returned_full_k, recall@10 >= 5 (measured floor 6/10 across "
+    "test SFs), and approx-kth <= exact-kth dominance. Bucket recall is "
+    "seed-deterministic, so a recall regression or rerank bug flips a "
+    "boolean and fails the hash.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(
+    approx = cosine_topk_lsh(
         emb, queries_df, k=10, id_col="vec_id", vec_col="embedding",
         bits_per_table=4, num_tables=12, dim=64,
     )
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    return _knn_certificate(exact, approx, k=10, min_hits=5, recall_col="recall10_ge_5")
 
 
 @query(
     "knn_cosine_ivf",
-    None,  # kmeans-trained index → rows-only check
+    _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
     "Approximate top-k cosine via an IVF index: a coarse quantizer "
     "(numpy Lloyd's k-means on a bounded TakeOrdered sample, FAISS "
-    "convention) partitions the corpus into cells; "
-    "queries probe the 3 nearest of 8 cells and exactly rerank — "
-    "~0.84 recall@10 scanning 3/8 of this corpus (north-star similarity "
-    "scale path, data-adaptive complement to RP-LSH).",
+    "convention) partitions the corpus into cells; queries probe the 3 "
+    "nearest of 8 cells and exactly rerank — scanning ~3/8 of this "
+    "corpus (north-star similarity scale path, data-adaptive complement "
+    "to RP-LSH). SELF-CERTIFYING like knn_cosine_lsh: per-query exact "
+    "kth cosine anchor + returned_full_k + recall@10 >= 2 (measured "
+    "floor 3/10 at n_probe=3 — the honest recall of a 3/8-cell probe "
+    "on this spread-out corpus) + approx-kth <= exact-kth dominance.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.similarity import cosine_topk_ivf
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk_ivf(
+    approx = cosine_topk_ivf(
         emb, queries_df, k=10, id_col="vec_id", vec_col="embedding",
         n_lists=8, n_probe=3,
     )
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    return _knn_certificate(exact, approx, k=10, min_hits=2, recall_col="recall10_ge_2")
 
 
 @query(
     "semantic_dedup",
-    None,  # kmeans coarse clustering → rows-only check
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS one_keep_per_group,
+           TRUE AS keep_rule_ok,
+           TRUE AS dup_edges_valid,
+           TRUE AS groups_labeled_min
+    FROM embeddings
+    """,
     "SemDeDup (Abbas et al. 2023) semantic near-duplicate removal "
     "(north-star dedup scale path): k-means cells bound the pairwise "
     "cosine join to within-cluster candidates (raise n_clusters to keep "
@@ -3358,7 +3601,14 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resolve edge sets to groups, and each group keeps its LEAST "
     "prototypical member (lowest cosine to the cell centroid — the "
     "paper's keep rule). Complements exact/minhash dedup: catches "
-    "paraphrases with no token overlap.",
+    "paraphrases with no token overlap. SELF-CERTIFYING (the k-means "
+    "cells have no SQL analog, so invariants ride TRUE-columns): "
+    "one_keep_per_group (exactly one keep per dup group), keep_rule_ok "
+    "(the kept member attains the group-min (centroid_sim, id) key), "
+    "dup_edges_valid (every grouped member has a same-group partner "
+    "with exact recomputed cosine > threshold — the edge semantics "
+    "re-derived from raw vectors, independent of the numpy path), "
+    "groups_labeled_min (group label == min member id).",
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.similarity import semantic_dedup
@@ -3366,21 +3616,89 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
         emb, "vec_id", "embedding", n_clusters=4, threshold=0.4
+    ).localCheckpoint(eager=False)
+
+    members = out.select("vec_id", "dup_group", "centroid_sim", "keep")
+    g = members.groupBy("dup_group").agg(
+        (F.sum(F.col("keep").cast("int")) == 1).alias("__one_keep"),
+        (
+            F.min(F.struct("centroid_sim", "vec_id"))
+            == F.min(F.when(F.col("keep"), F.struct("centroid_sim", "vec_id")))
+        ).alias("__keep_min"),
+        (F.min("vec_id") == F.first("dup_group")).alias("__label_min"),
     )
-    return out.select(
-        "vec_id", "cell", "dup_group", F.round("centroid_sim", 6).alias("centroid_sim"), "keep"
+    g_ok = g.agg(
+        F.coalesce(F.bool_and("__one_keep"), F.lit(True)).alias("one_keep_per_group"),
+        F.coalesce(F.bool_and("__keep_min"), F.lit(True)).alias("keep_rule_ok"),
+        F.coalesce(F.bool_and("__label_min"), F.lit(True)).alias("groups_labeled_min"),
+    )
+    # exact edge recheck from raw vectors: every grouped member must have
+    # >= 1 same-group partner above the cosine threshold
+    v = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__norm", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    mv = members.select("vec_id", "dup_group").join(
+        v, F.col("vec_id") == F.col("__id")
+    ).select("vec_id", "dup_group", "__v", "__norm")
+    pa = mv.select(
+        F.col("dup_group"), F.col("vec_id").alias("__ia"),
+        F.col("__v").alias("__va"), F.col("__norm").alias("__na"),
+    )
+    pb = mv.select(
+        F.col("dup_group"), F.col("vec_id").alias("__ib"),
+        F.col("__v").alias("__vb"), F.col("__norm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    partnered = (
+        pa.join(pb, "dup_group")
+        .filter(F.col("__ia") != F.col("__ib"))
+        .withColumn("__cos", dot / (F.col("__na") * F.col("__nb")))
+        .groupBy("__ia")
+        .agg(F.max("__cos").alias("__best"))
+    )
+    edges_ok = (
+        members.join(partnered, F.col("vec_id") == F.col("__ia"), "left")
+        .agg(F.coalesce(F.bool_and(F.col("__best") > 0.4), F.lit(True)).alias("dup_edges_valid"))
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(g_ok))
+        .crossJoin(F.broadcast(edges_ok))
+        .select(
+            "n_vectors", "one_keep_per_group", "keep_rule_ok",
+            "dup_edges_valid", "groups_labeled_min",
+        )
     )
 
 
 @query(
     "prototype_pruning",
-    None,  # kmeans coarse clustering → rows-only check
+    """
+    SELECT vec_id,
+           TRUE AS prune_boundary_ok,
+           TRUE AS fraction_ok,
+           TRUE AS sims_valid
+    FROM embeddings
+    """,
     "SSL-prototypes/D4-style data pruning (north-star dedup/pruning "
     "family): within each k-means cell, flag the 20% most prototypical "
     "vectors (highest cosine to centroid) — cluster cores are the most "
     "redundant training mass. Per-cell percent_rank window; cell sizes "
     "are bounded by the n_clusters knob, so no single-task sort at "
-    "scale. Shares the quantizer/assignment core with semantic_dedup.",
+    "scale. Shares the quantizer/assignment core with semantic_dedup. "
+    "SELF-CERTIFYING: output rows are exactly the corpus vec_ids "
+    "(hash-anchors that every vector got assigned and scored once), "
+    "and the TRUE-columns assert prune_boundary_ok (per cell, every "
+    "pruned vector strictly precedes every kept one in the "
+    "(centroid_sim DESC, id ASC) order — the whole prune decision "
+    "re-derived from the emitted scores), fraction_ok (per-cell prune "
+    "counts within the percent_rank<0.2 envelope), sims_valid (all "
+    "cosines in [-1, 1]).",
 )
 def prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.similarity import prototype_prune
@@ -3388,18 +3706,50 @@ def prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = prototype_prune(
         emb, "vec_id", "embedding", n_clusters=8, prune_fraction=0.2
+    ).localCheckpoint(eager=False)
+    # (sim DESC, id ASC) order key as an ascending-comparable struct
+    key = F.struct(F.col("centroid_sim").alias("s"), (-F.col("vec_id")).alias("ni"))
+    cells = out.groupBy("cell").agg(
+        F.min(F.when(F.col("prune"), key)).alias("__min_pruned"),
+        F.max(F.when(~F.col("prune"), key)).alias("__max_kept"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("prune").cast("int")).alias("__n_pruned"),
     )
-    return out.select(
-        "vec_id", "cell", F.round("centroid_sim", 6).alias("centroid_sim"), "prune"
+    flags = cells.agg(
+        F.coalesce(
+            F.bool_and(F.col("__min_pruned") > F.col("__max_kept")), F.lit(True)
+        ).alias("prune_boundary_ok"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("__n_pruned") <= F.col("__n") * 0.2 + 1)
+                & (F.col("__n_pruned") + 1 >= (F.col("__n") - 1) * 0.2)
+            ),
+            F.lit(True),
+        ).alias("fraction_ok"),
+    ).crossJoin(
+        F.broadcast(
+            out.agg(
+                F.bool_and(F.abs("centroid_sim") <= 1.0000001).alias("sims_valid")
+            )
+        )
     )
+    return out.select("vec_id").crossJoin(F.broadcast(flags))
 
 
 @query(
     "rolling_fingerprint",
-    None,  # xxhash64 is engine-specific → rows-only check
-    "Order-sensitive document fingerprint: chained xxhash64 fold over "
-    "tokens via an aggregate fold (north-star text analysis; ANSI-safe — "
-    "no long arithmetic in the fold).",
+    r"""
+    SELECT doc_id,
+           list_reduce(list_prepend('', string_split_regex(trim(text), '\s+')),
+                       (acc, t) -> md5(acc || ':' || t)) AS rfp
+    FROM documents
+    """,
+    "Order-sensitive document fingerprint: chained md5 fold over tokens "
+    "via an aggregate fold (north-star text analysis; ANSI-safe — no "
+    "long arithmetic in the fold). md5 is bit-identical across Spark "
+    "and DuckDB, so the whole chained fingerprint is value-hash-checked "
+    "against the oracle (was rows-only when the chain used engine-"
+    "specific xxhash64).",
 )
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.text import with_rolling_fingerprint

@@ -27,7 +27,8 @@ def test_rolling_fingerprint_collects_without_overflow(spark):
     df = _docs(spark, [("a", long_doc), ("b", "one two three")])
     out = {r["doc_id"]: r["rfp"] for r in with_rolling_fingerprint(df).collect()}
     assert set(out) == {"a", "b"}
-    assert all(isinstance(v, int) for v in out.values())
+    # md5-chain fold: 32-hex-char fingerprints
+    assert all(isinstance(v, str) and len(v) == 32 for v in out.values())
 
 
 def test_rolling_fingerprint_is_order_sensitive(spark):
