@@ -4512,16 +4512,20 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # north-star: deduplication
+    # north-star: deduplication (all self-certifying since round 3 —
+    # zero rows-only entries remain anywhere in the registry)
     "exact_dedup_groups",
     "ngram_jaccard_dedup",
     "ngram_jaccard_dedup_capped",
+    "ngram_jaccard_dedup_prefix",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "simhash_pigeonhole_dedup",
     "embedding_near_dups",
     "dedup_clusters",
     "corpus_curation",
+    "semantic_dedup",
+    "prototype_pruning",
     # north-star: similarity search
     "knn_cosine_topk",
     "knn_cosine_lsh",
@@ -4535,47 +4539,54 @@ _PRIORITY_ORDER = [
     # north-star: corpus curation (repetition quality + decontamination)
     "repetition_quality_filter",
     "benchmark_contamination",
-    # window straggler outside round 1's window (running_revenue /
-    # lead_lag_order_gaps yielded their slots to the curation queries
-    # above: plain built-in window shapes, locally oracle-tested)
+    # round-3 rotation: the LLM-curation family had local-oracle-only
+    # evidence through round 2 — these get their first driver rows now
+    "chunk_documents",
+    "packed_sequence_stats",
+    "lm_perplexity_scores",
+    "curriculum_order",
+    "ccnet_quality_tiers",
+    "deterministic_split_profile",
+    "stratified_lang_sample",
+    "token_budget_by_source",
+    "pii_masked_customers",
+    "dq_violation_report",
+    "join_skew_report",
+    "corpus_datacard",
+    "corpus_snapshot_diff",
+    # temporal shapes never driver-checked before
+    "gap_filled_daily_counts",
+    "sessionization",
+    # sketch family
+    "heavy_hitters_cms",
+    "approx_distinct_parts",
+    # generic-surface breadth never driver-checked before (skew remedy,
+    # grouping sets, stat aggs, pivot, percentiles)
+    "salted_skew_join",
+    "stats_aggregates",
+    "pivot_event_counts",
+    "grouping_sets_lineitem",
+    "percentile_quantities",
+    # round-2-green keepers whose driver rows are the sole §2 evidence
     "ntile_value_quartiles",
-    # custom temporal operators (the brief's named as-of/range joins)
-    # outrank the except/intersect built-ins for window slots; the
-    # latter remain locally oracle-tested
-    "asof_join_latest_event",
-    "range_join_event_pairs",
-    # sole driver evidence for SURVEY §2 rows
-    "filter_project_in",
-    "recode_fallthrough",
-    "derived_keys",
-    "broadcast_dim_join",
-    "anti_join_idempotence",
-    "scalar_subquery_filter",
-    "zip_join_positional",
-    "conditional_freq_users",
-    "completeness_users",
-    "group_max_pad",
-    "ordered_collect_seq",
-    "window_partition_max",
-    "dense_sequential_ids",
-    "topk_orders",
-    "union_ledger",
-    "tumbling_daily_counts",
-    "dead_letter_split",
-    "resume_offset",
-    "tracking_pipeline_samples",
-    "key_formatting",
-    "map_array_functions",
-    "json_props_extract",
     "multimodal_track_summary",
     "audio_feature_summary",
     "image_resize_stats",
-    "approx_distinct_parts",
     "min_cost_supplier",
 ]
-# NOTE: the list holds exactly 50 names — the driver's round-1 window.
-# Everything after slot 50 keeps local oracle coverage
-# (tests/test_queries_oracle.py) even when the driver doesn't reach it.
+# NOTE: the list holds exactly 50 names — the driver's window.
+# Round-3 rotation: the 24 queries green in BOTH rounds 1 and 2
+# (filter/join/agg/window §2 singles: filter_project_in,
+# recode_fallthrough, derived_keys, broadcast_dim_join,
+# anti_join_idempotence, scalar_subquery_filter, zip_join_positional,
+# conditional_freq_users, completeness_users, group_max_pad,
+# ordered_collect_seq, window_partition_max, dense_sequential_ids,
+# topk_orders, union_ledger, tumbling_daily_counts, dead_letter_split,
+# resume_offset, tracking_pipeline_samples, key_formatting,
+# map_array_functions, json_props_extract, asof_join_latest_event,
+# range_join_event_pairs) rotated OUT to make room for the
+# never-checked curation/breadth family. Everything outside the window
+# keeps the identical local oracle check (tests/test_queries_oracle.py).
 
 
 def _apply_registry_order() -> None:
