@@ -26,7 +26,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
-    small_threshold: int = 2_000_000,
+    small_threshold: int = 500_000,
 ) -> DataFrame:
     """(id_a, id_b) edge list → (id, cluster) with cluster = min member id.
 
@@ -37,10 +37,12 @@ def connected_components(
     MUCH smaller than the corpus that produced it, and each distributed
     label-propagation round costs two scheduled jobs — pure overhead
     when the graph fits the driver (measured 6.5s for a 700-node graph).
-    At or under ``small_threshold`` edges (2M ≈ tens of MB collected)
-    the component labels come from one driver-side union-find pass over
-    the SAME materialized edge list; above it, the fully-parallel
-    iterative path runs unchanged.
+    At or under ``small_threshold`` edges the component labels come from
+    one driver-side union-find pass over the SAME materialized edge
+    list, collected via Arrow (``toPandas`` of the two id columns —
+    columnar buffers, not per-edge Row objects, which cost ~100+ bytes
+    each and put the old 2M default at hundreds of driver-heap MB);
+    above it, the fully-parallel iterative path runs unchanged.
     """
     und = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).distinct()
     # materialize the edge list ONCE: it feeds either the union-find
@@ -60,8 +62,10 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in und.collect():
-            a, b = r["src"], r["dst"]
+        pdf = und.toPandas()
+        # .tolist() yields native Python scalars (numpy int64 keys would
+        # otherwise leak into createDataFrame's type verification)
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

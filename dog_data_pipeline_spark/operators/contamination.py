@@ -78,8 +78,17 @@ def decontaminate(
 ) -> DataFrame:
     """Drop corpus documents whose contamination exceeds the threshold
     (0.0 = drop on any shared n-gram). Anti-join against the flagged id
-    set — the corpus never shuffles; only flagged ids move."""
-    flagged = contamination_report(
-        corpus, benchmark, n=n, id_col=id_col, text_col=text_col
-    ).filter(F.col("contamination") > max_contamination).select(id_col)
+    set — the corpus never shuffles; only flagged ids move.
+
+    The filter uses the UNROUNDED ratio (n_matched / n_ngrams), not the
+    4-decimal report column: a long document (>~20k distinct n-grams)
+    with a handful of benchmark hits rounds to 0.0000 and would slip
+    past a rounded comparison — exactly the long-document case a
+    13-gram-style filter must catch. The rounded column stays
+    report-only."""
+    flagged = (
+        contamination_report(corpus, benchmark, n=n, id_col=id_col, text_col=text_col)
+        .filter(F.col("n_matched") / F.col("n_ngrams") > max_contamination)
+        .select(id_col)
+    )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")

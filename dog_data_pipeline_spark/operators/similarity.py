@@ -266,12 +266,19 @@ def semantic_dedup(
         ids = pdf["c_id"].to_numpy()
         sims = (x @ x.T) / np.outer(norms, norms)
         ia, ib = np.nonzero(np.triu(sims > threshold, k=1))
-        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        # dtype-agnostic pair ordering: argsort-free elementwise min/max
+        # works for ints; for strings/objects use where() on a comparison
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        lo, hi = np.where(swap, b, a), np.where(swap, a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
+    # the edge schema follows the caller's id column type — a string or
+    # int id corpus must not crash on a hardcoded 'long'
+    id_sql_type = emb.schema[id_col].dataType.simpleString()
     edges = assigned.select("c_id", "c_v", "c_norm", "cell").groupBy(
         "cell"
-    ).applyInPandas(_cell_pairs, "id_a long, id_b long")
+    ).applyInPandas(_cell_pairs, f"id_a {id_sql_type}, id_b {id_sql_type}")
 
     groups = connected_components(edges)
     w = Window.partitionBy("dup_group").orderBy(F.col("centroid_sim").asc(), F.col("c_id"))

@@ -20,9 +20,36 @@ counts without re-scanning the corpus. The writer here:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` through Spark's Hadoop conf —
+    existence probes and renames must go through this API, not
+    ``os.path``: the export root is routinely HDFS/S3, where the
+    driver's local filesystem sees nothing (an os.path probe silently
+    answering False would turn an upsert into a destructive fresh
+    write)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _existing_shard_dirs(spark, path: str) -> list[str]:
+    """Names of ``shard=K`` children under ``path`` (empty if the root
+    doesn't exist), probed through the Hadoop FileSystem API."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("shard=")
+    ]
 
 
 def with_shard(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
@@ -113,6 +140,17 @@ def upsert_sharded(
     costing O(updated shards) and an O(corpus) rewrite. Last-writer-wins
     within a batch is NOT resolved here — feed deduplicated updates (or
     compose with exact_dup_groups upstream).
+
+    Merge mechanics: STAGE-THEN-SWAP. The merged affected shards are
+    written to a dot-prefixed staging dir under the export root (hidden
+    from Spark readers), then each ``shard=K`` directory is swapped in
+    with a filesystem rename. Memory is bounded by a single write task
+    regardless of shard size — the earlier ``localCheckpoint`` merge
+    materialized every affected shard in the block manager, an
+    O(affected-corpus) driver-memory spike when a hot update batch
+    touches all shards. Existence is probed through the Hadoop
+    FileSystem API, so HDFS/S3 exports upsert instead of being silently
+    clobbered (an os.path probe answers False off-driver).
     """
     upd = with_shard(updates, key_col, num_shards)
     affected = sorted(
@@ -120,33 +158,48 @@ def upsert_sharded(
     )
     if not affected:
         return []
-    if os.path.isdir(path) and any(
-        d.startswith("shard=") for d in os.listdir(path)
-    ):
+    if _existing_shard_dirs(spark, path):
         current = spark.read.parquet(path).filter(F.col("shard").isin(affected))
         keep = current.join(
             F.broadcast(upd.select(key_col).distinct()), key_col, "left_anti"
         )
-        # materialize BEFORE overwriting: the merged plan reads the same
-        # path it writes, which Spark's file sink (correctly) rejects;
-        # the checkpoint swaps the file scan for materialized blocks.
-        # Memory cost is the affected shards only — for shards too big
-        # for the block manager, use catalog.py's stage-then-swap.
-        merged = keep.unionByName(upd).localCheckpoint()
+        merged = keep.unionByName(upd)
+        staging = f"{path.rstrip('/')}/.upsert-staging-{uuid.uuid4().hex}"
+        (
+            merged.repartition(len(affected), "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+        fs, _ = _hadoop_fs(spark, path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for k in affected:
+            src = jpath(f"{staging}/shard={k}")
+            dst = jpath(f"{path.rstrip('/')}/shard={k}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(src, dst):
+                raise IOError(f"shard swap failed: {src} -> {dst}")
+        fs.delete(jpath(staging), True)
     else:
-        merged = upd
-    (
-        merged.repartition(len(affected), "shard")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+        (
+            upd.repartition(len(affected), "shard")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(path)
+        )
     return affected
 
 
-def shard_paths(path: str) -> list[str]:
-    """The shard directories present under an export root."""
+def shard_paths(path: str, spark=None) -> list[str]:
+    """The shard directories present under an export root. Pass
+    ``spark`` to probe through the Hadoop FileSystem API (HDFS/S3);
+    without it the probe is driver-local (tests, local exports)."""
+    if spark is not None:
+        return sorted(
+            f"{path.rstrip('/')}/{d}" for d in _existing_shard_dirs(spark, path)
+        )
     return sorted(
         os.path.join(path, d)
         for d in os.listdir(path)

@@ -5,9 +5,10 @@ hygiene that makes it safe to run forever.
 A stream-stream join buffers BOTH sides in state; without watermarks and
 a time-range join condition that state grows without bound. The
 operators here force both: each input gets a watermark, and the join
-predicate includes ``right.ts ∈ [left.ts + lower, left.ts + upper]`` so
-the engine can evict rows once the watermark passes their latest
-possible match window. State per key is then O(rate × interval), not
+predicate includes ``right.ts ∈ [left.ts - lower, left.ts + upper]``
+(lower reaches BACK, matching the function signature) so the engine can
+evict rows once the watermark passes their latest possible match
+window. State per key is then O(rate × interval), not
 O(stream length) — the property that holds at any scale.
 """
 

@@ -104,6 +104,20 @@ def test_decontaminate_drops_only_contaminated(spark):
     assert kept == [2]
 
 
+def test_decontaminate_catches_long_doc_rounding_to_zero(spark):
+    # a document with >20k distinct n-grams and ONE benchmark hit has a
+    # contamination ratio that ROUNDS to 0.0000 — the filter must use
+    # the unrounded ratio and still drop it at max_contamination=0.0
+    filler = " ".join(f"w{i}" for i in range(100000))
+    long_doc = filler + " " + BENCH_DOC
+    corpus = _corpus(spark, [(1, long_doc), (2, "clean words only here")])
+    bench = _corpus(spark, [(100, BENCH_DOC)])
+    report = {r["doc_id"]: r for r in contamination_report(corpus, bench, n=5).collect()}
+    assert report[1]["contamination"] == 0.0  # rounded column really is 0
+    kept = [r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()]
+    assert kept == [2]
+
+
 def test_contamination_short_docs_are_safe(spark):
     # docs shorter than n tokens produce empty n-gram arrays, not errors
     corpus = _corpus(spark, [(1, "too short")])

@@ -102,6 +102,33 @@ def test_upsert_rewrites_only_affected_shards(spark, tmp_path):
     assert final.filter(F.col("doc_id") == 10**6).count() == 1
 
 
+def test_upsert_stage_then_swap_cleans_staging_and_is_idempotent(spark, tmp_path):
+    from dog_data_pipeline_spark.sources.sharding import upsert_sharded
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "ups2")
+    write_sharded(docs, out, "doc_id", num_shards=4)
+
+    updates = spark.createDataFrame(
+        [(5, "v1", "en", "s", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    upsert_sharded(spark, out, updates, "doc_id", num_shards=4)
+    # stage-then-swap must leave no staging residue behind
+    assert not [d for d in os.listdir(out) if d.startswith(".upsert-staging")]
+
+    # re-upserting the same key replaces, never duplicates (rename swap
+    # fully replaced the old shard directory)
+    updates2 = spark.createDataFrame(
+        [(5, "v2", "en", "s", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    upsert_sharded(spark, out, updates2, "doc_id", num_shards=4)
+    final = spark.read.parquet(out)
+    assert final.count() == docs.count()
+    assert final.filter(F.col("doc_id") == 5).collect()[0]["text"] == "v2"
+
+
 def test_streaming_upsert_sink_last_batch_wins(spark, tmp_path):
     from dog_data_pipeline_spark.streaming.upsert import upsert_sink
 
