@@ -1842,8 +1842,12 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "constant memory — the streaming/distributed frequency sketch), "
     "deserialized once on the driver; per-key estimates must satisfy "
     "the CMS guarantee exact <= est <= exact + eps*N, asserted as a "
-    "column the oracle expects TRUE. The exact counts ride a normal "
-    "partial-aggregated groupBy.",
+    "column the oracle expects TRUE. Driver traffic is bounded by the "
+    "sketch blob and the distinct KEY list (key cardinality, needed to "
+    "probe the JVM sketch object) — the exact per-key counts stay "
+    "DISTRIBUTED and the key->estimate map joins back in as a "
+    "broadcast, so nothing O(corpus) or O(count-mass) ever "
+    "materializes on the driver.",
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.005
@@ -1852,17 +1856,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_min_sketch("event_type", F.lit(eps), F.lit(0.99), F.lit(42)).alias("s")
     ).collect()[0]["s"]
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
-    exact = [
-        (r["event_type"], r["n"])
-        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    keys = [
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
     ]
-    total = sum(n for _, n in exact)
-    rows = []
-    for key, n in exact:
-        est = cms.estimateCount(key)
-        rows.append((key, n, bool(n <= est <= n + eps * total)))
-    return spark.createDataFrame(
-        rows, "event_type STRING, n_exact BIGINT, cms_within_bound BOOLEAN"
+    est_df = spark.createDataFrame(
+        [(k, cms.estimateCount(k)) for k in keys], "event_type STRING, __est BIGINT"
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        exact.join(F.broadcast(est_df), "event_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                (F.col("n_exact") <= F.col("__est"))
+                & (F.col("__est") <= F.col("n_exact") + eps * F.col("__total"))
+            ).alias("cms_within_bound"),
+        )
     )
 
 

@@ -197,6 +197,53 @@ def test_prefix_jaccard_equals_inverted_index_jaccard(spark):
     assert pref == base  # exact: prefix filtering loses no pair
 
 
+def _physical_plan(df) -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_jaccard_auto_picks_inverted_index_on_unskewed_corpus(spark):
+    # the synthetic corpus has max shingle-DF ~25 over mean ~1 — under
+    # the hot-df factor, so the plain inverted-index regime must run:
+    # its plan has NO per-doc rank Window (the prefix regime's marker)
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs_auto
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = jaccard_pairs_auto(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert "Window" not in _physical_plan(out)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == base
+
+
+def test_jaccard_auto_picks_prefix_regime_on_hot_shingles(spark):
+    # plant a boilerplate shingle in EVERY doc: max df == n_docs while
+    # the mean stays ~1 -> skew over the factor -> prefix regime, whose
+    # plan ranks shingles per doc (Window node present)
+    from dog_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_auto,
+        jaccard_pairs_prefix,
+    )
+
+    boiler = "standard legal disclaimer applies"
+    rows = [(i, f"{boiler} unique{i} body{i} words{i} here{i}") for i in range(200)]
+    rows += [(1000, f"{boiler} copy of this exact document text"),
+             (1001, f"{boiler} copy of this exact document text")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = jaccard_pairs_auto(docs, "doc_id", "text", n=3, threshold=0.5,
+                             hot_df_factor=20.0)
+    assert "Window" in _physical_plan(out)
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == expected
+    assert (1000, 1001) in expected
+
+
 def test_semantic_dedup_finds_planted_copies_keeps_one(spark):
     from dog_data_pipeline_spark.operators.similarity import semantic_dedup
 

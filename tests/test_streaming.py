@@ -193,6 +193,68 @@ def test_streaming_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert sum(counts) == events.count()  # no reprocessing of batch1
 
 
+def test_streaming_upsert_kill_and_resume_exactly_once(spark, tmp_path, monkeypatch):
+    """T4 hard mode (round-2 verdict item): a rate-limited stream
+    (maxFilesPerTrigger=1) through the upsert foreachBatch sink is
+    KILLED mid-stream by an injected micro-batch failure, then resumed
+    from the same checkpoint — the failed batch replays, committed
+    batches don't, and the final corpus holds every key exactly once."""
+    import dog_data_pipeline_spark.sources.sharding as sharding_mod
+    from dog_data_pipeline_spark.streaming.upsert import upsert_sink
+    from dog_data_pipeline_spark.tables import load
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "source")
+        .limit(200)
+    )
+    # 4 part files + maxFilesPerTrigger=1 -> 4 micro-batches
+    docs.repartition(4).write.parquet(str(src))
+    n_keys = docs.select("doc_id").distinct().count()
+
+    real_upsert = sharding_mod.upsert_sharded
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected micro-batch crash")
+        return real_upsert(*args, **kwargs)
+
+    monkeypatch.setattr(sharding_mod, "upsert_sharded", flaky)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = upsert_sink(stream, out, "doc_id", ckpt, num_shards=4)
+    with pytest.raises(Exception, match="injected micro-batch crash"):
+        q.awaitTermination(180)
+        raise AssertionError("query should have failed on batch 3")
+    assert calls["n"] == 3  # two committed batches, one failed
+
+    # resume with the SAME checkpoint, failure gone: the failed batch
+    # replays, the committed ones are skipped
+    monkeypatch.setattr(sharding_mod, "upsert_sharded", real_upsert)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = upsert_sink(stream2, out, "doc_id", ckpt, num_shards=4)
+    q2.awaitTermination(180)
+
+    final = spark.read.parquet(out)
+    assert final.count() == n_keys  # exactly once, no replay duplicates
+    assert final.select("doc_id").distinct().count() == n_keys
+    src_keys = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    out_keys = {r["doc_id"] for r in final.select("doc_id").collect()}
+    assert out_keys == src_keys
+
+
 def test_streaming_transform_with_state_new_peaks(spark, events_dir):
     # transformWithStateInPandas needs google.protobuf (state protocol) —
     # not shipped in this image; the operator is implemented and this
