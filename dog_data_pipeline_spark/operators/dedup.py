@@ -537,3 +537,168 @@ def embedding_near_dups(
         .filter(F.col("cosine") > threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """C4-style sub-document exact dedup at fixed token-segment
+    granularity: every document is cut into non-overlapping
+    ``seg_tokens``-token segments, each segment is kept only at its
+    GLOBAL first occurrence (min (doc_id, seg_idx) over the whole
+    corpus), and the document is reassembled from its surviving
+    segments.
+
+    C4 removes duplicate LINES corpus-wide (one three-sentence
+    boilerplate footer repeated on a million pages survives document-
+    level dedup untouched); the unit here is a fixed token window so the
+    operator works on newline-free text too. Returns one row per input
+    document: (id, n_segments, n_kept, n_dropped, kept_text).
+
+    Scale shape: explode to (id, seg_idx, segment) — corpus token mass /
+    seg_tokens rows; the winner per segment is ONE hash-groupBy on the
+    segment fingerprint (min(struct(id, seg_idx)) — partial aggregation
+    means only per-partition minima shuffle), then a semi-join of the
+    exploded table against the winners and a groupBy(id) reassembly.
+    Three shuffles total, all keyed on segment-fingerprint or id — no
+    windows, no skew beyond genuinely viral segments (a segment repeated
+    in M docs contributes M rows to one reduce key; the winner agg is a
+    min, so the reducer is O(1) memory — unlike pair-enumeration there
+    is no M^2 blow-up).
+
+    The fingerprint is md5 (not xxhash64) so the keep/drop decision is
+    bit-identically replayable in any SQL engine — the registry query's
+    DuckDB oracle replays the whole operator.
+    """
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    # guard: sequence(0, -1) DESCENDS in Spark, so an empty token array
+    # would fabricate two bogus segments — map it to an empty list
+    segs = F.when(n_seg <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("fp", F.md5("seg"))
+    winners = exploded.groupBy("fp").agg(
+        F.min(F.struct("id", "seg_idx")).alias("w")
+    )
+    kept = exploded.join(
+        winners.select("fp", F.col("w.id").alias("id"), F.col("w.seg_idx").alias("seg_idx")),
+        ["fp", "id", "seg_idx"],
+        "left_semi",
+    )
+    per_doc_kept = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), n_seg.alias("n_segments")
+    )
+    return (
+        totals.join(per_doc_kept, "id", "left")
+        .select(
+            "id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL MinHash+LSH near-dedup: candidate pairs for a NEW
+    batch against an already-indexed corpus, plus batch-internal pairs —
+    but never corpus x corpus pairs (those were resolved when the corpus
+    was ingested).
+
+    The operation every continuously-ingesting training-data pipeline
+    needs: re-minhashing 100 TB per daily batch is a non-starter, so the
+    corpus side is a persisted SIGNATURE TABLE (id, sig) — append-only,
+    written by previous runs of this same operator via
+    ``minhash_signatures`` — and the per-batch cost is
+    O(batch signatures) + one bucket join against the banded index.
+    Banding the corpus is a map-only projection of the signature table
+    (in production the banded form itself is what you persist,
+    partitioned by band_hash range, so the bucket join partition-prunes).
+
+    Pair polarity: id_b is ALWAYS a batch doc; id_a may be corpus or an
+    earlier batch doc (corpus-vs-batch keeps the corpus id on the left;
+    batch-internal pairs are ordered id_a < id_b as usual). The
+    (new_a OR new_b) predicate is applied BEFORE pair-dedup so the
+    corpus self-join fan-out never materializes.
+    """
+    c_sig = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    b_sig = minhash_signatures(batch, id_col, text_col, n, num_hashes)
+    rows_per_band = num_hashes // bands
+    sig = c_sig.withColumn("is_new", F.lit(False)).unionByName(
+        b_sig.withColumn("is_new", F.lit(True))
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", "is_new", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("is_new").alias("new_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("is_new").alias("new_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        # drop corpus x corpus INSIDE the join, before the pair-dedup
+        # shuffle; id order only among pairs of like kind — cross pairs
+        # keep corpus left / batch right regardless of id order
+        .filter(
+            (F.col("new_a") | F.col("new_b"))
+            & (
+                (F.col("new_a") != F.col("new_b")) & ~F.col("new_a")
+                | (F.col("new_a") == F.col("new_b")) & (F.col("id_a") < F.col("id_b"))
+            )
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.hint("merge").join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -215,3 +215,86 @@ def split_sql_case(
         cumulative += w
         arms.append(f"WHEN {bucket} < '{_threshold_hex(cumulative)}' THEN '{name}'")
     return "CASE " + " ".join(arms) + f" ELSE '{weights[-1][0]}' END"
+
+
+def source_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    cap: int,
+    salt: str = "",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Cap every source (domain) at ``cap`` documents, the RefinedWeb /
+    Common-Crawl curation move against SEO farms and mirror sites: one
+    domain must not dominate the corpus no matter how many pages it has.
+
+    Which ``cap`` docs survive is decided by md5-bucket rank (tie-break
+    on the key), so the selection is uniform-at-random yet reproducible
+    across runs, partitionings, and engines — late-arriving pages from
+    an already-capped domain displace nothing (their hash rank decides,
+    not arrival order). Adds ``keep_col``; filtering is the caller's
+    one-liner so the drop report stays writable from the same frame.
+
+    Scale shape: one row_number window partitioned by source. Web corpora
+    have millions of domains, so the window parallelizes wide; the
+    straggler bound is the hottest domain's page count (tens of millions
+    of rows through one task's sort — heavy but feasible). For a corpus
+    whose hottest domain outweighs an executor, pre-thin with the
+    zero-shuffle fraction threshold (``stratified_sample`` with
+    fraction ~= k*cap/est_count) and rank only survivors.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_bucket_hex(F.col(key_col), salt), F.col(key_col))
+    )
+    return df.withColumn(keep_col, F.row_number().over(w) <= cap)
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+    budget_tokens: float | None = None,
+) -> DataFrame:
+    """Temperature-based data-mixing plan: per-source sampling weights
+    w_s proportional to (token mass)^alpha — the multilingual/multi-source
+    rebalancing rule (alpha=1 is proportional/no rebalance, alpha=0 is
+    uniform across sources, alpha~0.3-0.7 up-weights the tail the way
+    multilingual pretraining runs do).
+
+    Returns one row per source: n_docs, n_tokens, weight (normalized to
+    sum 1), and — when ``budget_tokens`` is given — the token allocation
+    and the implied epochs over that source (allocation / n_tokens;
+    epochs > 1 means up-sampling / repetition, the quantity the
+    repetition-penalty literature says to watch).
+
+    Scale shape: one partial-aggregated groupBy to |sources| rows, then
+    a broadcast of the 1-row total back over them — nothing corpus-sized
+    moves, and the output is the tiny control table a mixture sampler
+    (``stratified_sample`` / ``token_budget_sample``) consumes.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("double").alias("n_tokens"),
+    )
+    # alpha = 0.5 routes through sqrt: IEEE-754 requires sqrt correctly
+    # rounded (bit-identical across engines), libm pow is not — this is
+    # what lets the registry oracle hash-match the weights
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n_tokens"))
+    else:
+        raw = F.pow(F.col("n_tokens"), F.lit(float(alpha)))
+    with_raw = per_src.withColumn("__raw", raw)
+    total = with_raw.agg(F.sum("__raw").alias("__total"))
+    out = with_raw.crossJoin(F.broadcast(total)).withColumn(
+        "weight", F.col("__raw") / F.col("__total")
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "alloc_tokens", F.col("weight") * F.lit(float(budget_tokens))
+        ).withColumn("epochs", F.col("alloc_tokens") / F.col("n_tokens"))
+    return out.drop("__raw", "__total")

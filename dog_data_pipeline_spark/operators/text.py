@@ -290,3 +290,116 @@ def with_repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(tri)) / n_tri
         ).otherwise(F.lit(0.0)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style scoring, reduced to
+# its distributed essentials)
+# ---------------------------------------------------------------------------
+
+_QC_SALT = ":qc1"
+
+
+def _hex_digit_value(c: Column) -> Column:
+    """Value of one lowercase hex digit via ascii arithmetic — the one
+    spelling ('0'-'9' -> 0-9, 'a'-'f' -> 10-15) that Spark and every SQL
+    engine compute bit-identically (no locale, no conv())."""
+    a = F.ascii(c)
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def hashed_token_weight(t: Column, salt: str = _QC_SALT) -> Column:
+    """Deterministic per-token weight in [-0.5, 0.5): the first 16 bits
+    of md5(token||salt) scaled. Stands in for a learned embedding-hash
+    weight table: the FEATURE-HASHING trick (hash token -> bucket ->
+    weight) with the bucket-to-weight map itself a hash. Engine-portable
+    by construction, so the classifier's every score is replayable in
+    SQL — swap this for a broadcast learned table in production
+    (``with_classifier_score_table``), the plan shape is unchanged.
+    """
+    h = F.md5(F.concat(t, F.lit(salt)))
+    v = (
+        (
+            (_hex_digit_value(F.substring(h, 1, 1)) * 16
+             + _hex_digit_value(F.substring(h, 2, 1))) * 16
+            + _hex_digit_value(F.substring(h, 3, 1))
+        ) * 16
+        + _hex_digit_value(F.substring(h, 4, 1))
+    )
+    return v / F.lit(65536.0) - F.lit(0.5)
+
+
+def with_classifier_score(
+    df: DataFrame, text_col: str = "text", out: str = "clf_score"
+) -> DataFrame:
+    """Quality-classifier scoring pass: a linear model over hashed token
+    features plus a stopword-density feature, calibrated with a
+    HARD sigmoid (piecewise-linear, clamp(0.5 + logit/4)) instead of
+    exp() — libm exp differs in the last ulp across engines, and a
+    classifier whose keep/drop boundary is not bit-reproducible cannot
+    be audited; the hard sigmoid is exact everywhere.
+
+    logit = 4*mean(hashed weight) + 2*stopword_ratio; score in [0,1];
+    ``out`` plus boolean ``{out}_keep`` (score > 0.5).
+
+    Scale shape: pure per-row column expressions (fold over the token
+    array) — map-only, whole-stage codegen, zero shuffle; scoring 100 TB
+    is embarrassingly parallel. This is the standard second-stage filter
+    after heuristic gates (the CCNet/fastText slot in curation DAGs).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    sum_w = F.aggregate(
+        F.transform(toks, lambda t: hashed_token_weight(t)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sw = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+    # score = clamp(0.5 + mean_w + stop_ratio/2) = hard_sigmoid(logit),
+    # logit = 4*mean_w + 2*stop_ratio — computed in integer MICRO-UNITS:
+    # floor(x*1e6 + 0.5) is a pure binary-double operation, so two
+    # engines holding the same double get the same integer with no
+    # decimal-string round() in the path (round(DOUBLE, n) is where
+    # Spark — which rounds the shortest decimal repr HALF_UP — and
+    # engines that round the raw binary value disagree on ties).
+    mean_w_u = F.floor(sum_w / n * 1e6 + F.lit(0.5))
+    half_sr_u = F.floor(stop_ratio / 2 * 1e6 + F.lit(0.5))
+    score = (
+        F.greatest(
+            F.lit(0), F.least(F.lit(1000000), F.lit(500000) + mean_w_u + half_sr_u)
+        )
+        / F.lit(1000000.0)
+    )
+    return df.withColumn(out, score).withColumn(f"{out}_keep", F.col(out) > 0.5)
+
+
+def with_classifier_score_table(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    token_col: str = "token",
+    weight_col: str = "weight",
+    out: str = "clf_score",
+) -> DataFrame:
+    """The production variant of ``with_classifier_score``: weights come
+    from a LEARNED table (token, weight) — fastText/logreg export —
+    broadcast to every executor; unseen tokens weigh 0.
+
+    Explode tokens -> broadcast-hash join against the weight table ->
+    groupBy(doc) mean. One shuffle keyed on the doc id (partial agg
+    combines map-side); the weight table rides the broadcast, so no
+    shuffle scales with vocabulary. Vocabularies beyond broadcast size
+    (rare — 10M tokens x 12B fits) fall back to a shuffle join by
+    dropping the hint.
+    """
+    keyed = df.select(F.col("*"), F.monotonically_increasing_id().alias("__rid"))
+    tok = keyed.select(
+        "__rid", F.explode(tokens(F.col(text_col))).alias(token_col)
+    )
+    scored = (
+        tok.join(F.broadcast(weights), token_col, "left")
+        .groupBy("__rid")
+        .agg(F.avg(F.coalesce(F.col(weight_col), F.lit(0.0))).alias(out))
+    )
+    return keyed.join(scored, "__rid", "left").drop("__rid")

@@ -4512,6 +4512,263 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 curation additions: sub-document dedup, domain caps, mixture
+# planning, classifier scoring, incremental dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_dedup_stats",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id, i - 1 AS seg_idx,
+             array_to_string(toks[(i-1)*16+1 : (i-1)*16+16], ' ') AS seg
+      FROM d, UNNEST(generate_series(1, CAST(ceil(len(toks) / 16.0) AS BIGINT))) u(i)
+    ), win AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+      FROM win WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(ceil(len(toks) / 16.0) AS INT) AS n_segments FROM d
+    )
+    SELECT t.doc_id AS id, n_segments,
+           coalesce(n_kept, 0) AS n_kept,
+           CAST(n_segments - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(kept_text, '') AS kept_text
+    FROM totals t LEFT JOIN perdoc p USING (doc_id)
+    """,
+    "C4-style SUB-document exact dedup (north-star dedup): every doc cut "
+    "into non-overlapping 16-token segments, each segment kept only at "
+    "its global first occurrence (min (doc_id, seg_idx)), docs "
+    "reassembled from survivors — the operation that removes corpus-wide "
+    "boilerplate document-level dedup cannot see. md5 segment "
+    "fingerprints make the keep/drop decision engine-replayable, so the "
+    "oracle replays the WHOLE operator (including reassembled text). "
+    "Three shuffles (winner agg on fingerprint, semi-join, per-doc "
+    "reassembly), all partial-aggregated — no windows in the Spark plan, "
+    "no pair enumeration, viral segments cost O(M) not O(M^2).",
+)
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=16)
+
+
+@query(
+    "source_cap_report",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM r GROUP BY source
+    """,
+    "Per-source document caps (RefinedWeb-style domain cap; north-star "
+    "sampling): md5-bucket rank within each source decides which `cap` "
+    "docs survive — uniform yet reproducible across runs/engines/"
+    "partitionings; late-arriving pages displace nothing. One "
+    "row_number window partitioned by source (millions of domains -> "
+    "wide parallelism; straggler bounded by the hottest domain), then a "
+    "partial-agg report.",
+)
+def source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import source_cap_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = source_cap_sample(docs, "doc_id", "source", cap=15, salt="cap")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+    )
+
+
+@query(
+    "mixture_weights_plan",
+    r"""
+    WITH d AS (
+      SELECT source, len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS DOUBLE) AS tok FROM d GROUP BY 1
+    ), tot AS (
+      SELECT sum(sqrt(tok)) AS t FROM per
+    )
+    SELECT source, n_docs, CAST(tok AS BIGINT) AS n_tokens,
+           round(sqrt(tok) / t, 6) AS weight,
+           round(sqrt(tok) / t * 100000, 2) AS alloc_tokens,
+           round(sqrt(tok) / t * 100000 / tok, 4) AS epochs
+    FROM per, tot
+    """,
+    "Temperature-based data-mixing plan (north-star sampling): per-source "
+    "sampling weight proportional to sqrt(token mass) (alpha = 0.5 — the "
+    "multilingual tail-up-weighting regime), allocation against a token "
+    "budget, and implied epochs (epochs > 1 = up-sampling the repetition "
+    "literature says to watch). alpha = 0.5 deliberately routes through "
+    "sqrt, which IEEE-754 requires CORRECTLY rounded — bit-identical "
+    "across engines, unlike libm pow. One |sources|-row partial agg + a "
+    "broadcast 1-row total: nothing corpus-sized moves.",
+)
+def mixture_weights_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import mixture_weights
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(_tokens(F.col("text")))
+    )
+    plan = mixture_weights(
+        docs, "source", "n_toks", alpha=0.5, budget_tokens=100000.0
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("weight", 6).alias("weight"),
+        F.round("alloc_tokens", 2).alias("alloc_tokens"),
+        F.round("epochs", 4).alias("epochs"),
+    )
+
+
+def _hexdig_sql(expr: str) -> str:
+    """SQL for the value of one lowercase hex digit (matches
+    operators.text._hex_digit_value)."""
+    return (
+        f"(CASE WHEN ascii({expr}) <= 57 THEN ascii({expr}) - 48 "
+        f"ELSE ascii({expr}) - 87 END)"
+    )
+
+
+def _qc_weight_sql(tok: str) -> str:
+    """SQL for hashed_token_weight(token) — first 16 md5 bits scaled to
+    [-0.5, 0.5)."""
+    h = f"md5({tok} || ':qc1')"
+    d = [_hexdig_sql(f"substring({h}, {i}, 1)") for i in (1, 2, 3, 4)]
+    return (
+        f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]}) / 65536.0 - 0.5"
+    )
+
+
+@query(
+    "quality_classifier_scores",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             floor(list_reduce(
+                     list_prepend(0.0, list_transform(toks, t -> {_qc_weight_sql('t')})),
+                     (acc, x) -> acc + x) / len(toks) * 1000000.0 + 0.5) AS mean_w_u,
+             floor(CAST(len(list_filter(toks,
+                    t -> list_contains(['the','a','of','and','to','in','is','for'], t)))
+                  AS DOUBLE) / len(toks) / 2 * 1000000.0 + 0.5) AS half_sr_u
+      FROM d
+    )
+    SELECT doc_id,
+           greatest(0, least(1000000, 500000 + mean_w_u + half_sr_u)) / 1000000.0 AS clf_score,
+           greatest(0, least(1000000, 500000 + mean_w_u + half_sr_u)) / 1000000.0 > 0.5 AS clf_score_keep
+    FROM s
+    """,
+    "Quality-classifier scoring (north-star text analysis): linear model "
+    "over HASHED token features (feature-hashing trick; md5-derived "
+    "weights stand in for the learned table — the broadcast-table "
+    "variant with_classifier_score_table is the production path, same "
+    "plan shape) plus stopword density, calibrated with a HARD sigmoid "
+    "because libm exp() is not bit-reproducible across engines and a "
+    "keep/drop boundary must be auditable. Map-only column expressions "
+    "(fold over the token array) — zero shuffle, codegen, 100 TB "
+    "embarrassingly parallel. Oracle replays the full scoring pipeline.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import with_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_classifier_score(docs, "text").select(
+        "doc_id", "clf_score", "clf_score_keep"
+    )
+
+
+@query(
+    "incremental_dedup_newbatch",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard,
+           TRUE AS incremental_recall_complete
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+      AND (id_a % 4 = 0 OR id_b % 4 = 0)
+    """,
+    "INCREMENTAL near-dedup, SELF-CERTIFYING (north-star dedup): docs "
+    "with doc_id % 4 == 0 play the 'new batch', the rest the already-"
+    "indexed corpus. minhash_lsh_pairs_incremental generates candidates "
+    "for batch-vs-corpus and batch-internal pairs ONLY (corpus x corpus "
+    "suppressed inside the bucket join, before the pair-dedup shuffle — "
+    "the property that makes per-batch cost O(batch), not O(corpus), "
+    "when the corpus signature table is persisted). Candidates are then "
+    "verified against exact jaccard; the oracle replays the exact join "
+    "restricted to pairs touching the batch, and "
+    "incremental_recall_complete asserts no true pair was missed.",
+)
+def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    cand = minhash_lsh_pairs_incremental(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        est_threshold=0.35,
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).filter(
+        (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
+    )
+    verified = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missed")
+    )
+    return verified.crossJoin(F.broadcast(missed)).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        (F.col("__n_missed") == 0).alias("incremental_recall_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
 # definition-order entries, leaving the whole dedup/similarity/text family

@@ -1,0 +1,224 @@
+"""Unit tests for the round-3 curation operators: segment-level dedup,
+source caps, mixture weights, classifier scoring, incremental MinHash.
+
+The registry queries built on these are ALSO differentially tested
+against DuckDB by test_queries_oracle.py; these tests pin the operator
+semantics on crafted inputs where the expected answer is computable by
+hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
+    segment_dedup,
+)
+from dog_data_pipeline_spark.operators.sampling import (
+    mixture_weights,
+    source_cap_sample,
+)
+from dog_data_pipeline_spark.operators.text import (
+    with_classifier_score,
+    with_classifier_score_table,
+)
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup_removes_repeated_segment_globally(spark):
+    # 4-token segments; doc 1 and doc 2 share an identical first segment.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "a b c d e f"
+    # doc 2 loses the shared segment (doc 1 is the first occurrence)
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["kept_text"] == "x y"
+
+
+def test_segment_dedup_within_doc_repeat_keeps_first(spark):
+    df = spark.createDataFrame([(7, "p q p q")], ["doc_id", "text"])
+    row = segment_dedup(df, "doc_id", "text", seg_tokens=2).collect()[0]
+    assert row["n_segments"] == 2
+    assert row["n_kept"] == 1
+    assert row["kept_text"] == "p q"
+
+
+def test_segment_dedup_doc_fully_duplicated(spark):
+    df = spark.createDataFrame(
+        [(1, "m n o p"), (2, "m n o p")], ["doc_id", "text"]
+    )
+    out = {
+        r["id"]: r
+        for r in segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()
+    }
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# source_cap_sample
+# ---------------------------------------------------------------------------
+
+def test_source_cap_respects_cap_and_is_partition_invariant(spark):
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = source_cap_sample(df, "doc_id", "source", cap=5, salt="t")
+    per_src = (
+        capped.filter("kept").groupBy("source").count().collect()
+    )
+    assert all(r["count"] == 5 for r in per_src)
+    kept_ids = sorted(
+        r["doc_id"] for r in capped.filter("kept").collect()
+    )
+    # identical selection under a different partitioning
+    kept_ids2 = sorted(
+        r["doc_id"]
+        for r in source_cap_sample(
+            df.repartition(7), "doc_id", "source", cap=5, salt="t"
+        )
+        .filter("kept")
+        .collect()
+    )
+    assert kept_ids == kept_ids2
+
+
+def test_source_cap_under_cap_keeps_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    capped = source_cap_sample(df, "doc_id", "source", cap=10)
+    assert capped.filter("kept").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights
+# ---------------------------------------------------------------------------
+
+def test_mixture_weights_normalized_and_budgeted(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 100)],
+        ["doc_id", "source", "n_toks"],
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, "source", "n_toks", alpha=0.5, budget_tokens=1000.0
+        ).collect()
+    }
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-9
+    # alpha=0.5: weights proportional to sqrt(400) : sqrt(100) = 2 : 1
+    assert abs(out["a"]["weight"] - 2 / 3) < 1e-9
+    assert abs(out["b"]["weight"] - 1 / 3) < 1e-9
+    # epochs: source b gets 1000/3 tokens over a 100-token pool -> >1 epoch
+    assert out["b"]["epochs"] > 1.0
+    assert abs(
+        sum(r["alloc_tokens"] for r in out.values()) - 1000.0
+    ) < 1e-6
+
+
+def test_mixture_weights_alpha_zero_is_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 1000)], ["doc_id", "source", "n_toks"]
+    )
+    out = mixture_weights(df, "source", "n_toks", alpha=0.0).collect()
+    for r in out:
+        assert abs(r["weight"] - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# classifier scoring
+# ---------------------------------------------------------------------------
+
+def test_classifier_score_bounds_and_stopword_lift(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in is for the"), (2, "zzq qqz zqz qzz")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_classifier_score(df).collect()}
+    for r in out.values():
+        assert 0.0 <= r["clf_score"] <= 1.0
+    # all-stopword doc gets the full +2*1.0 logit lift; hashed-weight
+    # noise is bounded by |mean_w| <= 0.5 -> score saturates near 1
+    assert out[1]["clf_score"] > out[2]["clf_score"]
+    assert out[1]["clf_score_keep"]
+
+
+def test_classifier_table_mode_averages_known_weights(spark):
+    df = spark.createDataFrame([(1, "good good bad")], ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [("good", 1.0), ("bad", -1.0)], ["token", "weight"]
+    )
+    row = with_classifier_score_table(df, weights).collect()[0]
+    assert abs(row["clf_score"] - (1.0 + 1.0 - 1.0) / 3) < 1e-9
+
+
+def test_classifier_table_mode_unseen_tokens_weigh_zero(spark):
+    df = spark.createDataFrame([(1, "mystery words here")], ["doc_id", "text"])
+    weights = spark.createDataFrame([("good", 1.0)], ["token", "weight"])
+    row = with_classifier_score_table(df, weights).collect()[0]
+    assert row["clf_score"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash LSH
+# ---------------------------------------------------------------------------
+
+def _docs(spark):
+    texts = []
+    for i in range(8):
+        toks = " ".join(f"t{i}_{j}" for j in range(30))
+        texts.append((i, toks))
+    # doc 6 duplicates corpus doc 1; doc 7 duplicates batch doc 4
+    texts[6] = (6, texts[1][1])
+    texts[7] = (7, texts[4][1])
+    return spark.createDataFrame(texts, ["doc_id", "text"])
+
+
+def test_incremental_lsh_never_emits_corpus_corpus_pairs(spark):
+    docs = _docs(spark)
+    corpus = docs.filter("doc_id < 4")
+    batch = docs.filter("doc_id >= 4")
+    pairs = minhash_lsh_pairs_incremental(
+        corpus, batch, "doc_id", est_threshold=0.1
+    ).collect()
+    batch_ids = {4, 5, 6, 7}
+    for r in pairs:
+        assert r["id_b"] in batch_ids, "id_b must always be a batch doc"
+    # the two planted duplicates are found
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 6) in found
+    assert (4, 7) in found
+
+
+def test_incremental_lsh_matches_full_lsh_on_batch_touching_pairs(spark):
+    docs = _docs(spark)
+    corpus = docs.filter("doc_id < 4")
+    batch = docs.filter("doc_id >= 4")
+    inc = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs_incremental(
+            corpus, batch, "doc_id", est_threshold=0.5
+        ).collect()
+    }
+    full = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", est_threshold=0.5
+        ).collect()
+        if r["id_a"] >= 4 or r["id_b"] >= 4
+    }
+    assert inc == full
