@@ -4768,6 +4768,124 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantization_audit",
+    r"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT i AS dim, v[i] AS x FROM e0, UNNEST(generate_series(1, len(v))) u(i)
+    ), r AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY dim
+    ), ra AS (
+      SELECT list(lo ORDER BY dim) AS lo_arr, list(hi ORDER BY dim) AS hi_arr FROM r
+    ), pe AS (
+      SELECT vec_id, v, lo_arr, hi_arr FROM e0, ra
+    ), errs AS (
+      SELECT vec_id, len(v) AS dims,
+             list_transform(generate_series(1, len(v)), i ->
+               abs(v[i] - (lo_arr[i]
+                 + (CASE WHEN hi_arr[i] = lo_arr[i] THEN 0
+                         ELSE CAST(greatest(0, least(255,
+                              floor((v[i] - lo_arr[i]) / ((hi_arr[i] - lo_arr[i]) / 255) + 0.5)))
+                              AS INT) END)
+                   * ((hi_arr[i] - lo_arr[i]) / 255)))) AS e,
+             list_transform(generate_series(1, len(v)), i ->
+               (hi_arr[i] - lo_arr[i]) / 255 / 2) AS h
+      FROM pe
+    )
+    SELECT vec_id, CAST(dims AS INT) AS dims,
+           CAST(floor(list_reduce(list_prepend(0.0, e), (a, x) -> greatest(a, x))
+                * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_u,
+           CAST(floor(list_reduce(list_prepend(0.0, e), (a, x) -> a + x) / dims
+                * 1000000.0 + 0.5) AS BIGINT) AS mean_abs_err_u,
+           (list_reduce(list_prepend(0, list_transform(generate_series(1, dims),
+                i -> CASE WHEN e[i] <= h[i] + 1e-12 THEN 1 ELSE 0 END)),
+                (a, x) -> a + x) = dims) AS within_half_step
+    FROM errs
+    """,
+    "Int8 scalar quantization of the embedding column with corpus-"
+    "calibrated per-dimension ranges, plus the reconstruction audit "
+    "(north-star similarity-search infrastructure: 4x smaller vectors "
+    "are what make 100-TB ANN indexes affordable — FAISS SQ8 / Lucene "
+    "int8 default). Calibration is ONE |dims|-row partial-aggregated "
+    "shuffle; encoding rides a broadcast of the 1-row range table — "
+    "map-only over vectors. Codes use floor(x+0.5), not decimal "
+    "round(), so encode/decode is bit-reproducible: the oracle replays "
+    "calibrate+encode+decode end-to-end, and within_half_step asserts "
+    "the construction's error bound on every vector.",
+)
+def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quantize import quantization_error
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qe = quantization_error(emb, "embedding", "vec_id", levels=255)
+    return qe.select(
+        "vec_id",
+        "dims",
+        F.floor(F.col("max_abs_err") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("max_abs_err_u"),
+        F.floor(F.col("mean_abs_err") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("mean_abs_err_u"),
+        "within_half_step",
+    )
+
+
+def _zorder_locality_oracle() -> str:
+    from dog_data_pipeline_spark.sources.warehouse import zorder_sql
+
+    z = zorder_sql("x", "y", bits=12)
+    return f"""
+    WITH pts AS (
+      SELECT o_custkey AS x,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) - 9131 AS y
+      FROM orders
+    ), coded AS (
+      SELECT x, y, {z} >> 14 AS zbucket FROM pts
+    )
+    SELECT zbucket, CAST(count(*) AS BIGINT) AS n_orders,
+           min(x) AS custkey_lo, max(x) AS custkey_hi,
+           min(y) AS day_lo, max(y) AS day_hi
+    FROM coded GROUP BY zbucket
+    """
+
+
+@query(
+    "zorder_locality_report",
+    _zorder_locality_oracle(),
+    "Z-order (Morton-curve) layout demonstrator: interleave the bits of "
+    "(custkey, order-day), bucket by z-prefix, report each bucket's "
+    "span in BOTH dimensions — tight spans on both axes are exactly "
+    "what makes parquet min/max stats skip files for filters on EITHER "
+    "column (Delta/Iceberg OPTIMIZE ZORDER). write_zordered applies the "
+    "layout physically (range-partition by z, sort within partitions); "
+    "this query is the inspectable arithmetic, oracle-replayed bit for "
+    "bit. Map-only code computation + one partial-agg shuffle on the "
+    "bucket prefix.",
+)
+def zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.warehouse import zorder_value
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_custkey").alias("x"),
+        (F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400).cast("bigint")
+         - F.lit(9131)).alias("y"),
+    )
+    coded = pts.select(
+        "x", "y", F.shiftright(zorder_value(F.col("x"), F.col("y"), 12), 14).alias("zbucket")
+    )
+    return coded.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("x").alias("custkey_lo"),
+        F.max("x").alias("custkey_hi"),
+        F.min("y").alias("day_lo"),
+        F.max("y").alias("day_hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
