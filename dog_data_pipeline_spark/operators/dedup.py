@@ -75,6 +75,38 @@ def shingles(
     )
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct xxhash64'd word n-gram shingles per document:
+    (id, shingle BIGINT).
+
+    The canonical inverted-index input shared by jaccard_pairs (all
+    variants), minhash_signatures, and every certification replay that
+    pairs a detector with its exact verifier. Two properties matter:
+
+    - the gram is hashed BEFORE the distinct, so the dedup shuffle
+      moves (id, long) rows — ~3x narrower than the string form;
+    - every consumer builds the IDENTICAL plan subtree, so when a
+      query composes two of them (LSH candidates + exact verify — the
+      self-certifying pattern), Spark plans ONE exchange and a
+      ReusedExchange for the second consumer instead of re-scanning
+      and re-exploding the corpus.
+
+    Collision risk of keying on the 64-bit hash: P ≈ d²/2⁶⁵ for d
+    distinct shingles (~1e-9 at d=1e5) — acceptable for near-dup
+    detection, as jaccard_pairs documents.
+    """
+    from dog_data_pipeline_spark.operators.text import word_ngrams
+
+    toks = tokens(F.col(text_col))
+    grams = F.transform(word_ngrams(toks, n), lambda g: F.xxhash64(g))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -99,9 +131,7 @@ def jaccard_pairs(
     for near-dup DETECTION where the downstream exact verifier re-checks
     candidates.
     """
-    sh = shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n)
     # NOTE: the inverted index feeds three plan subtrees (sizes + both
     # join sides); Spark reuses the shuffle stage across them, so an
     # explicit persist() only adds cache-write overhead on one-shot runs
@@ -178,9 +208,7 @@ def jaccard_pairs_prefix(
     exact dedup first and near-dup only the representatives (the
     standard ordering, stress-validated in round 1).
     """
-    sh = shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
@@ -249,9 +277,7 @@ def jaccard_pairs_auto(
     scalar is one collected row — nothing corpus-sized touches the
     driver.
     """
-    sh = shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n)
     stats = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -282,17 +308,11 @@ def minhash_signatures(
     num_hashes min() partial aggregates: the shuffle carries only
     (id, 64 longs) per doc regardless of doc size.
     """
-    from dog_data_pipeline_spark.operators.text import word_ngrams
-
-    toks = tokens(F.col(text_col))
-    grams = F.transform(
-        word_ngrams(toks, n), lambda g: F.xxhash64(g)
-    )
-    # hash the shingle to a long BEFORE the distinct: the dedup shuffle
-    # then moves (id, long) rows, not (id, string) — ~3x narrower
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__h"))
-        .distinct()
+    # hashed_shingles is the shared inverted-index subtree (hash before
+    # distinct: narrower shuffle; identical subtree to jaccard_pairs so
+    # a candidate+verify composition plans a ReusedExchange)
+    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed(
+        "shingle", "__h"
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
@@ -654,10 +674,29 @@ def minhash_lsh_pairs_incremental(
     """
     c_sig = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
     b_sig = minhash_signatures(batch, id_col, text_col, n, num_hashes)
-    rows_per_band = num_hashes // bands
     sig = c_sig.withColumn("is_new", F.lit(False)).unionByName(
         b_sig.withColumn("is_new", F.lit(True))
     )
+    return incremental_lsh_pairs_from_tagged_sigs(
+        sig, num_hashes, bands, est_threshold
+    )
+
+
+def incremental_lsh_pairs_from_tagged_sigs(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """The banding/bucket-join core of ``minhash_lsh_pairs_incremental``,
+    taking pre-computed TAGGED signatures (id, sig, is_new).
+
+    Exists as its own entry point because at scale the corpus signatures
+    come from a PERSISTED table, not a recompute — and when corpus and
+    batch are partitions of one frame, computing signatures once over
+    the union and tagging is one signature pass instead of two.
+    """
+    rows_per_band = num_hashes // bands
     band_arr = F.array(
         *[
             F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))

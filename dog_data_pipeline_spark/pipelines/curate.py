@@ -2,8 +2,12 @@
 runs to turn a raw document table into training-ready shards.
 
     raw docs
-      → quality gate        (heuristic score + Gopher repetition)
+      → quality gate        (heuristic score + Gopher repetition,
+                             optional classifier score)
+      → source caps         (optional: RefinedWeb-style per-domain cap)
       → exact dedup         (normalized-fingerprint, min-id keeps)
+      → segment dedup       (optional: C4-style sub-document dedup —
+                             survivors' text is rewritten)
       → decontamination     (benchmark n-gram overlap, broadcast)
       → chunk               (overlapping context windows)
       → pack                (shard-parallel ~budget-token sequences)
@@ -11,10 +15,16 @@ runs to turn a raw document table into training-ready shards.
 
 Every stage is one of the package's tested operators; this module only
 composes them and reports. Stage costs at 100 TB: two map-only passes
-(quality, chunking), one fingerprint aggregate, one broadcast
-semi-join (decontamination), one bounded per-shard window (packing),
-one write. Nothing quadratic, nothing driver-bound except the
-benchmark gram set (MBs by construction).
+(quality, chunking — the classifier gate fuses into the first), one
+per-source rank window (caps), one fingerprint aggregate, the segment
+winner agg + semi-join when enabled, one broadcast semi-join
+(decontamination), one bounded per-shard window (packing), one write.
+Nothing quadratic, nothing driver-bound except the benchmark gram set
+(MBs by construction). Stage ORDER is deliberate: cheap map-only gates
+first (shrink before any shuffle), caps before dedup (a capped-out
+page should not win a dedup group against a kept one), segment dedup
+after exact dedup (identical docs would otherwise pairwise-race for
+segment ownership; the standard exact-first ordering).
 """
 
 from __future__ import annotations
@@ -41,6 +51,10 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.5,
     max_dup_token_frac: float = 0.7,
+    min_classifier_score: float | None = None,
+    source_col: str | None = None,
+    source_cap: int | None = None,
+    segment_dedup_tokens: int | None = None,
     contamination_n: int = 5,
     chunk_tokens: int = 32,
     chunk_overlap: int = 8,
@@ -52,14 +66,21 @@ def curate_corpus(
 
     ``benchmark=None`` skips decontamination. ``output_path=None`` skips
     the export (chunks are still computed lazily — callers can write
-    them elsewhere). Row counts in ``stats`` each materialize one
-    aggregate; they are the pipeline's audit trail, not a side effect.
+    them elsewhere). ``min_classifier_score`` adds the hashed-linear
+    classifier to the quality gate (fused into the same map pass);
+    ``source_cap`` (with ``source_col``) caps documents per source;
+    ``segment_dedup_tokens`` enables C4-style sub-document dedup, which
+    REWRITES surviving documents' text to their kept segments. Row
+    counts in ``stats`` each materialize one aggregate; they are the
+    pipeline's audit trail, not a side effect.
     """
     from dog_data_pipeline_spark.operators.contamination import decontaminate
-    from dog_data_pipeline_spark.operators.dedup import exact_dup_groups
+    from dog_data_pipeline_spark.operators.dedup import exact_dup_groups, segment_dedup
     from dog_data_pipeline_spark.operators.packing import pack_chunks
+    from dog_data_pipeline_spark.operators.sampling import source_cap_sample
     from dog_data_pipeline_spark.operators.text import (
         with_chunks,
+        with_classifier_score,
         with_quality_score,
         with_repetition_profile,
     )
@@ -68,11 +89,24 @@ def curate_corpus(
     stats: dict = {"input": docs.count()}
 
     scored = with_repetition_profile(with_quality_score(docs, text_col), text_col)
-    quality_ok = scored.filter(
-        (F.col("quality") >= min_quality)
-        & (F.col("dup_token_frac") <= max_dup_token_frac)
-    ).select(*docs.columns)
+    gate = (F.col("quality") >= min_quality) & (
+        F.col("dup_token_frac") <= max_dup_token_frac
+    )
+    if min_classifier_score is not None:
+        scored = with_classifier_score(scored, text_col)
+        gate = gate & (F.col("clf_score") >= min_classifier_score)
+    quality_ok = scored.filter(gate).select(*docs.columns)
     stats["after_quality"] = quality_ok.count()
+
+    if source_cap is not None:
+        if source_col is None:
+            raise ValueError("source_cap requires source_col")
+        quality_ok = (
+            source_cap_sample(quality_ok, id_col, source_col, source_cap)
+            .filter(F.col("kept"))
+            .drop("kept")
+        )
+        stats["after_source_cap"] = quality_ok.count()
 
     from dog_data_pipeline_spark.operators.text import normalized_text
 
@@ -84,6 +118,24 @@ def curate_corpus(
         .select(*docs.columns)
     )
     stats["after_exact_dedup"] = deduped.count()
+
+    if segment_dedup_tokens is not None:
+        seg = segment_dedup(deduped, id_col, text_col, seg_tokens=segment_dedup_tokens)
+        other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        deduped = (
+            deduped.drop(text_col)
+            .join(
+                seg.select(
+                    F.col("id").alias(id_col),
+                    F.col("kept_text").alias(text_col),
+                    "n_kept",
+                ),
+                id_col,
+            )
+            .filter(F.col("n_kept") > 0)  # fully-duplicated docs drop out
+            .select(id_col, text_col, *other_cols)
+        )
+        stats["after_segment_dedup"] = deduped.count()
 
     if benchmark is not None:
         cleaned = decontaminate(

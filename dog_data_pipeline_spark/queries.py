@@ -4739,16 +4739,21 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_pairs_from_tagged_sigs,
         jaccard_pairs,
-        minhash_lsh_pairs_incremental,
+        minhash_signatures,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 4 != 0)
-    batch = docs.filter(F.col("doc_id") % 4 == 0)
-    cand = minhash_lsh_pairs_incremental(
-        corpus, batch, "doc_id", "text", n=3, num_hashes=64, bands=16,
-        est_threshold=0.35,
+    # corpus and batch are partitions of one frame here, so compute
+    # signatures ONCE and tag — and the signature subtree (shared
+    # hashed_shingles) is identical to the exact-verify side's, so the
+    # plan reuses the shingle exchange instead of re-exploding the corpus
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=64).withColumn(
+        "is_new", F.col("id") % 4 == 0
+    )
+    cand = incremental_lsh_pairs_from_tagged_sigs(
+        sig, num_hashes=64, bands=16, est_threshold=0.35
     ).select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),

@@ -262,3 +262,44 @@ def test_curate_cli_smoke(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "curate: chunks" in r.stdout
     assert os.path.isdir(out)
+
+
+def test_curate_corpus_full_stage_set(spark):
+    """All optional stages on: classifier gate, source caps, segment
+    dedup. Checks stage ordering effects: caps bound per-source counts,
+    segment dedup rewrites text and drops fully-duplicated docs."""
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.pipelines.curate import curate_corpus
+    from dog_data_pipeline_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(120)
+    # a doc whose text fully duplicates another doc's (same source keys)
+    clone = docs.limit(1).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(clone)
+    res = curate_corpus(
+        corpus,
+        None,
+        min_quality=0.0,
+        max_dup_token_frac=1.0,
+        min_classifier_score=0.2,
+        source_col="source",
+        source_cap=5,
+        segment_dedup_tokens=16,
+    )
+    s = res.stats
+    assert s["after_quality"] <= s["input"]
+    assert s["after_source_cap"] <= s["after_quality"]
+    per_source = (
+        res.kept.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_source <= 5
+    # exact dedup removed the clone before segment dedup saw it
+    assert s["after_exact_dedup"] <= s["after_source_cap"]
+    assert s["after_segment_dedup"] <= s["after_exact_dedup"]
+    # segment-level survivors have non-empty rewritten text
+    assert res.kept.filter(F.length("text") == 0).count() == 0
+    assert set(res.kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
