@@ -4906,27 +4906,28 @@ _PRIORITY_ORDER = [
     "flagship_segment_stats",
     # north-star: deduplication (all self-certifying since round 3 —
     # zero rows-only entries remain anywhere in the registry)
-    "exact_dedup_groups",
     "ngram_jaccard_dedup",
-    "ngram_jaccard_dedup_capped",
     "ngram_jaccard_dedup_prefix",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "simhash_pigeonhole_dedup",
-    "embedding_near_dups",
     "dedup_clusters",
     "corpus_curation",
     "semantic_dedup",
     "prototype_pruning",
+    # round-3 additions: first driver rows for the new curation family
+    "segment_dedup_stats",
+    "incremental_dedup_newbatch",
+    "source_cap_report",
+    "mixture_weights_plan",
+    "quality_classifier_scores",
+    "embedding_quantization_audit",
+    "zorder_locality_report",
     # north-star: similarity search
     "knn_cosine_topk",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     # north-star: text analysis
-    "text_quality_profile",
-    "lang_id_heuristic",
-    "bpe_token_counts",
-    "doc_fingerprint",
     "rolling_fingerprint",
     # north-star: corpus curation (repetition quality + decontamination)
     "repetition_quality_filter",
@@ -4967,18 +4968,18 @@ _PRIORITY_ORDER = [
     "min_cost_supplier",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-3 rotation: the 24 queries green in BOTH rounds 1 and 2
-# (filter/join/agg/window §2 singles: filter_project_in,
-# recode_fallthrough, derived_keys, broadcast_dim_join,
-# anti_join_idempotence, scalar_subquery_filter, zip_join_positional,
-# conditional_freq_users, completeness_users, group_max_pad,
-# ordered_collect_seq, window_partition_max, dense_sequential_ids,
-# topk_orders, union_ledger, tumbling_daily_counts, dead_letter_split,
-# resume_offset, tracking_pipeline_samples, key_formatting,
-# map_array_functions, json_props_extract, asof_join_latest_event,
-# range_join_event_pairs) rotated OUT to make room for the
-# never-checked curation/breadth family. Everything outside the window
-# keeps the identical local oracle check (tests/test_queries_oracle.py).
+# Round-3 rotation (second pass, same policy): the 24 two-round-green
+# filter/join/agg/window singles rotated out earlier stay out; this
+# session additionally swaps out 7 MULTI-ROUND-GREEN entries
+# (exact_dedup_groups, ngram_jaccard_dedup_capped, embedding_near_dups,
+# text_quality_profile, lang_id_heuristic, bpe_token_counts,
+# doc_fingerprint — each hash-green in rounds 1-2 and still covered by
+# the identical local oracle mirror) to give the 7 round-3 additions
+# (segment_dedup_stats, incremental_dedup_newbatch, source_cap_report,
+# mixture_weights_plan, quality_classifier_scores,
+# embedding_quantization_audit, zorder_locality_report) their first
+# driver rows. Everything outside the window keeps the identical local
+# oracle check (tests/test_queries_oracle.py).
 
 
 def _apply_registry_order() -> None:

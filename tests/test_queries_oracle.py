@@ -45,11 +45,15 @@ def test_north_star_queries_lead_registry_order():
     text family must sit inside any plausible window."""
     names = list(REGISTRY)
     north_star = [
-        "exact_dedup_groups", "ngram_jaccard_dedup", "minhash_lsh_dedup",
-        "simhash_dedup", "embedding_near_dups", "dedup_clusters",
+        "ngram_jaccard_dedup", "minhash_lsh_dedup",
+        "simhash_dedup", "dedup_clusters",
         "corpus_curation", "knn_cosine_topk", "knn_cosine_lsh",
-        "knn_cosine_ivf", "text_quality_profile", "lang_id_heuristic",
-        "doc_fingerprint", "rolling_fingerprint",
+        "knn_cosine_ivf", "rolling_fingerprint",
+        # round-3 curation family: first driver rows this round
+        "segment_dedup_stats", "incremental_dedup_newbatch",
+        "source_cap_report", "mixture_weights_plan",
+        "quality_classifier_scores", "embedding_quantization_audit",
+        "zorder_locality_report",
     ]
     for n in north_star:
         assert names.index(n) < 40, f"{n} at slot {names.index(n)}"
