@@ -22,3 +22,7 @@ from dog_data_pipeline_spark.streaming.joins import (  # noqa: F401
 from dog_data_pipeline_spark.streaming.upsert import (  # noqa: F401
     upsert_sink,
 )
+from dog_data_pipeline_spark.streaming.dedup_incremental import (  # noqa: F401
+    dedup_stream_incremental,
+    read_dup_pairs,
+)

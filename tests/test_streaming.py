@@ -483,3 +483,80 @@ def test_streaming_quality_scoring_and_redaction_compose(spark, tmp_path):
     got = {r["doc_id"] for r in spark.table("curated_stream").collect()}
     expect = {r["doc_id"] for r in curate(docs).collect()}
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental near-dedup (signature index maintained by stream)
+# ---------------------------------------------------------------------------
+
+def _dup_docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, ["doc_id", "text"])
+
+
+def _uniq_text(seed, ntok=30):
+    return " ".join(f"w{seed}_{j}" for j in range(ntok))
+
+
+def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
+    from dog_data_pipeline_spark.streaming.dedup_incremental import (
+        dedup_stream_incremental,
+        read_dup_pairs,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _dup_docs(
+        spark, [(1, _uniq_text(1)), (2, _uniq_text(2)), (3, _uniq_text(3))]
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(batch1.schema).parquet(str(src))
+        q = dedup_stream_incremental(
+            stream, index, pairs, ckpt,
+            id_col="doc_id", est_threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(index).count() == 3
+    assert read_dup_pairs(spark, pairs).count() == 0
+
+    # batch 2: doc 11 duplicates OLD doc 2; docs 12/13 duplicate each
+    # other; doc 14 unique
+    batch2 = _dup_docs(
+        spark,
+        [
+            (11, _uniq_text(2)),
+            (12, _uniq_text(9)),
+            (13, _uniq_text(9)),
+            (14, _uniq_text(4)),
+        ],
+    )
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    run()
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in read_dup_pairs(spark, pairs).collect()
+    }
+    assert (2, 11) in got, got       # batch-vs-index, index id on the left
+    assert (12, 13) in got, got      # batch-internal
+    assert all(b in {11, 12, 13, 14} for _, b in got)
+    assert spark.read.parquet(index).count() == 7
+
+    # replay the WHOLE input (fresh checkpoint, same index/pairs): the
+    # anti-join guard keeps replayed ids from self-pairing, and the
+    # pair-key dedup in read_dup_pairs absorbs the double append
+    shutil.rmtree(ckpt)
+    run()
+    run2 = {
+        (r["id_a"], r["id_b"]) for r in read_dup_pairs(spark, pairs).collect()
+    }
+    assert run2 == got
+    # index now holds replayed signature rows too; ids stay the same set
+    ids = {r["id"] for r in spark.read.parquet(index).select("id").distinct().collect()}
+    assert ids == {1, 2, 3, 11, 12, 13, 14}
