@@ -222,3 +222,47 @@ def test_gap_fill_generates_calendar_without_cartesian(spark):
     plan = plan_of(spark, "gap_filled_daily_counts")
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the calendar comes from sequence-explode
+
+
+def test_classifier_scoring_is_map_only(spark):
+    plan = plan_of(spark, "quality_classifier_scores")
+    assert "Exchange" not in plan  # pure per-row fold, zero shuffle
+
+
+def test_segment_dedup_has_no_window(spark):
+    # winner selection is a groupBy-min on the fingerprint, NOT a
+    # row_number window (a hot segment would funnel through one task's
+    # sort; the min-agg reducer is O(1) memory)
+    plan = plan_of(spark, "segment_dedup_stats")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_" in plan
+
+
+def test_mixture_weights_broadcasts_total(spark):
+    plan = plan_of(spark, "mixture_weights_plan")
+    # the 1-row grand total rides a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantization_broadcasts_ranges(spark):
+    plan = plan_of(spark, "embedding_quantization_audit")
+    # per-dim calibration collapses to ONE broadcast row; encoding is
+    # map-side against it
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_report_is_single_partial_agg(spark):
+    plan = plan_of(spark, "zorder_locality_report")
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2  # bucket agg + AQE read, nothing else
+    assert "Window" not in plan
+
+
+def test_source_cap_window_is_partitioned_by_source(spark):
+    # the rank window must be partitioned (parallel across sources) —
+    # an unpartitioned window would single-task the corpus
+    plan = plan_of(spark, "source_cap_report")
+    assert "Exchange SinglePartition" not in plan
