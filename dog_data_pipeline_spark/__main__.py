@@ -109,6 +109,10 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs,
         bench,
         min_quality=args.min_quality,
+        min_classifier_score=args.min_classifier_score,
+        source_col=args.source_col,
+        source_cap=args.source_cap,
+        segment_dedup_tokens=args.segment_dedup_tokens,
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
         pack_budget=args.pack_budget,
@@ -167,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--output", required=True, help="sharded export dir")
     sc.add_argument("--benchmark", default=None, help="benchmark docs parquet")
     sc.add_argument("--min-quality", type=float, default=0.5)
+    sc.add_argument("--min-classifier-score", type=float, default=None,
+                    help="enable the hashed-linear classifier gate")
+    sc.add_argument("--source-col", default=None)
+    sc.add_argument("--source-cap", type=int, default=None,
+                    help="cap documents per --source-col value")
+    sc.add_argument("--segment-dedup-tokens", type=int, default=None,
+                    help="enable C4-style sub-document dedup at this segment size")
     sc.add_argument("--chunk-tokens", type=int, default=32)
     sc.add_argument("--chunk-overlap", type=int, default=8)
     sc.add_argument("--pack-budget", type=int, default=256)

@@ -122,3 +122,28 @@ def test_cli_track_samples(spark, workdir):
 
 def test_cli_query_unknown_name_is_error():
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_curate_cli_full_stage_flags(spark, tmp_path):
+    import subprocess, sys, os
+
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_in")
+    docs.limit(60).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "cli_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "dog_data_pipeline_spark", "curate",
+         "--input", src, "--output", out, "--num-shards", "2",
+         "--min-quality", "0.0",
+         "--min-classifier-score", "0.1",
+         "--source-col", "source", "--source-cap", "4",
+         "--segment-dedup-tokens", "16"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curate: after_source_cap" in r.stdout
+    assert "curate: after_segment_dedup" in r.stdout
+    assert os.path.isdir(out)

@@ -193,3 +193,68 @@ def test_chunking_matches_python_model(spark_prop, texts, size, overlap):
             if start + size >= len(toks):
                 break
         assert sorted(got[str(i)]) == sorted(expect), (t, size, overlap)
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup properties: vs an independent Python model
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_seg_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _segment_model(texts, k):
+    """Reference implementation: global first-occurrence-wins."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        segs = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(segs), kept)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_seg_texts, k=st.integers(min_value=2, max_value=8), parts=st.integers(1, 4))
+def test_segment_dedup_matches_python_model(spark_prop, texts, k, parts):
+    from dog_data_pipeline_spark.operators.dedup import segment_dedup
+
+    df = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING"
+    ).repartition(parts)
+    got = {
+        r["id"]: r for r in segment_dedup(df, "doc_id", "text", seg_tokens=k).collect()
+    }
+    model = _segment_model(texts, k)
+    assert set(got) == set(model)
+    for doc_id, (n_segs, kept) in model.items():
+        r = got[doc_id]
+        assert r["n_segments"] == n_segs, (doc_id, texts)
+        assert r["n_kept"] == len(kept)
+        assert r["kept_text"] == " ".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# classifier properties: bounds + table-mode average
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_seg_texts)
+def test_classifier_score_always_bounded(spark_prop, texts):
+    from dog_data_pipeline_spark.operators.text import with_classifier_score
+
+    df = spark_prop.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    for r in with_classifier_score(df).collect():
+        assert 0.0 <= r["clf_score"] <= 1.0
+        assert r["clf_score_keep"] == (r["clf_score"] > 0.5)
