@@ -298,3 +298,67 @@ def mixture_weights(
             "alloc_tokens", F.col("weight") * F.lit(float(budget_tokens))
         ).withColumn("epochs", F.col("alloc_tokens") / F.col("n_tokens"))
     return out.drop("__raw", "__total")
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+    budget_tokens: float = 1e6,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture SELECTION, entirely in-plan: keep each
+    source's share of a token budget with probability derived from
+    w_s ∝ (token mass)^alpha — ``mixture_weights``' plan, applied as a
+    deterministic sample in the same job, no driver round-trip.
+
+    frac_s = min(1, alpha_weighted_alloc_s / tokens_s); rows keep via
+    the module's md5-threshold predicate, so selection is reproducible
+    across runs, engines, and partitionings. Down-sampling only:
+    sources whose allocation EXCEEDS their token mass (epochs > 1)
+    keep everything here — up-sampling is repetition, which belongs to
+    the training data loader; ``mixture_weights`` reports the epochs to
+    configure it.
+
+    Scale shape: one |sources|-row partial agg, a broadcast 1-row
+    total, a broadcast threshold join back — the corpus itself never
+    shuffles (same contract as ``token_budget_sample``, with the
+    temperature reweighting composed in).
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("double").alias("__tok")
+    )
+    # sqrt for alpha=0.5: IEEE-correctly-rounded, engine-exact (pow is not)
+    w = (
+        F.sqrt(F.col("__tok"))
+        if alpha == 0.5
+        else F.pow(F.col("__tok"), F.lit(float(alpha)))
+    )
+    with_w = totals.withColumn("__w", w)
+    tot = with_w.agg(F.sum("__w").alias("__tot"))
+    frac = F.least(
+        F.lit(1.0),
+        F.col("__w") / F.col("__tot") * F.lit(float(budget_tokens)) / F.col("__tok"),
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(frac * F.lit(float(_HEX_SPACE))).cast("bigint"),
+                    F.lit(_HEX_SPACE - 1),
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    thresholds = with_w.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col), thr.alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(_bucket_hex(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__thr")
+    )

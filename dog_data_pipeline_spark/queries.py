@@ -4891,6 +4891,56 @@ def zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_sampled_tokens",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(sum(n_toks) AS DOUBLE) AS tok FROM d GROUP BY 1
+    ), tot AS (
+      SELECT sum(sqrt(tok)) AS t FROM totals
+    ), thr AS (
+      SELECT source,
+             lower(lpad(to_hex(CAST(least(
+               floor(least(1.0, sqrt(tok) / t * 8000.0 / tok) * 4294967296.0),
+               4294967295) AS BIGINT)), 8, '0')) AS h
+      FROM totals, tot
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+    FROM d JOIN thr USING (source)
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < h
+    GROUP BY d.source
+    """,
+    "Temperature-based mixture SELECTION in one plan (north-star "
+    "sampling): per-source sqrt(token-mass) weights allocate an 8k-token "
+    "budget, the implied keep fraction becomes an md5 threshold computed "
+    "IN the plan (hex/lpad exprs) and broadcast back — "
+    "mixture_weights_plan's math applied as a deterministic sample with "
+    "no driver round-trip, engine-replayed end to end by the oracle. "
+    "Down-sampling only: epochs>1 sources keep everything (up-sampling "
+    "is the trainer's repetition knob). Corpus never shuffles: "
+    "|sources|-row agg + two broadcasts.",
+)
+def mixture_sampled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import mixture_sample
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(_tokens(F.col("text")))
+    )
+    kept = mixture_sample(
+        docs, "doc_id", "source", "n_toks", alpha=0.5,
+        budget_tokens=8000.0, salt="mix",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("kept_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -6,6 +6,14 @@ coalescing), UTC session timezone (oracle comparability; duckdb timestamps
 are UTC-naive), Arrow for any pandas exchange, and shuffle partitions
 sized to cores locally (on a real cluster this is overridden to ~2-3x
 total cores or left to AQE's coalescing).
+
+Runtime bloom-filter join pruning (InjectRuntimeFilter) is left at its
+DEFAULT-ON state deliberately: a selective dim-side filter spawns a
+bloom over the join keys that pre-filters the fact scan before the join
+shuffle — but only when the fact side scans > 10 GiB (the default
+application-side threshold), which is exactly the regime where it pays.
+Forcing it on at test scale would tax every tiny join; the mechanism is
+pinned by tests/test_plans.py with thresholds scaled down.
 """
 
 from __future__ import annotations

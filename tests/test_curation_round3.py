@@ -222,3 +222,30 @@ def test_incremental_lsh_matches_full_lsh_on_batch_touching_pairs(spark):
         if r["id_a"] >= 4 or r["id_b"] >= 4
     }
     assert inc == full
+
+
+def test_mixture_sample_downsamples_head_keeps_tail(spark):
+    from dog_data_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big", 100) for i in range(400)] + [
+        (1000 + i, "tiny", 100) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_toks"])
+    # budget 20k over sqrt-weights: 'tiny' (300 tokens) allocation
+    # exceeds its mass -> keeps everything; 'big' (40k tokens) is
+    # down-sampled toward its allocation
+    kept = mixture_sample(
+        df, "doc_id", "source", "n_toks", alpha=0.5, budget_tokens=20000.0
+    )
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["tiny"] == 3
+    assert per["big"] < 400
+    # deterministic: same selection under a different partitioning
+    kept2 = mixture_sample(
+        df.repartition(7), "doc_id", "source", "n_toks",
+        alpha=0.5, budget_tokens=20000.0,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in kept2.collect()
+    )

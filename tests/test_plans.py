@@ -266,3 +266,46 @@ def test_source_cap_window_is_partitioned_by_source(spark):
     # an unpartitioned window would single-task the corpus
     plan = plan_of(spark, "source_cap_report")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side():
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter) is ON by
+    default in this Spark: a selective dim filter spawns a bloom built
+    from the dim's join keys that pre-filters the FACT scan before the
+    join shuffle — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~matching fraction. The
+    default application-side threshold (10 GiB scan) is exactly right
+    at scale and unreachable at test scale, so this test scales the
+    thresholds down to pin the mechanism itself."""
+    from dog_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-tests")
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        sel = orders.filter("o_orderpriority = '1-URGENT'")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan.lower() or "might_contain" in plan.lower()
+        n_bloomed = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # and the result is still correct (recomputed without the tuning)
+    expected = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter("o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    assert n_bloomed == expected
