@@ -741,3 +741,136 @@ def incremental_lsh_pairs_from_tagged_sigs(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window_tokens: int = 16,
+) -> DataFrame:
+    """EXACT substring-level duplicate spans at ARBITRARY offsets (the
+    Lee et al. 2022 "Deduplicating Training Data" operation): any
+    ``window_tokens``-token run that appears anywhere else in the corpus
+    (or earlier in the same document) is a duplicate window; overlapping
+    duplicate windows merge into maximal spans.
+
+    This is strictly stronger than ``segment_dedup``: fixed segment
+    boundaries miss a duplicated passage that straddles them, while a
+    sliding window at every token offset cannot. The cost is the
+    standard one: O(tokens x window) fingerprint work (each of the
+    n-w+1 positions hashes a w-token slice) — map-only, embarrassingly
+    parallel, the deliberate compute-for-recall trade the paper makes
+    (their suffix-array variant trades memory instead; a sliding
+    fingerprint is the shuffle-friendly distributed form).
+
+    First occurrence wins, globally: the window's earliest (id, pos)
+    keeps its tokens; every LATER occurrence is flagged. Winner
+    selection is a groupBy-min on the window fingerprint + semi-join —
+    NOT a row_number window over the fingerprint partition, which would
+    single-task-sort the hottest fingerprint (a million-fold repeated
+    boilerplate line). Span merging is gaps-and-islands over each
+    document's flagged positions (window partitioned by doc — parallel
+    across docs, bounded by doc length within).
+
+    Returns one row per merged span: (id, span_start, span_end),
+    1-based inclusive token positions. md5 fingerprints keep the
+    whole decision engine-replayable (full SQL oracle).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    w = window_tokens
+    pos_arr = F.when(n < w, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n - w + 1)
+    )
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                pos_arr,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("h"),
+                ),
+            )
+        ).alias("wc"),
+    ).select("id", "wc.pos", "wc.h")
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w0"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup = (
+        wins.join(firsts.filter(F.col("cnt") > 1), "h")
+        .filter(
+            (F.col("id") != F.col("w0.id")) | (F.col("pos") != F.col("w0.pos"))
+        )
+        .select("id", "pos")
+    )
+    doc_w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            doc_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (w - 1)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window_tokens: int = 16,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Surgical removal of duplicated substrings: rewrite each document
+    with every token inside a ``duplicate_spans`` span removed (the Lee
+    et al. remediation — drop the repeated PASSAGE, keep the document).
+
+    Adds ``out`` plus ``n_removed_tokens``. Docs with no flagged span
+    pass through verbatim. The span list joins back per doc (bounded:
+    spans per doc <= tokens/2), then one filter expression drops the
+    covered positions — map-side after the join, no extra shuffle.
+    """
+    spans = duplicate_spans(df, id_col, text_col, window_tokens)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(
+        per_doc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.zip_with(idx, toks, lambda i, t: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~covered(s["i"]),
+    )
+    clean = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    n_removed = F.size(toks) - F.size(kept)
+    return (
+        joined.withColumn(
+            out, F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(clean)
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(n_removed),
+        )
+        .drop("__spans")
+    )

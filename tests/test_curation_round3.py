@@ -249,3 +249,86 @@ def test_mixture_sample_downsamples_head_keeps_tail(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in kept2.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_finds_offset_straddling_run(spark):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    # doc 2 embeds doc 1's tokens 3..8 at a DIFFERENT offset (1-based
+    # position 4 there) — fixed segment boundaries would miss it
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a9 a10"),
+            (2, f"b1 b2 b3 {shared} b10 b11 b12"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(df, "doc_id", "text", window_tokens=6).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # doc 1 (earlier id) keeps its copy; doc 2's window at pos 4 flagged
+    assert s["id"] == 2
+    assert (s["span_start"], s["span_end"]) == (4, 9)
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    # doc 2 repeats an 8-token run: windows at pos 1,2,3 (w=6) all dup,
+    # overlapping -> ONE merged span covering tokens 1..8
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, f"{run} x y"), (2, f"{run} p q")], ["doc_id", "text"]
+    )
+    spans = duplicate_spans(df, "doc_id", "text", window_tokens=6).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert s["id"] == 2
+    assert (s["span_start"], s["span_end"]) == (1, 8)
+
+
+def test_duplicate_spans_within_doc_repetition(spark):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    # the same 4-token run twice in ONE doc: second occurrence flagged
+    df = spark.createDataFrame(
+        [(5, "k1 k2 k3 k4 mid1 mid2 k1 k2 k3 k4")], ["doc_id", "text"]
+    )
+    spans = duplicate_spans(df, "doc_id", "text", window_tokens=4).collect()
+    assert len(spans) == 1
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (7, 10)
+
+
+def test_duplicate_spans_none_for_unique_corpus(spark):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(20))),
+         (2, " ".join(f"v{i}" for i in range(20)))],
+        ["doc_id", "text"],
+    )
+    assert duplicate_spans(df, "doc_id", "text", window_tokens=6).count() == 0
+
+
+def test_remove_duplicate_spans_rewrites_text(spark):
+    from dog_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, f"{run} x y"), (2, f"{run} p q")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", window_tokens=6
+        ).collect()
+    }
+    assert out[1]["clean_text"] == f"{run} x y"  # first occurrence untouched
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["clean_text"] == "p q"
+    assert out[2]["n_removed_tokens"] == 8

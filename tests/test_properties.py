@@ -258,3 +258,59 @@ def test_classifier_score_always_bounded(spark_prop, texts):
     for r in with_classifier_score(df).collect():
         assert 0.0 <= r["clf_score"] <= 1.0
         assert r["clf_score_keep"] == (r["clf_score"] > 0.5)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans properties: vs an independent Python model
+# ---------------------------------------------------------------------------
+
+def _spans_model(texts, w):
+    """Reference: flag every window whose (doc,pos) is not the global
+    first occurrence of its content; merge overlapping/adjacent windows."""
+    first = {}
+    for doc_id, text in sorted(enumerate(texts)):
+        toks = text.split()
+        for p in range(len(toks) - w + 1):
+            key = tuple(toks[p : p + w])
+            first.setdefault(key, (doc_id, p))
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        flagged = [
+            p for p in range(len(toks) - w + 1)
+            if first[tuple(toks[p : p + w])] != (doc_id, p)
+        ]
+        spans = []
+        for p in flagged:  # ascending
+            s, e = p + 1, p + w  # 1-based inclusive
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        if spans:
+            out[doc_id] = spans
+    return out
+
+
+_span_words = st.sampled_from(["x", "y", "z"])
+_span_texts = st.lists(
+    st.lists(_span_words, min_size=1, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_span_texts, w=st.integers(min_value=2, max_value=5), parts=st.integers(1, 3))
+def test_duplicate_spans_matches_python_model(spark_prop, texts, w, parts):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    df = spark_prop.createDataFrame(
+        list(enumerate(texts)), "doc_id INT, text STRING"
+    ).repartition(parts)
+    got: dict = {}
+    for r in duplicate_spans(df, "doc_id", "text", window_tokens=w).collect():
+        got.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    for v in got.values():
+        v.sort()
+    assert got == _spans_model(texts, w), (texts, w)

@@ -47,10 +47,11 @@ def test_north_star_queries_lead_registry_order():
     north_star = [
         "ngram_jaccard_dedup", "minhash_lsh_dedup",
         "simhash_dedup", "dedup_clusters",
-        "corpus_curation", "knn_cosine_topk", "knn_cosine_lsh",
+        "corpus_curation", "knn_cosine_lsh",
         "knn_cosine_ivf", "rolling_fingerprint",
         # round-3 curation family: first driver rows this round
-        "segment_dedup_stats", "incremental_dedup_newbatch",
+        "segment_dedup_stats", "duplicate_span_stats",
+        "incremental_dedup_newbatch",
         "source_cap_report", "mixture_weights_plan",
         "quality_classifier_scores", "embedding_quantization_audit",
         "zorder_locality_report",
