@@ -403,3 +403,37 @@ def with_classifier_score_table(
         .agg(F.avg(F.coalesce(F.col(weight_col), F.lit(0.0))).alias(out))
     )
     return keyed.join(scored, "__rid", "left").drop("__rid")
+
+
+def with_blocklist_profile(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    max_hit_frac: float = 0.0,
+) -> DataFrame:
+    """C4-style word-blocklist screening: per-document blocklist hit
+    count and fraction, plus a ``blocked`` flag (C4 drops a page on ANY
+    hit — ``max_hit_frac=0.0``; raise it for a tolerance policy).
+
+    The blocklist rides the plan as an array literal (these lists are
+    hundreds to low-thousands of words — plan-literal size is fine; a
+    100k-term list would switch to the broadcast-join form of
+    ``with_classifier_score_table``). Matching is exact-token, the
+    standard C4 criterion; substring matching over-blocks (the classic
+    'Scunthorpe' failure) and belongs to a regex pass instead.
+
+    Map-only column expressions — zero shuffle at any scale.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    out = df.withColumn("n_blocklist_hits", hits).withColumn(
+        "blocklist_hit_frac_u",
+        F.floor(hits / n * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    if max_hit_frac > 0.0:
+        blocked = F.col("blocklist_hit_frac_u") > int(max_hit_frac * 1e6)
+    else:
+        blocked = F.col("n_blocklist_hits") > 0
+    return out.withColumn("blocked", blocked)

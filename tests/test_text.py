@@ -180,3 +180,45 @@ def test_chunking_short_doc_single_chunk(spark):
     assert len(rows) == 1
     assert rows[0]["chunk"] == "just three tokens"
     assert rows[0]["n_chunk_tokens"] == 3
+
+
+# ---------------------------------------------------------------------------
+# blocklist screening
+# ---------------------------------------------------------------------------
+
+def test_blocklist_any_hit_blocks(spark):
+    from dog_data_pipeline_spark.operators.text import with_blocklist_profile
+
+    df = spark.createDataFrame(
+        [(1, "clean text here"), (2, "one BAD token"), (3, "bad bad bad")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_blocklist_profile(df, ["bad"], "text").collect()
+    }
+    assert not out[1]["blocked"] and out[1]["n_blocklist_hits"] == 0
+    assert out[2]["blocked"] and out[2]["n_blocklist_hits"] == 1  # case-folded
+    assert out[3]["blocked"] and out[3]["n_blocklist_hits"] == 3
+    assert out[3]["blocklist_hit_frac_u"] == 1_000_000
+
+
+def test_blocklist_tolerance_policy(spark):
+    from dog_data_pipeline_spark.operators.text import with_blocklist_profile
+
+    df = spark.createDataFrame(
+        [(1, "bad a b c d e f g h i")],  # 1/10 hits
+        ["doc_id", "text"],
+    )
+    lax = with_blocklist_profile(df, ["bad"], "text", max_hit_frac=0.2).collect()[0]
+    assert not lax["blocked"]
+    strict = with_blocklist_profile(df, ["bad"], "text", max_hit_frac=0.05).collect()[0]
+    assert strict["blocked"]
+
+
+def test_blocklist_exact_token_not_substring(spark):
+    from dog_data_pipeline_spark.operators.text import with_blocklist_profile
+
+    df = spark.createDataFrame([(1, "scunthorpe is fine")], ["doc_id", "text"])
+    row = with_blocklist_profile(df, ["thor"], "text").collect()[0]
+    assert not row["blocked"]
