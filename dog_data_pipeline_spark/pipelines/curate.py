@@ -8,6 +8,8 @@ runs to turn a raw document table into training-ready shards.
       → exact dedup         (normalized-fingerprint, min-id keeps)
       → segment dedup       (optional: C4-style sub-document dedup —
                              survivors' text is rewritten)
+      → span dedup          (optional: substring-level duplicate-span
+                             removal at arbitrary offsets, Lee et al.)
       → decontamination     (benchmark n-gram overlap, broadcast)
       → chunk               (overlapping context windows)
       → pack                (shard-parallel ~budget-token sequences)
@@ -55,6 +57,7 @@ def curate_corpus(
     source_col: str | None = None,
     source_cap: int | None = None,
     segment_dedup_tokens: int | None = None,
+    span_dedup_window_tokens: int | None = None,
     contamination_n: int = 5,
     chunk_tokens: int = 32,
     chunk_overlap: int = 8,
@@ -70,9 +73,12 @@ def curate_corpus(
     classifier to the quality gate (fused into the same map pass);
     ``source_cap`` (with ``source_col``) caps documents per source;
     ``segment_dedup_tokens`` enables C4-style sub-document dedup, which
-    REWRITES surviving documents' text to their kept segments. Row
-    counts in ``stats`` each materialize one aggregate; they are the
-    pipeline's audit trail, not a side effect.
+    REWRITES surviving documents' text to their kept segments;
+    ``span_dedup_window_tokens`` additionally removes duplicated
+    substrings at ARBITRARY offsets (Lee et al.) — run it after segment
+    dedup for passages that straddle segment boundaries. Row counts in
+    ``stats`` each materialize one aggregate; they are the pipeline's
+    audit trail, not a side effect.
     """
     from dog_data_pipeline_spark.operators.contamination import decontaminate
     from dog_data_pipeline_spark.operators.dedup import exact_dup_groups, segment_dedup
@@ -136,6 +142,22 @@ def curate_corpus(
             .select(id_col, text_col, *other_cols)
         )
         stats["after_segment_dedup"] = deduped.count()
+
+    if span_dedup_window_tokens is not None:
+        from dog_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+        other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        deduped = (
+            remove_duplicate_spans(
+                deduped, id_col, text_col,
+                window_tokens=span_dedup_window_tokens,
+            )
+            .filter(F.length("clean_text") > 0)  # fully-duplicated docs drop
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(id_col, text_col, *other_cols)
+        )
+        stats["after_span_dedup"] = deduped.count()
 
     if benchmark is not None:
         cleaned = decontaminate(

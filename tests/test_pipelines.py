@@ -289,6 +289,7 @@ def test_curate_corpus_full_stage_set(spark):
         source_col="source",
         source_cap=5,
         segment_dedup_tokens=16,
+        span_dedup_window_tokens=8,
     )
     s = res.stats
     assert s["after_quality"] <= s["input"]
@@ -300,6 +301,7 @@ def test_curate_corpus_full_stage_set(spark):
     # exact dedup removed the clone before segment dedup saw it
     assert s["after_exact_dedup"] <= s["after_source_cap"]
     assert s["after_segment_dedup"] <= s["after_exact_dedup"]
+    assert s["after_span_dedup"] <= s["after_segment_dedup"]
     # segment-level survivors have non-empty rewritten text
     assert res.kept.filter(F.length("text") == 0).count() == 0
     assert set(res.kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
