@@ -1,0 +1,126 @@
+"""Full-text keyword search (north-star text analysis): a distributed
+inverted index (term postings) plus BM25-ranked top-k retrieval.
+
+Scale design:
+- ``build_term_postings`` is one explode + partial-aggregated
+  groupBy((id, term)) producing the postings table
+  ``(term, id, tf, dl)``. Written bucketed-by-term (see
+  ``sources/warehouse.py``) it serves term lookups with partition
+  pruning and no shuffle — the classic index-once / query-many split.
+- ``bm25_topk`` filters postings to the query's term set BEFORE any
+  aggregation, so per-query cost is O(sum of the query terms' posting
+  lists), not O(corpus). Corpus stats (N, avgdl) are one scalar
+  aggregate broadcast into the scoring projection; per-term document
+  frequency is a |terms|-row aggregate broadcast-joined back onto the
+  postings. The final top-k is a global ``orderBy().limit(k)`` —
+  Spark plans TakeOrdered, a per-partition heap + driver merge, never
+  a global sort.
+
+Scoring is Okapi BM25 (Robertson & Sparck Jones):
+    idf(t)    = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    tfsat(t,d)= tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d)  = sum over query terms of idf(t) * tfsat(t, d)
+
+Determinism contract: scores are rounded to 6 decimals BEFORE ranking
+so the (rounded_score DESC, id ASC) order is identical across engines
+— collapsing float-addition-order ulp noise into exact ties that the
+id tie-break resolves the same way everywhere. The DuckDB oracle in
+queries.py replays the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def search_tokens(text) -> "F.Column":
+    """Lowercased whitespace tokenization — the index's analyzer.
+
+    Kept deliberately aligned with operators.text.tokens (SQL analog:
+    ``lower(unnest(string_split_regex(trim(text), '\\s+')))``) so the
+    postings table can be shared with the dedup/quality operators.
+    """
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def build_term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The inverted index: one row per (term, document) with the term
+    frequency and the document length: ``(term, <id_col>, tf, dl)``.
+
+    One explode + one partially-aggregated groupBy — map-side combine
+    collapses repeated terms within a document before the shuffle, so
+    shuffle volume is bounded by distinct (doc, term) pairs.
+    """
+    toks = docs.select(
+        F.col(id_col), search_tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    return (
+        toks.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", id_col, "tf", "dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a keyword query under BM25 ranking.
+
+    Returns ``(<id_col>, n_terms_matched, score, rank)`` — score rounded
+    to 6 decimals (the ranking key, see module docstring), rank dense
+    from 1 by (score DESC, id ASC).
+    """
+    terms = sorted(set(t.lower() for t in terms))
+    post = build_term_postings(docs, id_col, text_col).filter(
+        F.col("term").isin(terms)
+    )
+    # corpus stats: N docs + average doc length — one scalar aggregate,
+    # computed from the documents (not the filtered postings) and
+    # broadcast into the scoring projection
+    toks = docs.select(F.size(search_tokens(F.col(text_col))).alias("__dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    # per-term document frequency: |terms|-row aggregate, broadcast back
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("__contrib"), 6).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "n_terms_matched", "score", "rank"
+    )

@@ -2565,6 +2565,53 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_keyword_search",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('merge', 'stream', 'vector') GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, count(*) AS df FROM post GROUP BY 1
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS INT) AS n_terms_matched,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS score
+      FROM post p JOIN dft USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "BM25 keyword search over the inverted index (north-star text "
+    "analysis): build_term_postings is one explode + partially-"
+    "aggregated groupBy((doc, term)); the query's term set filters the "
+    "postings BEFORE aggregation so per-query cost is the posting-list "
+    "sum, not the corpus; corpus stats (N, avgdl) are one broadcast "
+    "scalar agg, per-term df a broadcast |terms|-row agg; the final "
+    "top-k is TakeOrdered. Determinism: BM25 scores are rounded to 6 "
+    "decimals BEFORE ranking, collapsing float-addition-order ulp "
+    "noise into exact ties broken by doc_id — identical order in both "
+    "engines. Written bucketed-by-term the postings serve point "
+    "lookups with partition pruning (index-once / query-many).",
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["merge", "stream", "vector"], k=20)
+
+
+@query(
     "corpus_snapshot_diff",
     r"""
     WITH v2 AS (
@@ -3591,6 +3638,39 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = cosine_topk_ivf(
         emb, queries_df, k=10, id_col="vec_id", vec_col="embedding",
         n_lists=8, n_probe=3,
+    )
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    return _knn_certificate(exact, approx, k=10, min_hits=2, recall_col="recall10_ge_2")
+
+
+@query(
+    "knn_cosine_ivfpq",
+    _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
+    "Approximate top-k cosine via IVF + product quantization with "
+    "asymmetric-distance scoring (IVFADC, Jegou et al. 2011): the "
+    "candidate scan streams a COMPRESSED index row (id, cell, norm, 8 "
+    "uint4 codes — 64x smaller than the raw dim=64 float vectors), ADC "
+    "scores reconstruct candidates from plan-closure codebooks in one "
+    "Arrow-batched matmul, and only the per-query top rerank*k=40 ADC "
+    "survivors read raw vectors back for the exact rerank — the ANN "
+    "memory-compression path that complements knn_cosine_ivf (same "
+    "probe geometry, 64x less candidate-scan I/O at 100 TB). "
+    "SELF-CERTIFYING via the shared per-query certificate: exact kth "
+    "cosine anchor + returned_full_k + recall@10 >= 2 (measured floor "
+    "2/10 across test SFs — the probe misses, not PQ: identical floor "
+    "to the uncompressed IVF) + approx-kth <= exact-kth dominance.",
+)
+def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    approx = cosine_topk_ivfpq(
+        emb, queries_df, k=10, id_col="vec_id", vec_col="embedding",
+        n_lists=8, n_probe=3, m_sub=8, ksub=16, rerank=4,
     )
     exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
     return _knn_certificate(exact, approx, k=10, min_hits=2, recall_col="recall10_ge_2")
@@ -5103,9 +5183,13 @@ _PRIORITY_ORDER = [
     "embedding_quantization_audit",
     "zorder_locality_report",
     # north-star: similarity search (knn_cosine_topk rotated out after
-    # two green rounds; the family keeps lsh+ivf rows)
+    # two green rounds; the family keeps lsh+ivf rows and adds the
+    # compressed-index IVFADC path)
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "knn_cosine_ivfpq",
+    # north-star: full-text retrieval (inverted index + BM25)
+    "bm25_keyword_search",
     # north-star: text analysis
     "rolling_fingerprint",
     # north-star: corpus curation (repetition quality + decontamination)
@@ -5140,13 +5224,17 @@ _PRIORITY_ORDER = [
     "grouping_sets_lineitem",
     "percentile_quantities",
     # round-2-green keepers whose driver rows are the sole §2 evidence
-    "ntile_value_quartiles",
     "multimodal_track_summary",
     "audio_feature_summary",
     "image_resize_stats",
-    "min_cost_supplier",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
+# Mid-round-3 swap: the two new operators added this session
+# (knn_cosine_ivfpq, bm25_keyword_search — both pre-validated against
+# the sf0.01 oracle) take the slots of ntile_value_quartiles (hash-green
+# rounds 1 AND 2) and min_cost_supplier (hash-green round 2; its TPC-H
+# family keeps 20 local-oracle entries). Both rotated-out queries stay
+# under the identical local mirror (tests/test_queries_oracle.py).
 # Round-3 rotation (second pass, same policy): the 24 two-round-green
 # filter/join/agg/window singles rotated out earlier stay out; this
 # session additionally swaps out 7 MULTI-ROUND-GREEN entries

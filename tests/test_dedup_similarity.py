@@ -108,6 +108,47 @@ def test_lsh_knn_recall_vs_exact(spark):
     assert approx.filter(F.col("rank") == 1).count() == 5
 
 
+def test_ivfpq_knn_recall_and_exact_rerank(spark):
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = cosine_topk_ivfpq(
+        emb, queries, k=10, n_lists=8, n_probe=3, m_sub=8, ksub=16, rerank=4
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["vec_id"]) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"IVF-PQ knn recall@10 = {recall}"
+    assert approx.filter(F.col("rank") == 1).count() == 5
+    # returned cosines are EXACT (rerank recomputes from raw vectors):
+    # every (q, c) pair the approx path shares with exact must agree
+    ex_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for r in a_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_cos:
+            assert abs(r["cosine"] - ex_cos[key]) < 1e-12
+
+
+def test_pq_codebooks_shape_and_determinism():
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import _train_pq_codebooks
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 64))
+    b1 = _train_pq_codebooks(vecs, 8, 16, seed=42)
+    b2 = _train_pq_codebooks(vecs, 8, 16, seed=42)
+    assert len(b1) == 8 and all(cb.shape == (16, 8) for cb in b1)
+    assert all((x == y).all() for x, y in zip(b1, b2))
+    import pytest
+
+    with pytest.raises(ValueError):
+        _train_pq_codebooks(vecs, 7, 16, seed=42)
+
+
 def test_jaccard_cap_lower_bounds_common_and_noop_below_cap(spark):
     # corpus: two near-dup docs sharing many shingles + a boilerplate
     # shingle planted into EVERY doc (df = n_docs > cap)
