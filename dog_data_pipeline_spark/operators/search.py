@@ -124,3 +124,44 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "n_terms_matched", "score", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (e.g. BM25 + embedding ANN
+    for RAG): score(d) = sum over systems of 1 / (k_rrf + rank_s(d)).
+
+    Each input needs (id_col, rank). Documents missing from a system
+    simply contribute nothing — no outer join, the fusion is one
+    union-all + partially-aggregated groupBy(id) + TakeOrdered(k):
+    map-side combine bounds the shuffle by distinct retrieved ids, and
+    nothing touches the corpus. Scores are rounded to 6 decimals before
+    ranking (same engine-portability contract as bm25_topk: reordered
+    float additions collapse into exact ties broken by id).
+
+    Returns (<id_col>, rrf_score, n_systems, rank).
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    topk = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "rrf_score", "n_systems", "rank"
+    )

@@ -2612,6 +2612,87 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_rrf_search",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('merge', 'stream', 'vector') GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, count(*) AS df FROM post GROUP BY 1
+    ), bm25 AS (
+      SELECT p.doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS score
+      FROM post p JOIN dft USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY 1
+    ), bm25_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25 ORDER BY score DESC, doc_id LIMIT 30
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id = 0
+    ), cos AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]))
+               / (qnorm * c.norm) AS cosine
+      FROM n c, q WHERE c.vec_id <> q.query_id
+    ), cos_rank AS (
+      SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM cos ORDER BY cosine DESC, vec_id LIMIT 30
+    ), contrib AS (
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm25_rank
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM cos_rank
+    ), fused AS (
+      SELECT doc_id, round(sum(c), 6) AS rrf_score,
+             CAST(count(*) AS INT) AS n_systems
+      FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, rrf_score, n_systems,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    "Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009; "
+    "the RAG-standard combiner): BM25 top-30 for a keyword query fused "
+    "with exact-cosine top-30 for the matching query embedding (the "
+    "documents and embeddings tables share the 0..N id space), "
+    "rrf_score = sum 1/(60+rank). The fusion itself is one union-all + "
+    "partially-aggregated groupBy(id) + TakeOrdered — shuffle bounded "
+    "by distinct retrieved ids, corpus never touched; each leg keeps "
+    "its own scale shape (posting-list-bounded BM25, broadcast-query "
+    "ANN). Rank portability: both legs rank on values the oracle "
+    "reproduces exactly (rounded BM25, raw cosine with id tie-break — "
+    "the knn_cosine_topk precedent), and the fused score rounds before "
+    "the final ranking.",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.search import bm25_topk, rrf_fuse
+    from dog_data_pipeline_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm25 = bm25_topk(docs, ["merge", "stream", "vector"], k=30).select(
+        "doc_id", "rank"
+    )
+    cos = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=30, id_col="vec_id",
+        vec_col="embedding",
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm25, cos], id_col="doc_id", k_rrf=60, k=20)
+
+
+@query(
     "corpus_snapshot_diff",
     r"""
     WITH v2 AS (
@@ -5213,9 +5294,11 @@ _PRIORITY_ORDER = [
     # temporal shapes never driver-checked before
     "gap_filled_daily_counts",
     "sessionization",
-    # sketch family
+    # sketch family (approx_distinct_parts rotated out after its round-2
+    # green row; heavy_hitters_cms keeps the family's driver evidence)
     "heavy_hitters_cms",
-    "approx_distinct_parts",
+    # north-star: hybrid retrieval (BM25 + ANN fused via RRF)
+    "hybrid_rrf_search",
     # generic-surface breadth never driver-checked before (skew remedy,
     # grouping sets, stat aggs, pivot, percentiles)
     "salted_skew_join",

@@ -309,3 +309,23 @@ def test_runtime_bloom_filter_prunes_fact_side():
         .count()
     )
     assert n_bloomed == expected
+
+
+def test_bm25_broadcasts_stats_and_df_takeordered_topk(spark):
+    plan = plan_of(spark, "bm25_keyword_search")
+    # corpus stats (1 row) and per-term df (|terms| rows) must both
+    # broadcast; the term filter must prune postings before any join;
+    # the final top-k must be TakeOrdered, not a global sort
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_candidate_scan_joins_on_compressed_index(spark):
+    plan = plan_of(spark, "knn_cosine_ivfpq")
+    # the probe side (query cells) broadcasts into the compressed-index
+    # scan; no cartesian anywhere; shortlist rerank joins raw vectors
+    # by id (hash join), never a nested loop over the corpus
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -68,3 +68,26 @@ def test_bm25_rank_deterministic_and_k_bounded(spark):
 def test_bm25_no_match_returns_empty(spark):
     out = bm25_topk(_docs(spark, [(1, "x y")]), ["zebra"], k=5)
     assert out.count() == 0
+
+
+def test_rrf_fuse_hand_model(spark):
+    from dog_data_pipeline_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id LONG, rank INT")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id LONG, rank INT")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    assert out[1]["rrf_score"] == round(1 / 61 + 1 / 62, 6)
+    assert out[3]["rrf_score"] == round(1 / 63 + 1 / 61, 6)
+    assert out[2]["rrf_score"] == round(1 / 62, 6)
+    assert out[9]["n_systems"] == 1 and out[1]["n_systems"] == 2
+    # fused order: doc1 (.03251) > doc3 (.03227) > doc2 > doc9 (tie 1/63
+    # broken by id)
+    ranks = {d: r["rank"] for d, r in out.items()}
+    assert ranks == {1: 1, 3: 2, 2: 3, 9: 4}
+
+
+def test_rrf_fuse_k_bounds_output(spark):
+    from dog_data_pipeline_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 30)], "doc_id LONG, rank INT")
+    assert rrf_fuse([a], k=5).count() == 5
