@@ -2611,6 +2611,193 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["merge", "stream", "vector"], k=20)
 
 
+# ---------------------------------------------------------------------------
+# File-surface roundtrips: driver-checkable evidence for the source/sink
+# operators (SURVEY S1-S6, sharding) that previously had pytest-only
+# coverage. Each query WRITES through the engine's sink, READS back
+# through its scan, and returns rows the oracle recomputes from the base
+# tables — a full-fidelity roundtrip certificate (any write/read/schema
+# drift hash-mismatches). Outputs land in a fresh mkdtemp dir under the
+# system temp root (small at oracle scale; /tmp is ephemeral).
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(name: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"ddps_{name}_")
+
+
+@query(
+    "csv_catalog_roundtrip",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS file_index,
+           concat('data/raw/', lpad(CAST(p_partkey AS VARCHAR), 6, '0'), '.mp4')
+             AS file_path,
+           p_type AS dataset,
+           p_brand AS action,
+           p_name AS original_file_path
+    FROM part
+    """,
+    "CSV catalog roundtrip certificate (SURVEY S1/S3): a catalog built "
+    "from `part` (reference labels.csv shape: dense file_index, "
+    "zero-padded path, dataset, action, original path — "
+    "preprocessed_to_raw.py:19,40) goes through write_catalog_atomic "
+    "TWICE (the second write exercises the stage-then-swap path over a "
+    "live catalog) and comes back through the schema-declared "
+    "read_catalog_csv. The oracle recomputes the rows from `part`, so "
+    "the full value hash certifies sink + swap + scan + schema typing "
+    "end-to-end — any column drift, quoting bug, or torn swap "
+    "hash-mismatches.",
+)
+def csv_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dog_data_pipeline_spark.sources.catalog import (
+        read_catalog_csv,
+        write_catalog_atomic,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    catalog = part.select(
+        F.col("p_partkey").cast("long").alias("file_index"),
+        F.concat(
+            F.lit("data/raw/"),
+            F.lpad(F.col("p_partkey").cast("string"), 6, "0"),
+            F.lit(".mp4"),
+        ).alias("file_path"),
+        F.col("p_type").alias("dataset"),
+        F.col("p_brand").alias("action"),
+        F.col("p_name").alias("original_file_path"),
+    )
+    path = os.path.join(_roundtrip_dir("catalog"), "labels.csv")
+    write_catalog_atomic(catalog, path)
+    write_catalog_atomic(catalog, path)  # swap over the live catalog
+    return read_catalog_csv(spark, path)
+
+
+@query(
+    "json_map_roundtrip",
+    """
+    SELECT concat(source, '/', CAST(doc_id AS VARCHAR), '.txt') AS file_path,
+           lang AS action
+    FROM documents
+    """,
+    "JSON manifest-map roundtrip certificate (SURVEY S4/S5): the "
+    "{file_path: action} map the reference serializes as ONE JSON "
+    "object (preprocess_dataset.py:77-79) is built from `documents`, "
+    "written via write_json_map (single-object layout parity) and read "
+    "back via read_json_map (from_json into MapType + explode). The "
+    "oracle recomputes the pairs from `documents`; the hash certifies "
+    "the object layout, key escaping, and the map-explode scan.",
+)
+def json_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dog_data_pipeline_spark.sources.json_map import (
+        read_json_map,
+        write_json_map,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mapping = docs.select(
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("file_path"),
+        F.col("lang").alias("action"),
+    )
+    path = os.path.join(_roundtrip_dir("jsonmap"), "path_action_dict.json")
+    write_json_map(mapping, path)
+    return read_json_map(spark, path)
+
+
+@query(
+    "binary_listing_stats",
+    """
+    SELECT lang, CAST(1 AS BIGINT) AS n_files
+    FROM (SELECT DISTINCT lang FROM documents) d
+    """,
+    "Directory scan + glob certificate (SURVEY S6/P7): `documents` is "
+    "written as a lang=<v>-partitioned parquet layout (one file per "
+    "partition dir), then listed back through list_binary_files with a "
+    "*.parquet glob and the lang key is RECOVERED FROM THE PATH via "
+    "parse_path_components — the filesystem-as-table pattern "
+    "(path components are key columns, preprocess_dataset.py:44-49). "
+    "The oracle expects exactly one listed file per distinct lang, so "
+    "a glob miss, a stray partition, or a path-parse bug changes the "
+    "row set and fails the hash.",
+)
+def binary_listing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.files import list_binary_files
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _roundtrip_dir("listing")
+    (
+        docs.select("doc_id", "text", "lang")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    files = list_binary_files(spark, path, glob="*.parquet")
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"lang=([^/]+)/", 1).alias("lang")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+
+
+@query(
+    "sharded_export_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_size,
+           TRUE AS manifest_clean,
+           TRUE AS roundtrip_complete,
+           TRUE AS all_shards_nonempty
+    FROM documents
+    """,
+    "Sharded-export roundtrip certificate (deterministic corpus "
+    "sharding, sources/sharding.py): `documents` goes out through "
+    "write_sharded (xxhash64 shard assignment, shard=K parquet "
+    "layout, manifest computed from the data) and comes back through "
+    "the partitioned scan. The xxhash64 placement has no SQL analog, "
+    "so the certificate rides TRUE-columns the oracle expects: "
+    "manifest_clean (verify_manifest re-counts every shard from the "
+    "written files — empty diff), roundtrip_complete (anti-join of "
+    "source vs read-back ids is empty BOTH ways), all_shards_nonempty "
+    "(all 8 shards materialized); total_rows/total_size anchor the "
+    "volume in SQL-checkable values.",
+)
+def sharded_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.sharding import (
+        verify_manifest,
+        write_sharded,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _roundtrip_dir("sharded")
+    manifest = write_sharded(
+        docs, path, key_col="doc_id", num_shards=8, size_col="n_chars"
+    )
+    clean = verify_manifest(spark, path, manifest).count() == 0
+    back = spark.read.parquet(path)
+    missing = (
+        docs.select("doc_id").join(back.select("doc_id"), "doc_id", "left_anti").count()
+        + back.select("doc_id").join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    )
+    n_shards = back.select("shard").distinct().count()
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("total_rows"),
+        F.sum("n_chars").cast("long").alias("total_size"),
+        F.lit(bool(clean)).alias("manifest_clean"),
+        F.lit(missing == 0).alias("roundtrip_complete"),
+        F.lit(n_shards == 8).alias("all_shards_nonempty"),
+    )
+
+
 @query(
     "hybrid_rrf_search",
     r"""
@@ -5244,9 +5431,11 @@ _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
     # north-star: deduplication (all self-certifying since round 3 —
-    # zero rows-only entries remain anywhere in the registry)
-    "ngram_jaccard_dedup",
-    "ngram_jaccard_dedup_prefix",
+    # zero rows-only entries remain anywhere in the registry;
+    # ngram_jaccard_dedup (green r1+r2) and _prefix (green r2) rotated
+    # out — exact-jaccard semantics stay driver-covered because the
+    # minhash_lsh_dedup / incremental_dedup_newbatch oracles REPLAY the
+    # exact jaccard join)
     "minhash_lsh_dedup",
     "simhash_dedup",
     "simhash_pigeonhole_dedup",
@@ -5273,9 +5462,14 @@ _PRIORITY_ORDER = [
     "bm25_keyword_search",
     # north-star: text analysis
     "rolling_fingerprint",
-    # north-star: corpus curation (repetition quality + decontamination)
-    "repetition_quality_filter",
-    "benchmark_contamination",
+    # file-surface roundtrips: first driver rows for the S1-S6 +
+    # sharding sink/scan operators (previously pytest-only; the
+    # rotated-out repetition_quality_filter / benchmark_contamination
+    # were hash-green in round 2 and keep the local mirror)
+    "csv_catalog_roundtrip",
+    "json_map_roundtrip",
+    "binary_listing_stats",
+    "sharded_export_roundtrip",
     # round-3 rotation: the LLM-curation family had local-oracle-only
     # evidence through round 2 — these get their first driver rows now
     "chunk_documents",

@@ -45,10 +45,11 @@ def test_north_star_queries_lead_registry_order():
     text family must sit inside any plausible window."""
     names = list(REGISTRY)
     north_star = [
-        "ngram_jaccard_dedup", "minhash_lsh_dedup",
+        "minhash_lsh_dedup",
         "simhash_dedup", "dedup_clusters",
         "corpus_curation", "knn_cosine_lsh",
-        "knn_cosine_ivf", "rolling_fingerprint",
+        "knn_cosine_ivf", "knn_cosine_ivfpq",
+        "bm25_keyword_search", "rolling_fingerprint",
         # round-3 curation family: first driver rows this round
         "segment_dedup_stats", "duplicate_span_stats",
         "incremental_dedup_newbatch",
