@@ -2798,6 +2798,60 @@ def sharded_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_IDENTITY_ORACLE = """
+    SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+"""
+
+
+@query(
+    "jsonl_corpus_roundtrip",
+    _DOCS_IDENTITY_ORACLE,
+    "JSONL interchange roundtrip certificate (corpus lingua franca): "
+    "`documents` goes out through write_jsonl (gzip per file — stays "
+    "splittable because parallelism comes from file count) and back "
+    "through read_jsonl WITH AN EXPLICIT DDL SCHEMA (inference is a "
+    "full extra pass — the classic accidental 2x read at corpus "
+    "scale). The oracle is the identity projection, so JSON escaping, "
+    "compression, and schema typing are all under the value hash.",
+)
+def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.formats import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("long")
+    )
+    path = _roundtrip_dir("jsonl")
+    write_jsonl(docs, path)
+    return read_jsonl(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "orc_corpus_roundtrip",
+    _DOCS_IDENTITY_ORACLE,
+    "ORC connector roundtrip certificate (columnar format breadth "
+    "beyond parquet; core Spark, no extra jars): write_orc then "
+    "read_orc with pushdown/pruning intact, identity-projection "
+    "oracle. The Avro connector shares the same convert_table path "
+    "but gates on the external spark-avro jar (avro_available), so "
+    "its evidence stays in the import-gated pytest suite.",
+)
+def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.formats import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("long")
+    )
+    path = _roundtrip_dir("orc")
+    write_orc(docs, path)
+    return read_orc(spark, path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 @query(
     "hybrid_rrf_search",
     r"""
