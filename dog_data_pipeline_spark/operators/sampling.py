@@ -362,3 +362,73 @@ def mixture_sample(
         .filter(_bucket_hex(F.col(key_col), salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    tokens_col: str,
+    alpha: float = 0.5,
+    budget_tokens: float = 1e6,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The temperature mixture applied WITH repetition — the epochs>1
+    half that ``mixture_sample`` delegates to the trainer, materialized
+    deterministically when the pipeline (not the data loader) must own
+    the final layout.
+
+    Per source s with allocation alloc_s = w_s/W * budget and token
+    mass tok_s, epochs_s = alloc_s / tok_s: every row is emitted
+    floor(epochs_s) times, plus ONE more copy iff its md5 bucket falls
+    under the fractional remainder — so each source's expected emitted
+    token mass equals its allocation exactly, and the layout is
+    reproducible across runs, engines, and partitionings (no RNG
+    state). Rows carry a 0-based ``epoch`` index so the trainer can
+    de-interleave repetitions.
+
+    Scale shape: one |sources|-row partial agg, a broadcast 1-row
+    total, broadcast (full_epochs, fractional threshold) joined back,
+    then an in-plan sequence explode — per-row fan-out is bounded by
+    ceil(epochs_s), the corpus never shuffles, and output volume IS the
+    allocation (there is no cheaper way to materialize repetition).
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("double").alias("__tok")
+    )
+    w = (
+        F.sqrt(F.col("__tok"))
+        if alpha == 0.5
+        else F.pow(F.col("__tok"), F.lit(float(alpha)))
+    )
+    with_w = totals.withColumn("__w", w)
+    tot = with_w.agg(F.sum("__w").alias("__tot"))
+    epochs = F.col("__w") / F.col("__tot") * F.lit(float(budget_tokens)) / F.col("__tok")
+    full = F.floor(epochs).cast("int")
+    frac = epochs - F.floor(epochs)
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.least(
+                    F.floor(frac * F.lit(float(_HEX_SPACE))).cast("bigint"),
+                    F.lit(_HEX_SPACE - 1),
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    thresholds = with_w.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col), full.alias("__full"), thr.alias("__thr")
+    )
+    n_copies = F.col("__full") + F.when(
+        _bucket_hex(F.col(key_col), salt) < F.col("__thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__full", "__thr", "__n")
+    )

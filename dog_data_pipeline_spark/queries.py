@@ -5344,6 +5344,65 @@ def mixture_sampled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_upsampled_tokens",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(sum(n_toks) AS DOUBLE) AS tok FROM d GROUP BY 1
+    ), tot AS (
+      SELECT sum(sqrt(tok)) AS t FROM totals
+    ), plan AS (
+      SELECT source,
+             CAST(floor(sqrt(tok) / t * 60000.0 / tok) AS INT) AS full_epochs,
+             lower(lpad(to_hex(CAST(least(
+               floor((sqrt(tok) / t * 60000.0 / tok
+                      - floor(sqrt(tok) / t * 60000.0 / tok)) * 4294967296.0),
+               4294967295) AS BIGINT)), 8, '0')) AS h
+      FROM totals, tot
+    ), copies AS (
+      SELECT d.doc_id, d.source, d.n_toks,
+             full_epochs + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                                 || ':mixup'), 1, 8) < h THEN 1 ELSE 0 END AS n
+      FROM d JOIN plan USING (source)
+    ), emitted AS (
+      SELECT source, n_toks, unnest(generate_series(0, n - 1)) AS epoch
+      FROM copies WHERE n > 0
+    )
+    SELECT source, CAST(epoch AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS emitted_tokens
+    FROM emitted GROUP BY 1, 2
+    """,
+    "Temperature mixture WITH repetition (north-star sampling — the "
+    "epochs>1 half mixture_sampled_tokens delegates to the trainer, "
+    "materialized when the pipeline must own the layout): each source's "
+    "rows are emitted floor(epochs_s) times plus one md5-thresholded "
+    "fractional copy, so emitted token mass matches the sqrt-weighted "
+    "allocation of a 60k budget exactly — deterministic (no RNG), the "
+    "oracle replays full-epoch fan-out, fractional top-up, and epoch "
+    "indices end to end. Scale: |sources|-row agg + broadcast plan + "
+    "in-plan sequence explode; output volume IS the allocation.",
+)
+def mixture_upsampled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import mixture_upsample
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(_tokens(F.col("text")))
+    )
+    out = mixture_upsample(
+        docs, "doc_id", "source", "n_toks", alpha=0.5,
+        budget_tokens=60000.0, salt="mixup",
+    )
+    return out.groupBy("source", F.col("epoch").cast("int").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("emitted_tokens"),
+    )
+
+
+@query(
     "duplicate_span_stats",
     r"""
     WITH d AS (

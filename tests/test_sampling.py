@@ -181,3 +181,42 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     for d, s in split_of.items():
         if d not in dup_ids:
             assert s == plain.get(d, s)
+
+
+def test_mixture_upsample_integral_epochs_exact(spark):
+    from dog_data_pipeline_spark.operators.sampling import mixture_upsample
+
+    # A: 10 docs x 10 tokens (mass 100, w=10); B: 10 docs x 40 tokens
+    # (mass 400, w=20). budget=600 -> alloc A=200 (epochs 2.0),
+    # B=400 (epochs 1.0): integral, so no fractional hash dependence.
+    rows = [(i, "A", 10) for i in range(10)] + [(100 + i, "B", 40) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_toks INT")
+    out = mixture_upsample(df, "doc_id", "source", "n_toks", budget_tokens=600.0)
+    got = [(r["doc_id"], r["epoch"]) for r in out.collect()]
+    a = sorted(t for t in got if t[0] < 100)
+    b = sorted(t for t in got if t[0] >= 100)
+    assert a == sorted([(i, e) for i in range(10) for e in (0, 1)])
+    assert b == [(100 + i, 0) for i in range(10)]
+
+
+def test_mixture_upsample_fractional_topup_bounded_and_stable(spark):
+    from dog_data_pipeline_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "A", 10) for i in range(10)] + [(100 + i, "B", 40) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_toks INT")
+    # budget=900 -> A epochs 3.0 (exact), B epochs 1.5: every B doc gets
+    # 1 or 2 copies, chosen by md5 — deterministic across runs
+    out1 = {(r["doc_id"], r["epoch"]) for r in
+            mixture_upsample(df, "doc_id", "source", "n_toks",
+                             budget_tokens=900.0, salt="s").collect()}
+    out2 = {(r["doc_id"], r["epoch"]) for r in
+            mixture_upsample(df, "doc_id", "source", "n_toks",
+                             budget_tokens=900.0, salt="s").collect()}
+    assert out1 == out2
+    b_copies = {}
+    for d, e in out1:
+        if d >= 100:
+            b_copies.setdefault(d, []).append(e)
+    assert set(b_copies) == {100 + i for i in range(10)}  # every doc >= 1 copy
+    for eps in b_copies.values():
+        assert sorted(eps) in ([0], [0, 1])  # dense epoch indices
