@@ -63,3 +63,33 @@ def pseudonymize(col: Column, salt: str) -> Column:
     """Salted sha256 hex digest: deterministic, joinable across tables
     pseudonymized with the same salt, irreversible without it."""
     return F.sha2(F.concat(F.lit(salt), col.cast("string")), 256)
+
+
+def k_anonymity_report(df, quasi_cols: list[str], k: int = 5):
+    """Per-equivalence-class k-anonymity audit (Sweeney 2002): group on
+    the quasi-identifier columns and flag classes smaller than ``k`` —
+    rows in such classes are re-identifiable by joining the quasi-ids
+    against an external dataset, the canonical privacy failure of a
+    published training corpus.
+
+    Returns (quasi_cols..., group_size, violates_k). One partially-
+    aggregated groupBy — shuffle volume is the distinct quasi-id
+    combinations, not the corpus. Enforcement is `suppress_small_groups`
+    (drop) or coarsening a quasi-id (generalization) and re-auditing.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size")
+    ).withColumn("violates_k", F.col("group_size") < k)
+
+
+def suppress_small_groups(df, quasi_cols: list[str], k: int = 5):
+    """k-anonymity enforcement by suppression: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members.
+    The violating-class set is aggregated (small: distinct quasi-id
+    combinations) and anti-joined back — broadcast when it fits."""
+    bad = (
+        k_anonymity_report(df, quasi_cols, k)
+        .filter(F.col("violates_k"))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(bad), quasi_cols, "left_anti")

@@ -118,3 +118,64 @@ def dq_report(checks: list[Check]) -> DataFrame:
     if out is None:
         raise ValueError("no checks given")
     return out
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    floor: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of one numeric column — the standard train/serve drift
+    gauge (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted).
+
+    Binning is ``bins`` fixed-width buckets over the REFERENCE min/max
+    (current values clamp into the edge bins, so novel out-of-range
+    mass lands visibly in bin 0 or bins-1); per-bin shares are floored
+    at ``floor`` before the log so empty bins contribute a finite,
+    deterministic penalty. psi = sum (p_cur - p_ref) * ln(p_cur/p_ref).
+
+    Scale shape: one 1-row min/max agg on the reference broadcast into
+    both sides, then one ``bins``-row partial agg per side and a
+    ``bins``-row join — the samples stream through once, nothing wide.
+    Returns one row per bin (bin, p_ref, p_cur, psi_term) plus the
+    caller sums psi_term for the scalar.
+    """
+    stats = ref.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+
+    def binned(df: DataFrame, share_name: str) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / bins
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.col("__lo")) / width).cast("int"),
+            ),
+        )
+        counts = (
+            df.crossJoin(F.broadcast(stats))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = counts.agg(F.sum("__n").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("__n") / F.col("__t")).alias(share_name)
+        )
+
+    all_bins = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        all_bins.join(binned(ref, "p_ref"), "bin", "left")
+        .join(binned(cur, "p_cur"), "bin", "left")
+        .fillna(0.0, ["p_ref", "p_cur"])
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(floor))
+    pc = F.greatest(F.col("p_cur"), F.lit(floor))
+    return joined.select(
+        "bin", "p_ref", "p_cur", ((pc - pr) * F.log(pc / pr)).alias("psi_term")
+    )

@@ -2798,6 +2798,88 @@ def sharded_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "k_anonymity_report",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 5 AS violates_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    "k-anonymity audit (Sweeney 2002; privacy family): equivalence "
+    "classes over the quasi-identifiers (nation, market segment) with "
+    "classes under k=5 flagged — rows there are re-identifiable by "
+    "joining the quasi-ids against an external dataset, the canonical "
+    "privacy failure of a published corpus. One partially-aggregated "
+    "groupBy (shuffle = distinct quasi-id combos, not the corpus); "
+    "suppress_small_groups enforces by broadcast anti-join "
+    "(tested in test_privacy_contamination).",
+)
+def k_anonymity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@query(
+    "feature_drift_psi",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE event_id % 2 = 0
+    ), cur AS (
+      SELECT value FROM events WHERE event_id % 2 = 1
+    ), stats AS (
+      SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+      FROM ref
+    ), rb AS (
+      SELECT least(9, greatest(0, CAST(floor((value - lo) / ((hi - lo) / 10))
+             AS INT))) AS bin, count(*) AS n
+      FROM ref, stats GROUP BY 1
+    ), rshare AS (
+      SELECT bin, n / (SELECT CAST(sum(n) AS DOUBLE) FROM rb) AS p_ref FROM rb
+    ), cb AS (
+      SELECT least(9, greatest(0, CAST(floor((value - lo) / ((hi - lo) / 10))
+             AS INT))) AS bin, count(*) AS n
+      FROM cur, stats GROUP BY 1
+    ), cshare AS (
+      SELECT bin, n / (SELECT CAST(sum(n) AS DOUBLE) FROM cb) AS p_cur FROM cb
+    )
+    SELECT b.bin,
+           round(coalesce(p_ref, 0), 6) AS p_ref,
+           round(coalesce(p_cur, 0), 6) AS p_cur,
+           round((greatest(coalesce(p_cur, 0), 0.0001)
+                  - greatest(coalesce(p_ref, 0), 0.0001))
+                 * ln(greatest(coalesce(p_cur, 0), 0.0001)
+                      / greatest(coalesce(p_ref, 0), 0.0001)), 6) AS psi_term
+    FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin) b
+    LEFT JOIN rshare USING (bin) LEFT JOIN cshare USING (bin)
+    """,
+    "Population Stability Index drift report (train/serve skew gauge; "
+    "quality family): the events value distribution compared between "
+    "two deterministic halves (event_id parity) over 10 fixed-width "
+    "bins anchored on the REFERENCE min/max — out-of-range current "
+    "mass lands visibly in the edge bins, empty bins get a floored "
+    "finite penalty. Scale: one broadcast 1-row min/max, one 10-row "
+    "partial agg per side, a 10-row join; the samples stream once. "
+    "PSI < 0.1 stable / > 0.25 drifted; the caller sums psi_term.",
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = psi_report(ref, cur, "value", bins=10)
+    return out.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 _DOCS_IDENTITY_ORACLE = """
     SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
     FROM documents

@@ -163,3 +163,37 @@ def test_contamination_fraction_bounded(spark):
     for r in contamination_report(corpus, bench, n=5).collect():
         assert 0.0 < r["contamination"] <= 1.0
         assert r["n_matched"] <= r["n_ngrams"]
+
+
+def test_k_anonymity_suppression_drops_only_small_groups(spark):
+    from dog_data_pipeline_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_small_groups,
+    )
+
+    rows = [(i, "A", "X") for i in range(6)] + [(100, "B", "X"), (101, "B", "Y")]
+    df = spark.createDataFrame(rows, "id LONG, nat STRING, seg STRING")
+    rep = {
+        (r["nat"], r["seg"]): (r["group_size"], r["violates_k"])
+        for r in k_anonymity_report(df, ["nat", "seg"], k=3).collect()
+    }
+    assert rep[("A", "X")] == (6, False)
+    assert rep[("B", "X")] == (1, True)
+    assert rep[("B", "Y")] == (1, True)
+    kept = {r["id"] for r in suppress_small_groups(df, ["nat", "seg"], k=3).collect()}
+    assert kept == set(range(6))
+
+
+def test_psi_zero_for_identical_and_positive_for_shift(spark):
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.operators.quality import psi_report
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_report(base, base, "v", bins=10).agg(F.sum("psi_term")).first()[0]
+    assert abs(same) < 1e-12
+    shifted = spark.range(1000).select(
+        ((F.col("id") % 100) * 0.5 + 50.0).alias("v")  # mass squeezed into upper half
+    )
+    drift = psi_report(base, shifted, "v", bins=10).agg(F.sum("psi_term")).first()[0]
+    assert drift > 0.25  # "drifted" by the standard PSI rubric
