@@ -114,6 +114,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         source_cap=args.source_cap,
         segment_dedup_tokens=args.segment_dedup_tokens,
         span_dedup_window_tokens=args.span_dedup_tokens,
+        mixture_budget_tokens=args.mixture_budget_tokens,
         chunk_tokens=args.chunk_tokens,
         chunk_overlap=args.chunk_overlap,
         pack_budget=args.pack_budget,
@@ -181,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable C4-style sub-document dedup at this segment size")
     sc.add_argument("--span-dedup-tokens", type=int, default=None,
                     help="enable substring-level duplicate-span removal at this window size")
+    sc.add_argument("--mixture-budget-tokens", type=float, default=None,
+                    help="enable temperature mixture selection at this "
+                         "token budget (requires --source-col)")
     sc.add_argument("--chunk-tokens", type=int, default=32)
     sc.add_argument("--chunk-overlap", type=int, default=8)
     sc.add_argument("--pack-budget", type=int, default=256)

@@ -11,6 +11,8 @@ runs to turn a raw document table into training-ready shards.
       → span dedup          (optional: substring-level duplicate-span
                              removal at arbitrary offsets, Lee et al.)
       → decontamination     (benchmark n-gram overlap, broadcast)
+      → mixture selection   (optional: temperature token-budget
+                             sample over the surviving sources)
       → chunk               (overlapping context windows)
       → pack                (shard-parallel ~budget-token sequences)
       → sharded export      (deterministic shards + manifest)
@@ -59,6 +61,8 @@ def curate_corpus(
     segment_dedup_tokens: int | None = None,
     span_dedup_window_tokens: int | None = None,
     contamination_n: int = 5,
+    mixture_budget_tokens: float | None = None,
+    mixture_alpha: float = 0.5,
     chunk_tokens: int = 32,
     chunk_overlap: int = 8,
     pack_budget: int = 256,
@@ -166,6 +170,26 @@ def curate_corpus(
     else:
         cleaned = deduped
     stats["after_decontamination"] = cleaned.count()
+
+    if mixture_budget_tokens is not None:
+        # temperature-based mixture selection as the final gate: by now
+        # the per-source token masses reflect every upstream drop, so
+        # the budget is allocated over what will actually be trained on
+        if source_col is None:
+            raise ValueError("mixture_budget_tokens requires source_col")
+        from dog_data_pipeline_spark.operators.sampling import mixture_sample
+        from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+        cleaned = mixture_sample(
+            cleaned.withColumn("__n_toks", F.size(_tokens(F.col(text_col)))),
+            id_col,
+            source_col,
+            "__n_toks",
+            alpha=mixture_alpha,
+            budget_tokens=mixture_budget_tokens,
+            salt="curate-mix",
+        ).drop("__n_toks")
+        stats["after_mixture"] = cleaned.count()
 
     chunks = with_chunks(
         cleaned, id_col, text_col, chunk_tokens=chunk_tokens, overlap=chunk_overlap

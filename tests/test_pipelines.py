@@ -305,3 +305,36 @@ def test_curate_corpus_full_stage_set(spark):
     # segment-level survivors have non-empty rewritten text
     assert res.kept.filter(F.length("text") == 0).count() == 0
     assert set(res.kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_curate_corpus_mixture_stage(spark):
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.pipelines.curate import curate_corpus
+    from dog_data_pipeline_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(120)
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    res = curate_corpus(
+        docs,
+        None,
+        min_quality=0.0,
+        max_dup_token_frac=1.0,
+        source_col="source",
+        mixture_budget_tokens=float(total_tokens) / 3.0,
+    )
+    s = res.stats
+    assert 0 < s["after_mixture"] < s["after_decontamination"]
+    kept_tokens = res.kept.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # budget is an expected value, not a hard cap; generous envelope
+    assert kept_tokens < total_tokens
+    # the helper token column must not leak into the output
+    assert set(res.kept.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, None, mixture_budget_tokens=100.0)
