@@ -2880,6 +2880,118 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "headerless_csv_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+           CAST(o_custkey AS BIGINT) AS cust_key,
+           o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    """,
+    "Headerless-CSV-with-declared-names roundtrip certificate (SURVEY "
+    "S2 — the a2d videoset.csv shape: no header row, column names and "
+    "types supplied by the reader, preprocess_dataset.py:99-100): an "
+    "orders projection is written header-free and read back through a "
+    "declared StructType (never inferSchema — inference is an extra "
+    "full pass and can drift). Doubles survive because Spark's CSV "
+    "writer emits shortest-roundtrip decimal text; the identity oracle "
+    "puts that and the name/type binding under the value hash.",
+)
+def headerless_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dog_data_pipeline_spark.sources.catalog import read_catalog_csv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    )
+    path = os.path.join(_roundtrip_dir("headerless"), "videoset.csv")
+    orders.write.mode("overwrite").option("header", False).csv(path)
+    schema = StructType(
+        [
+            StructField("order_key", LongType()),
+            StructField("cust_key", LongType()),
+            StructField("status", StringType()),
+            StructField("total_price", DoubleType()),
+        ]
+    )
+    return spark.read.csv(path, header=False, schema=schema)
+
+
+@query(
+    "file_copy_pipeline",
+    """
+    SELECT lang, concat('L-', lang) AS label,
+           CAST(1 AS BIGINT) AS n_files,
+           TRUE AS second_run_skipped
+    FROM (SELECT DISTINCT lang FROM documents) d
+    """,
+    "Distributed file-copy pipeline certificate (SURVEY S11 copy sink "
+    "+ S12 idempotent skip + J4 catalog-to-files key join): a "
+    "lang-partitioned layout is listed (S6), a (src, dst) copy plan is "
+    "derived with path-component keys, executed via foreachPartition "
+    "(task-granular parallel copy, the reference's driver loop "
+    "distributed), and the DESTINATION listing is joined back to a "
+    "catalog keyed on the path-derived lang (J4). Re-planning against "
+    "the destination listing (anti-join, S12) must find ZERO remaining "
+    "copies — second_run_skipped flips and fails the hash if "
+    "idempotence breaks. The oracle expects one copied file per lang "
+    "with its catalog label attached.",
+)
+def file_copy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dog_data_pipeline_spark.sources.copy import execute_copies, plan_copies
+    from dog_data_pipeline_spark.sources.files import list_binary_files
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _roundtrip_dir("copy")
+    src_dir, dst_dir = os.path.join(base, "src"), os.path.join(base, "dst")
+    (
+        docs.select("doc_id", "text", "lang")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(src_dir)
+    )
+    strip = lambda c: F.regexp_replace(c, "^file:", "")  # noqa: E731
+    listing = list_binary_files(spark, src_dir, glob="*.parquet").select(
+        strip(F.col("path")).alias("path"),
+        F.regexp_extract("path", r"lang=([^/]+)/", 1).alias("lang"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+    ).withColumn("dst_name", F.concat("lang", F.lit("_"), "fname"))
+    plan = plan_copies(listing, dst_dir)
+    execute_copies(plan)
+    dest = list_binary_files(spark, dst_dir, glob="*.parquet").select(
+        strip(F.col("path")).alias("dst_path")
+    )
+    n_remaining = plan_copies(listing, dst_dir, done=dest).count()
+    catalog = docs.select("lang").distinct().withColumn(
+        "label", F.concat(F.lit("L-"), F.col("lang"))
+    )
+    copied = dest.select(
+        F.regexp_extract("dst_path", r"/([^/_]+)_[^/]*$", 1).alias("lang")
+    )
+    return (
+        copied.join(catalog, "lang")
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .withColumn("second_run_skipped", F.lit(n_remaining == 0))
+    )
+
+
 _DOCS_IDENTITY_ORACLE = """
     SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
     FROM documents
