@@ -91,3 +91,26 @@ def test_rrf_fuse_k_bounds_output(spark):
 
     a = spark.createDataFrame([(i, i) for i in range(1, 30)], "doc_id LONG, rank INT")
     assert rrf_fuse([a], k=5).count() == 5
+
+
+def test_postings_bucketed_by_term_aggregate_without_exchange(spark):
+    """The index-once/query-many claim behind bm25's docstring: postings
+    persisted bucketed by term make the per-term aggregations of the
+    query path (document frequency, posting-list scans) shuffle-free."""
+    from dog_data_pipeline_spark.sources.warehouse import write_bucketed
+
+    docs = _docs(
+        spark, [(i, f"tok{i % 7} common tok{(i + 1) % 7}") for i in range(200)]
+    )
+    post = build_term_postings(docs)
+    write_bucketed(post, "wh_postings", "term", num_buckets=8)
+    try:
+        stored = spark.table("wh_postings")
+        df_t = stored.groupBy("term").count()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df_t._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan  # bucketing satisfies the agg
+        assert df_t.count() == 8  # 7 rotating tokens + 'common'
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_postings")
