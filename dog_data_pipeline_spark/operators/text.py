@@ -437,3 +437,38 @@ def with_blocklist_profile(
     else:
         blocked = F.col("n_blocklist_hits") > 0
     return out.withColumn("blocked", blocked)
+
+
+def char_entropy_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheap gibberish/repetition gauge: natural prose sits
+    around 2.7-3.2 nats, single-character spam near 0, uniform random
+    bytes near ln(alphabet). Complements the token-level Gopher
+    signals with a sub-token one.
+
+    Shape: explode to (doc, char) → one partially-aggregated
+    groupBy((doc, char)) → one groupBy(doc) fold — shuffle volume is
+    distinct (doc, char) pairs (bounded by |doc| × alphabet), and the
+    entropy sum runs over each doc's small char histogram. Returns
+    (id_col, n_chars, entropy).
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
+    ).filter(F.length("__c") > 0)
+    hist = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        hist.groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_chars"),
+            F.sum(F.col("__n") * F.log("__n")).alias("__nlogn"),
+        )
+        .select(
+            id_col,
+            F.col("n_chars").cast("long").alias("n_chars"),
+            # H = ln(N) - (1/N) sum n_c ln n_c  — one fold, no division
+            # inside the aggregate (keeps the float op count minimal)
+            (F.log("n_chars") - F.col("__nlogn") / F.col("n_chars")).alias("entropy"),
+        )
+    )

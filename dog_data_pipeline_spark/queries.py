@@ -2881,6 +2881,35 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "char_entropy_profile",
+    r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), hist AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE len(c) > 0 GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+    FROM hist GROUP BY doc_id
+    """,
+    "Per-document Shannon character entropy in nats (north-star text "
+    "analysis — the sub-token gibberish/repetition gauge next to the "
+    "token-level Gopher signals; prose ~2.7-3.2, spam ~0). Computed as "
+    "ln(N) - sum(n_c ln n_c)/N over each doc's char histogram: one "
+    "partially-aggregated groupBy((doc, char)) then a per-doc fold — "
+    "shuffle bounded by |docs| x alphabet, never raw text. Entropy "
+    "rounds to 4 decimals on both sides so summation-order ulp noise "
+    "cannot flip the hash.",
+)
+def char_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import char_entropy_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = char_entropy_profile(docs)
+    return out.select("doc_id", "n_chars", F.round("entropy", 4).alias("entropy"))
+
+
+@query(
     "headerless_csv_roundtrip",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS order_key,

@@ -222,3 +222,15 @@ def test_blocklist_exact_token_not_substring(spark):
     df = spark.createDataFrame([(1, "scunthorpe is fine")], ["doc_id", "text"])
     row = with_blocklist_profile(df, ["thor"], "text").collect()[0]
     assert not row["blocked"]
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from dog_data_pipeline_spark.operators.text import char_entropy_profile
+
+    df = _docs(spark, [("mono", "aaaaaaaa"), ("uni", "abcd")])
+    out = {r["doc_id"]: r for r in char_entropy_profile(df, "doc_id").collect()}
+    assert out["mono"]["entropy"] == 0.0  # single symbol: zero entropy
+    assert abs(out["uni"]["entropy"] - math.log(4)) < 1e-12  # uniform: ln(k)
+    assert out["mono"]["n_chars"] == 8 and out["uni"]["n_chars"] == 4
