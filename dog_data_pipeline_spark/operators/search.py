@@ -148,6 +148,8 @@ def rrf_fuse(
     """
     from functools import reduce
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     contribs = [
         r.select(
             F.col(id_col),
