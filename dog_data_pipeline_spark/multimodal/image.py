@@ -122,6 +122,58 @@ def image_resize_stats(
     )
 
 
+def dhash_images(
+    binary_df: DataFrame,
+    factor: int = 4,
+    image_id_col: str = "image_id",
+    content_col: str = "content",
+    out: str = "dhash",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: 56-bit gradient
+    signature over the average-pooled grayscale grid.
+
+    bit(y, x) = [pooled[y][x+1] > pooled[y][x]] for y in 0..7, x in 0..6
+    (shift = y*7 + x), computed on the first 8x8 of ``pool_resize``'s
+    truncating-integer downscale — every step is integer arithmetic, so
+    a SQL oracle can replay the hash closed-form, and 56 bits keeps the
+    signature strictly positive in an int64 (no sign-bit headaches in
+    cross-engine xor/bit_count).
+
+    Near-duplicate images (re-encodes, small edits, resizes) land
+    within a few bits of hamming distance; pair generation reuses the
+    text-SimHash pigeonhole blocking (``operators.dedup
+    .simhash_pairs_pigeonhole`` with these hashes as the signature
+    table), which guarantees recall at hamming <= h without an
+    all-pairs join. Decode + pool + hash fuse into one mapInPandas
+    pass — pixel grids never leave the task; only (id, int64) rows
+    shuffle. Image analog of the reference's frame pipeline
+    (raw_to_samples.py:173-196 decode path), applied to corpus dedup.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # derive the id field from the input so non-long ids keep working
+    id_field = binary_df.schema[image_id_col]
+    schema = StructType([id_field, StructField(out, LongType())])
+    shifts = (np.arange(8)[:, None] * 7 + np.arange(7)[None, :]).astype(np.uint64)
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for iid, content in zip(pdf[image_id_col], pdf[content_col]):
+                g = pool_resize(decode_image(bytes(content)), factor)
+                if g.shape[0] < 8 or g.shape[1] < 8:
+                    raise ValueError(
+                        f"image too small for dhash after pooling: {g.shape}"
+                    )
+                g = g[:8, :8].astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64)
+                ids.append(iid)
+                hashes.append(int((bits << shifts).sum()))
+            yield pd.DataFrame({image_id_col: ids, out: hashes})
+
+    return binary_df.select(image_id_col, content_col).mapInPandas(_dhash, schema)
+
+
 def _require_image_codec():
     try:
         from PIL import Image  # noqa: F401

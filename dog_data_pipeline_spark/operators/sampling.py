@@ -160,6 +160,45 @@ def token_budget_sample(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: probability-
+    proportional-to-size via sequential Poisson sampling (Ohlsson 1998,
+    the order-sampling scheme Statistics Sweden runs in production) —
+    rank every row by priority = u / w and keep the k smallest.
+
+    u is the usual md5-derived uniform, made NUMERIC: the first 8 hex
+    digits as an integer i, u = (i + 0.5) / 16^8. Unlike exponential-
+    key reservoir schemes (Efraimidis-Spirakis needs ln(u)), the
+    priority uses ONLY +, /, < — IEEE-exact operations that libm cannot
+    perturb — so Spark, DuckDB, and pandas select the IDENTICAL k rows
+    (same engine-portability contract as the module's threshold
+    sampling; ln/exp are not bit-reproducible across engines).
+
+    Plan shape: one map-only projection + TakeOrdered(k) (per-partition
+    heap + driver merge — no global sort, no shuffle of the corpus).
+    Ties are broken by key for full determinism. Weights must be > 0.
+
+    Returns the sampled rows with ``priority_col`` attached.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hx = _bucket_hex(F.col(key_col), salt)
+    u = (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
+    pri = u / F.col(weight_col).cast("double")
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.col(priority_col), F.col(key_col))
+        .limit(k)
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     dup_pairs: DataFrame,

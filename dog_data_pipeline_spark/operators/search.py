@@ -126,6 +126,81 @@ def bm25_topk(
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    threshold: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine similarity >= ``threshold`` —
+    the sparse-vector similarity join (Bayardo et al., "Scaling Up All
+    Pairs Similarity Search", WWW'07 shape), complementing the set-based
+    Jaccard family: TF-IDF cosine weighs repeated and rare terms, so it
+    catches near-dups that token-set Jaccard underscores.
+
+    Terms are word ``ngram``-grams (unigrams on a small vocabulary make
+    every posting list hot; n-grams keep document frequency low, the
+    same reason the dedup family shingles). Weights w = tf * ln(N/df);
+    ``max_df`` caps posting-list length (terms in more than max_df docs
+    are dropped from BOTH the weights and the norms — the standard
+    maximum-document-frequency cut, sklearn's ``max_df``), bounding the
+    inverted-index self-join fan-out by max_df^2 per term.
+
+    Plan shape at scale: one explode + partial-agg groupBy(id, term)
+    for tf; a |vocab|-row df aggregate joined back; per-doc norms are
+    one more partial-agg groupBy(id); the candidate dot-products come
+    from the inverted-index self-join (shuffle keyed on term, bounded
+    by the df cap) + partial-agg groupBy(pair). No all-pairs stage.
+    Cosine is rounded to 4 decimals BEFORE thresholding (both engines),
+    collapsing float-summation-order ulp noise — same determinism
+    contract as bm25_topk.
+
+    Returns ``(id_a, id_b, cosine)`` with id_a < id_b.
+    """
+    from dog_data_pipeline_spark.operators.text import word_ngrams
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), search_tokens(F.col(text_col)).alias("__toks")
+    )
+    tf = (
+        toks.select("id", F.explode(word_ngrams(F.col("__toks"), ngram)).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        df_t = df_t.filter(F.col("__df") <= max_df)
+    w = (
+        tf.join(df_t, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w", F.col("tf") * F.log(F.col("__n").cast("double") / F.col("__df"))
+        )
+        .select("id", "t", "w")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("__na") * F.col("__nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

@@ -5287,6 +5287,15 @@ def _qc_weight_sql(tok: str) -> str:
     )
 
 
+def _hex8_int_sql(col: str) -> str:
+    """SQL for the first 8 hex digits of ``col`` as an integer — the
+    numeric form of sampling._bucket_hex (Horner over _hexdig_sql)."""
+    expr = f"CAST({_hexdig_sql(f'substring({col}, 1, 1)')} AS BIGINT)"
+    for i in range(2, 9):
+        expr = f"({expr}) * 16 + {_hexdig_sql(f'substring({col}, {i}, 1)')}"
+    return expr
+
+
 @query(
     "quality_classifier_scores",
     rf"""
@@ -5753,6 +5762,168 @@ def blocklist_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_dhash_dedup",
+    # Closed-form oracle: FAKEIMG pixel (g*37 + y*5 + x*11 [+ 3v on the
+    # top-left 4x4 block]) % 256 with g = k%10, v = k//10; the 4x4
+    # average pool and the 56-bit row-gradient dHash are pure integer
+    # arithmetic, so DuckDB replays decode + pool + hash and computes
+    # the EXACT all-pairs hamming join (30 images — trivial in SQL).
+    # The Spark side generates candidates by pigeonhole blocking
+    # (guaranteed recall at hamming <= 3) + exact bit_count(xor)
+    # verify, so both sides produce the identical pair set: a full
+    # hash-green certificate of the banded ANN construction, not just
+    # a bound.
+    """
+    WITH px AS (
+      SELECT k, X, Y,
+             ((k % 10)*37 + (Y*4 + dy)*5 + (X*4 + dx)*11
+              + CASE WHEN X = 0 AND Y = 0 THEN 3*(k // 10) ELSE 0 END) % 256 AS p
+      FROM generate_series(0, 29) t(k),
+           generate_series(0, 7) gx(X), generate_series(0, 7) gy(Y),
+           generate_series(0, 3) gdx(dx), generate_series(0, 3) gdy(dy)
+    ), pooled AS (
+      SELECT k, X, Y, CAST(sum(p) // 16 AS BIGINT) AS pv
+      FROM px GROUP BY k, X, Y
+    ), bits AS (
+      SELECT a.k, a.Y, a.X, CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+      FROM pooled a JOIN pooled b ON b.k = a.k AND b.Y = a.Y AND b.X = a.X + 1
+      WHERE a.X < 7
+    ), hashes AS (
+      SELECT k, CAST(sum(bit * (1::BIGINT << (Y*7 + X))) AS BIGINT) AS h
+      FROM bits GROUP BY k
+    )
+    SELECT a.k AS id_a, b.k AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.k < b.k
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+    "Perceptual image near-dedup (north-star multimodal x dedup — the "
+    "LAION/DataComp image-dedup shape): FAKEIMG grids -> fused decode + "
+    "4x4 average-pool + 56-bit dHash in one mapInPandas pass (pixel "
+    "grids never shuffle; only (id, int64) rows do), then pair "
+    "generation via the text-SimHash pigeonhole blocking "
+    "(dedup.simhash_pairs_pigeonhole — recall 1.0 at hamming <= 3 by "
+    "construction) + exact bit_count(xor) verify. Oracle replays the "
+    "whole chain closed-form AND the exact all-pairs hamming join, so "
+    "the banded candidate generation is certified equal to exact.",
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.image import dhash_images, make_fake_image
+    from dog_data_pipeline_spark.operators.dedup import simhash_pairs_pigeonhole
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def img(k: int) -> bytes:
+        g, v = k % 10, k // 10
+        y, x = np.mgrid[0:32, 0:32]
+        px = (g * 37 + y * 5 + x * 11 + np.where((x < 4) & (y < 4), 3 * v, 0)) % 256
+        return make_fake_image(32, 32, px)
+
+    images = spark.createDataFrame(
+        [(k, img(k)) for k in range(30)], "image_id LONG, content BINARY"
+    ).repartition(6, "image_id")
+    hashes = dhash_images(images, factor=4)
+    sig = hashes.select(F.col("image_id").alias("id"), F.col("dhash").alias("simhash"))
+    return simhash_pairs_pigeonhole(images, "image_id", sig=sig, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])) u(t)
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+      FROM tf JOIN dfreq USING (t), n
+      WHERE df <= 100
+    ), norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.75
+    """,
+    "TF-IDF cosine similarity join (north-star dedup/similarity): the "
+    "sparse-vector all-pairs shape (Bayardo WWW'07) over word-bigram "
+    "terms — weighs repeated and rare terms, catching near-dups that "
+    "set-Jaccard underscores. Inverted-index self-join keyed on term "
+    "with the sklearn-style max_df=100 hot-term cut bounding fan-out; "
+    "tf, df, norms, and pair dot-products are all partial-aggregated "
+    "shuffles — no all-pairs stage. Cosine rounded to 4 decimals "
+    "BEFORE thresholding on both engines (bm25_topk's determinism "
+    "contract). Oracle replays tf -> idf -> norm -> dot end-to-end.",
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.search import tfidf_cosine_pairs as _op
+
+    docs = _t(spark, sf_dir, "documents")
+    return _op(docs, "doc_id", "text", ngram=2, threshold=0.75, max_df=100)
+
+
+@query(
+    "weighted_priority_sample",
+    rf"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':ps1') AS hx
+      FROM documents
+    ), u AS (
+      SELECT doc_id, n_chars,
+             (({_hex8_int_sql('hx')}) + 0.5) / 4294967296.0 AS uu
+      FROM h
+    )
+    SELECT doc_id, n_chars,
+           CAST(floor(uu / n_chars * 1000000000.0 + 0.5) AS BIGINT) AS priority_u
+    FROM u
+    ORDER BY uu / n_chars, doc_id
+    LIMIT 40
+    """,
+    "Deterministic weighted sampling, probability proportional to size "
+    "(north-star curation: weight-by-length corpus draws): sequential "
+    "Poisson sampling (Ohlsson 1998 — order sampling with priority "
+    "u/w, the scheme Statistics Sweden runs) with the md5-derived "
+    "uniform made numeric. Priorities use ONLY +, /, < — IEEE-exact "
+    "ops libm cannot perturb — so Spark and DuckDB select the "
+    "IDENTICAL 40 documents (ln/exp-based reservoir keys are not "
+    "bit-reproducible across engines). Plan: map-only projection + "
+    "TakeOrdered(k) per-partition heap — the corpus never shuffles. "
+    "Oracle replays hex -> uniform -> priority -> top-k exactly.",
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import weighted_priority_sample as _op
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = _op(docs, "doc_id", "n_chars", k=40, salt="ps1")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("priority") * 1e9 + F.lit(0.5)).cast("long").alias("priority_u"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -5824,9 +5995,9 @@ _PRIORITY_ORDER = [
     # temporal shapes never driver-checked before
     "gap_filled_daily_counts",
     "sessionization",
-    # sketch family (approx_distinct_parts rotated out after its round-2
-    # green row; heavy_hitters_cms keeps the family's driver evidence)
-    "heavy_hitters_cms",
+    # sketch family: approx_distinct_parts and heavy_hitters_cms both
+    # rotated out after green driver rows (r2 for both; the CMS exact-
+    # bounds oracle stays in the local mirror)
     # north-star: hybrid retrieval (BM25 + ANN fused via RRF)
     "hybrid_rrf_search",
     # generic-surface breadth never driver-checked before (skew remedy,
@@ -5836,10 +6007,21 @@ _PRIORITY_ORDER = [
     "pivot_event_counts",
     "grouping_sets_lineitem",
     "percentile_quantities",
-    # round-2-green keepers whose driver rows are the sole §2 evidence
+    # round-2-green keeper whose driver row is the sole video-chain
+    # §2 evidence (audio_feature_summary / image_resize_stats rotated
+    # out after two green rounds; image decode+pool stays driver-
+    # covered because image_dhash_dedup replays the same FAKEIMG
+    # decode + pool_resize chain inside its oracle)
     "multimodal_track_summary",
-    "audio_feature_summary",
-    "image_resize_stats",
+    # session additions: perceptual image dedup (multimodal x dedup),
+    # TF-IDF cosine similarity join, weighted PPS sampling — each
+    # pre-validated against the sf0.01 oracle before entering the
+    # window (slots from audio_feature_summary, image_resize_stats,
+    # heavy_hitters_cms — all hash-green in round 2, all still under
+    # the local mirror)
+    "image_dhash_dedup",
+    "tfidf_cosine_pairs",
+    "weighted_priority_sample",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Mid-round-3 swap: the two new operators added this session

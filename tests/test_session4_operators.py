@@ -1,0 +1,133 @@
+"""Unit coverage for the perceptual image dHash, TF-IDF cosine join,
+and weighted priority (sequential Poisson) sampling operators."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from dog_data_pipeline_spark.multimodal.image import (
+    dhash_images,
+    make_fake_image,
+    pool_resize,
+)
+from dog_data_pipeline_spark.operators.dedup import simhash_pairs_pigeonhole
+from dog_data_pipeline_spark.operators.sampling import weighted_priority_sample
+from dog_data_pipeline_spark.operators.search import tfidf_cosine_pairs
+
+
+def _ref_dhash(px: np.ndarray, factor: int = 4) -> int:
+    g = pool_resize(px, factor)[:8, :8].astype(int)
+    val = 0
+    for y in range(8):
+        for x in range(7):
+            if g[y, x + 1] > g[y, x]:
+                val |= 1 << (y * 7 + x)
+    return val
+
+
+def _grad_image(seed: int) -> np.ndarray:
+    y, x = np.mgrid[0:32, 0:32]
+    return ((seed * 37 + y * 5 + x * 11) % 256).astype(np.uint8)
+
+
+def test_dhash_matches_reference_loop(spark):
+    imgs = [(k, make_fake_image(32, 32, _grad_image(k))) for k in range(4)]
+    df = spark.createDataFrame(imgs, "image_id LONG, content BINARY")
+    got = {r["image_id"]: r["dhash"] for r in dhash_images(df, factor=4).collect()}
+    for k in range(4):
+        assert got[k] == _ref_dhash(_grad_image(k))
+        assert 0 <= got[k] < 1 << 56  # 56-bit: sign-safe in int64
+
+
+def test_dhash_identical_images_zero_hamming_pair(spark):
+    # two identical + one unrelated image: the pigeonhole pair join must
+    # return exactly the identical pair at hamming 0
+    base = _grad_image(1)
+    noisy = ((np.arange(32 * 32).reshape(32, 32) * 97 + 13) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, make_fake_image(32, 32, base)),
+         (1, make_fake_image(32, 32, base)),
+         (2, make_fake_image(32, 32, noisy))],
+        "image_id LONG, content BINARY",
+    )
+    sig = dhash_images(df).select(
+        F.col("image_id").alias("id"), F.col("dhash").alias("simhash")
+    )
+    pairs = simhash_pairs_pigeonhole(df, "image_id", sig=sig, max_hamming=3).collect()
+    exact = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs]
+    assert (0, 1, 0) in exact
+    for a, b, h in exact:
+        assert h <= 3
+
+
+def test_dhash_respects_id_column_type(spark):
+    # string ids must survive the schema derivation (no hardcoded LONG)
+    df = spark.createDataFrame(
+        [("x", make_fake_image(32, 32, _grad_image(0)))],
+        "image_id STRING, content BINARY",
+    )
+    row = dhash_images(df).collect()[0]
+    assert row["image_id"] == "x"
+
+
+def test_tfidf_cosine_pairs_exact_small(spark):
+    # doc 1 and 2 share all bigrams; doc 3 shares none
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red fox jumps"), (3, "blue whale sings deep")],
+        "doc_id LONG, text STRING",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["cosine"] == 1.0
+
+
+def test_tfidf_max_df_drops_hot_terms(spark):
+    # 'a b' appears in every doc -> with max_df=2 it is cut, leaving
+    # docs 1/2 similar only through 'b c'
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b x")], "doc_id LONG, text STRING"
+    )
+    with_cap = tfidf_cosine_pairs(docs, threshold=0.01, max_df=2).collect()
+    # 'a b' (df=3) is dropped; 'b c' (df=2) kept with idf ln(3/2)>0
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in with_cap] == [(1, 2, 1.0)]
+
+
+def test_weighted_priority_sample_matches_reference(spark):
+    import hashlib
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "k LONG, w DOUBLE")
+    got = [r["k"] for r in weighted_priority_sample(df, "k", "w", k=10, salt="s")
+           .select("k").collect()]
+
+    def pri(i: int, w: float) -> float:
+        h = hashlib.md5(f"{i}:s".encode()).hexdigest()[:8]
+        return (int(h, 16) + 0.5) / 16**8 / w
+
+    expect = sorted(rows, key=lambda t: (pri(*t), t[0]))[:10]
+    assert got == [k for k, _ in expect]
+
+
+def test_weighted_priority_sample_prefers_heavy_rows(spark):
+    # one row weighted 10_000x heavier than 500 others is selected with
+    # near-certainty under PPS; its priority is ~1e-4 of a typical one
+    rows = [(i, 1.0) for i in range(500)] + [(999, 10000.0)]
+    df = spark.createDataFrame(rows, "k LONG, w DOUBLE")
+    got = {r["k"] for r in weighted_priority_sample(df, "k", "w", k=25).collect()}
+    assert 999 in got
+    assert len(got) == 25
+
+
+def test_weighted_priority_sample_priority_formula(spark):
+    df = spark.createDataFrame([(7, 2.0)], "k LONG, w DOUBLE")
+    row = weighted_priority_sample(df, "k", "w", k=1, salt="z").collect()[0]
+    import hashlib
+
+    h = hashlib.md5(b"7:z").hexdigest()[:8]
+    assert math.isclose(
+        row["priority"], (int(h, 16) + 0.5) / 16**8 / 2.0, rel_tol=0, abs_tol=0
+    )
