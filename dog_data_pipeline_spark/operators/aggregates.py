@@ -97,3 +97,73 @@ def grouped_max_pad(
     """
     aggs = [(F.max(expr) + F.lit(pad)).alias(name) for name, expr in measures.items()]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_quantiles_certified(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Mergeable quantile sketch with a SELF-CERTIFYING rank bound —
+    the sketch-family companion to ``approx_distinct_parts`` (HLL) and
+    ``heavy_hitters_cms`` (CMS).
+
+    ``approx_percentile`` is Spark's Greenwald-Khanna sketch: mergeable
+    partial aggregates (one pass, map-side combine — the only way to
+    take percentiles of 100 TB without a global sort), with the GK
+    contract that the returned ELEMENT occupies some rank within
+    N/accuracy of p*N. With duplicated values an element's rank is a
+    RANGE [count(< v) + 1, count(<= v)] (a single tied value can span
+    thousands of ranks — count(<= median) alone would fail the check
+    on any low-cardinality column), so the certificate recomputes both
+    counts distributedly (one conditional-sum pass, no sort) and emits
+
+        rank_bound_ok = [count(<v)+1, count(<=v)] intersects
+                        [p*N - N/accuracy - 1, p*N + N/accuracy + 1]
+
+    (+-1 absorbs floor/ceil discreteness). A SQL oracle asserts the
+    column is TRUE for every (col, prob): the sketch's accuracy
+    contract is hash-checked, not trusted.
+
+    The estimates themselves are collected to the driver between the
+    two passes — len(cols) x len(probs) scalars, bounded regardless of
+    data size.
+
+    Returns ``(measure STRING, prob DOUBLE, rank_bound_ok BOOLEAN)``.
+    """
+    probs = list(probs)
+    ests = df.agg(
+        *[
+            F.percentile_approx(c, probs, accuracy).alias(c)
+            for c in cols
+        ],
+        F.count(F.lit(1)).alias("__n"),
+    ).collect()[0]
+    n = ests["__n"]
+    eps_slack = n / accuracy + 1
+    rank_aggs = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            v = ests[c][i]
+            rank_aggs.append(
+                F.sum(F.when(F.col(c) <= F.lit(v), 1).otherwise(0)).alias(
+                    f"__le_{c}_{i}"
+                )
+            )
+            rank_aggs.append(
+                F.sum(F.when(F.col(c) < F.lit(v), 1).otherwise(0)).alias(
+                    f"__lt_{c}_{i}"
+                )
+            )
+    ranks = df.agg(*rank_aggs).collect()[0]
+    rows = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            lo = ranks[f"__lt_{c}_{i}"] + 1
+            hi = ranks[f"__le_{c}_{i}"]
+            ok = lo <= p * n + eps_slack and hi >= p * n - eps_slack
+            rows.append((c, float(p), bool(ok)))
+    return df.sparkSession.createDataFrame(
+        rows, "measure STRING, prob DOUBLE, rank_bound_ok BOOLEAN"
+    )

@@ -5924,6 +5924,82 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "file_compaction_plan",
+    """
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ), b AS (
+      SELECT source,
+             CAST(floor((cum - n_chars) / 20000.0) AS INT) AS bin,
+             n_chars
+      FROM f
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes
+    FROM b GROUP BY source, bin
+    """,
+    "File-compaction planning (the small-files problem — Delta OPTIMIZE "
+    "/ Iceberg rewrite_data_files shape): documents stand in for a "
+    "per-source file listing; each group's files are bin-packed in "
+    "deterministic order by cumulative size, bin = floor((cumsum - "
+    "size) / target). The per-group ordered cumsum does NOT use a "
+    "per-key window sort (the low-cardinality straggler): "
+    "sources/compaction.py range-partitions on (group, order), "
+    "aggregates per-slice byte totals (metadata-sized), and broadcasts "
+    "cumulative offsets back — the ntile_ranged remedy applied to a "
+    "weighted prefix sum. Oracle replays the cumsum binning in SQL.",
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.compaction import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    plan = compaction_plan(
+        docs, "n_chars", target_bytes=20000, group_cols=["source"],
+        order_cols=["doc_id"],
+    )
+    return compaction_summary(plan, "n_chars", ["source"]).select(
+        "source", "bin", "n_files", F.col("bin_bytes").cast("long").alias("bin_bytes")
+    )
+
+
+@query(
+    "quantile_sketch_bounds",
+    """
+    SELECT m AS measure, CAST(p AS DOUBLE) AS prob, TRUE AS rank_bound_ok
+    FROM (VALUES ('l_quantity'), ('l_extendedprice')) tm(m),
+         (VALUES (0.25), (0.5), (0.75), (0.95)) tp(p)
+    """,
+    "Mergeable quantile sketch with certified rank bounds — the "
+    "sketch-family companion to approx_distinct_parts (HLL) and "
+    "heavy_hitters_cms (CMS). approx_percentile is Spark's "
+    "Greenwald-Khanna sketch: one-pass mergeable partials (the only "
+    "way to take percentiles of 100 TB without a global sort) with the "
+    "contract |exact_rank(est) - p*N| <= N/accuracy. The certificate "
+    "recomputes every estimate's exact rank distributedly (one "
+    "conditional-sum pass, no sort) and the oracle asserts the bound "
+    "column TRUE for all 8 (measure, prob) points — the "
+    "bound-certifying pattern of heavy_hitters_cms applied to GK.",
+)
+def quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.aggregates import (
+        approx_quantiles_certified,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    return approx_quantiles_certified(
+        li, ["l_quantity", "l_extendedprice"], [0.25, 0.5, 0.75, 0.95],
+        accuracy=1000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -131,3 +131,64 @@ def test_weighted_priority_sample_priority_formula(spark):
     assert math.isclose(
         row["priority"], (int(h, 16) + 0.5) / 16**8 / 2.0, rel_tol=0, abs_tol=0
     )
+
+
+def test_compaction_plan_matches_sequential_reference(spark):
+    from dog_data_pipeline_spark.sources.compaction import (
+        compaction_plan,
+        compaction_summary,
+    )
+
+    rows = [(g, i, 10 + (i * 37) % 90) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp STRING, fid LONG, bytes LONG")
+    plan = compaction_plan(
+        df, "bytes", target_bytes=200, group_cols=["grp"], order_cols=["fid"]
+    )
+    got = {
+        (r["grp"], r["fid"]): r["bin"]
+        for r in plan.select("grp", "fid", "bin").collect()
+    }
+    # sequential reference: first-fit in fid order per group
+    for g in ("a", "b"):
+        cum = 0
+        for i in range(50):
+            size = 10 + (i * 37) % 90
+            assert got[(g, i)] == cum // 200, (g, i)
+            cum += size
+    # bins approach the target: every non-final bin ends because its
+    # cumulative size crossed the target
+    summ = compaction_summary(plan, "bytes", ["grp"]).collect()
+    per_grp = {}
+    for r in summ:
+        per_grp.setdefault(r["grp"], []).append((r["bin"], r["bin_bytes"]))
+    for g, bins in per_grp.items():
+        bins.sort()
+        for b, size in bins[:-1]:
+            assert size >= 200 - 99  # within one max-file of target
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest as _pytest
+
+    from dog_data_pipeline_spark.sources.compaction import compaction_plan
+
+    df = spark.createDataFrame([("a", 1, 5)], "grp STRING, fid LONG, bytes LONG")
+    with _pytest.raises(ValueError):
+        compaction_plan(df, "bytes", 0, ["grp"], ["fid"])
+
+
+def test_approx_quantiles_certified_bounds_hold_with_ties(spark):
+    from dog_data_pipeline_spark.operators.aggregates import (
+        approx_quantiles_certified,
+    )
+
+    # low-cardinality column: a single value spans thousands of ranks —
+    # the rank-RANGE intersection must still certify
+    df = spark.createDataFrame(
+        [(float(i % 5), float(i)) for i in range(5000)], "ties DOUBLE, uniq DOUBLE"
+    )
+    out = approx_quantiles_certified(
+        df, ["ties", "uniq"], [0.1, 0.5, 0.9], accuracy=1000
+    ).collect()
+    assert len(out) == 6
+    assert all(r["rank_bound_ok"] for r in out)
