@@ -5925,6 +5925,80 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_fingerprint_dedup",
+    # Closed-form oracle: FAKEAUD sample s(k,i) = ((g*13 + i*7 + 13v
+    # for i%151<4) % 200) - 100 with g = k%8, v = k//8; 57 frames x 32
+    # samples, per-frame energy sum(s^2), 56 energy-gradient bits. The
+    # sparse jitter spreads same-group pairs across hamming 0..3+ (some
+    # variants exceed the cutoff — the tolerance boundary is exercised,
+    # not just hamming-0 identity).
+    # All-integer -> DuckDB replays decode + frame + hash AND the exact
+    # all-pairs hamming join; the Spark side's pigeonhole blocking has
+    # recall 1.0 at hamming <= 3, so both sides must produce the
+    # identical pair set (full certificate, same structure as
+    # image_dhash_dedup).
+    """
+    WITH s AS (
+      SELECT k, i // 32 AS f,
+             (((k % 8)*13 + i*7 + CASE WHEN i % 151 < 4 THEN 13*(k // 8) ELSE 0 END)
+              % 200 - 100) AS x
+      FROM generate_series(0, 23) t(k), generate_series(0, 1823) gi(i)
+    ), e AS (
+      SELECT k, f, CAST(sum(x * x) AS BIGINT) AS energy
+      FROM s GROUP BY k, f
+    ), bits AS (
+      SELECT a.k, a.f, CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON b.k = a.k AND b.f = a.f + 1
+      WHERE a.f < 56
+    ), hashes AS (
+      SELECT k, CAST(sum(bit * (1::BIGINT << f)) AS BIGINT) AS h
+      FROM bits GROUP BY k
+    )
+    SELECT a.k AS id_a, b.k AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.k < b.k
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+    "Acoustic-fingerprint near-dedup (north-star multimodal x dedup — "
+    "completing the modality sweep: text SimHash, image dHash, now "
+    "audio): FAKEAUD clips -> fused decode + 57-frame energy grid + "
+    "56-bit Haitsma-Kalker-style energy-difference hash in one "
+    "mapInPandas pass (waveforms never shuffle), then the SAME "
+    "pigeonhole hamming engine as the other modalities generates "
+    "pairs with guaranteed recall at hamming <= 3. Oracle replays the "
+    "integer hash closed-form and the exact all-pairs join — banded "
+    "candidates certified equal to exact.",
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        fingerprint_audio,
+        make_fake_audio,
+    )
+    from dog_data_pipeline_spark.operators.dedup import simhash_pairs_pigeonhole
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def clip(k: int) -> bytes:
+        g, v = k % 8, k // 8
+        i = np.arange(57 * 32)
+        x = (g * 13 + i * 7 + np.where(i % 151 < 4, 13 * v, 0)) % 200 - 100
+        return make_fake_audio(1000, x)
+
+    clips = spark.createDataFrame(
+        [(k, clip(k)) for k in range(24)], "audio_id LONG, content BINARY"
+    ).repartition(6, "audio_id")
+    sig = fingerprint_audio(clips, frame_len=32).select(
+        F.col("audio_id").alias("id"), F.col("afp").alias("simhash")
+    )
+    return simhash_pairs_pigeonhole(clips, "audio_id", sig=sig, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
     "file_compaction_plan",
     """
     WITH f AS (
@@ -6023,7 +6097,6 @@ _PRIORITY_ORDER = [
     "simhash_dedup",
     "simhash_pigeonhole_dedup",
     "dedup_clusters",
-    "corpus_curation",
     "semantic_dedup",
     "prototype_pruning",
     # round-3 additions: first driver rows for the new curation family
@@ -6098,6 +6171,9 @@ _PRIORITY_ORDER = [
     "image_dhash_dedup",
     "tfidf_cosine_pairs",
     "weighted_priority_sample",
+    # audio joins the modality dedup sweep (slot from corpus_curation —
+    # hash-green end-to-end in round 2, still under the local mirror)
+    "audio_fingerprint_dedup",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Mid-round-3 swap: the two new operators added this session

@@ -192,3 +192,48 @@ def test_approx_quantiles_certified_bounds_hold_with_ties(spark):
     ).collect()
     assert len(out) == 6
     assert all(r["rank_bound_ok"] for r in out)
+
+
+def test_audio_fingerprint_matches_reference_and_pairs(spark):
+    from dog_data_pipeline_spark.multimodal.audio import (
+        fingerprint_audio,
+        make_fake_audio,
+    )
+
+    def wave(seed: int) -> np.ndarray:
+        i = np.arange(57 * 32)
+        return (seed * 13 + i * 7) % 200 - 100
+
+    clips = spark.createDataFrame(
+        [(k, make_fake_audio(1000, wave(k))) for k in range(3)],
+        "audio_id LONG, content BINARY",
+    )
+    got = {r["audio_id"]: r["afp"] for r in fingerprint_audio(clips).collect()}
+
+    def ref_fp(x: np.ndarray) -> int:
+        e = (x[: 57 * 32].astype(np.int64) ** 2).reshape(57, 32).sum(axis=1)
+        val = 0
+        for f in range(56):
+            if e[f + 1] > e[f]:
+                val |= 1 << f
+        return val
+
+    for k in range(3):
+        assert got[k] == ref_fp(wave(k))
+        assert 0 <= got[k] < 1 << 56
+
+
+def test_audio_fingerprint_rejects_short_clip(spark):
+    import pytest as _pytest
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        fingerprint_audio,
+        make_fake_audio,
+    )
+
+    clips = spark.createDataFrame(
+        [(0, make_fake_audio(1000, np.zeros(100, dtype=np.int16)))],
+        "audio_id LONG, content BINARY",
+    )
+    with _pytest.raises(Exception, match="too short"):
+        fingerprint_audio(clips).collect()
