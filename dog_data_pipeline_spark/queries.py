@@ -5925,6 +5925,45 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_agg_state",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total,
+           CAST(min(n_chars) AS BIGINT) AS min_val,
+           CAST(max(n_chars) AS BIGINT) AS max_val,
+           CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                AS BIGINT) AS mean_u
+    FROM documents GROUP BY source
+    """,
+    "Incremental materialized-view maintenance (the pattern that makes "
+    "corpus statistics affordable at 100 TB — nightly batches must not "
+    "rescan the corpus): per-source stats held as mergeable partials "
+    "(count/sum/min/max, Gray et al.'s algebraic aggregates), new batch "
+    "(doc_id % 4 == 0) folded in via union + re-aggregate of |keys|-row "
+    "state; mean derived at read time from partials in exact integer "
+    "micro-units. The oracle aggregates the FULL corpus directly, so "
+    "the hash certifies the incremental pipeline's one obligation: "
+    "incremental == full recompute.",
+)
+def incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.incremental import (
+        aggregate_partials,
+        merge_aggregate_state,
+        read_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    state = aggregate_partials(
+        docs.filter(F.col("doc_id") % 4 != 0), ["source"], "n_chars"
+    )
+    batch = aggregate_partials(
+        docs.filter(F.col("doc_id") % 4 == 0), ["source"], "n_chars"
+    )
+    return read_state(merge_aggregate_state(state, batch, ["source"]), ["source"])
+
+
+@query(
     "audio_fingerprint_dedup",
     # Closed-form oracle: FAKEAUD sample s(k,i) = ((g*13 + i*7 + 13v
     # for i%151<4) % 200) - 100 with g = k%8, v = k//8; 57 frames x 32

@@ -329,3 +329,36 @@ def test_ivfpq_candidate_scan_joins_on_compressed_index(spark):
     # by id (hash join), never a nested loop over the corpus
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_fingerprints_never_shuffle_content(spark):
+    # dHash / audio fingerprint: the mapInPandas hash pass must sit
+    # BELOW every exchange — (id, int64) rows shuffle, binary content
+    # never does
+    for name in ("image_dhash_dedup", "audio_fingerprint_dedup"):
+        plan = plan_of(spark, name)
+        body = plan.split("Exchange", 1)[0]
+        # at least one exchange exists (pair join), and no exchange
+        # carries the binary content column
+        assert "Exchange" in plan, name
+        for frag in plan.split("Exchange")[1:]:
+            header = frag.split("\n")[0]
+            assert "content" not in header, (name, header)
+
+
+def test_tfidf_inverted_index_partial_aggs(spark):
+    plan = plan_of(spark, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    # tf, df, norms, and pair dots are all partial-aggregated
+    assert plan.count("partial_") >= 3
+
+
+def test_weighted_priority_sample_is_take_ordered(spark):
+    plan = plan_of(spark, "weighted_priority_sample")
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+
+def test_compaction_offsets_broadcast(spark):
+    plan = plan_of(spark, "file_compaction_plan")
+    assert "BroadcastHashJoin" in plan  # offsets table rides a broadcast
+    assert "CartesianProduct" not in plan

@@ -237,3 +237,45 @@ def test_audio_fingerprint_rejects_short_clip(spark):
     )
     with _pytest.raises(Exception, match="too short"):
         fingerprint_audio(clips).collect()
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from dog_data_pipeline_spark.operators.incremental import (
+        aggregate_partials,
+        merge_aggregate_state,
+        read_state,
+    )
+
+    rows = [(i, "s" + str(i % 3), (i * 17) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING, v LONG")
+    full = read_state(aggregate_partials(df, ["src"], "v"), ["src"]).collect()
+    state = aggregate_partials(df.filter("id % 5 != 0"), ["src"], "v")
+    # fold in two batches, one of which introduces no new keys
+    for pred in ("id % 5 = 0 AND id < 100", "id % 5 = 0 AND id >= 100"):
+        state = merge_aggregate_state(
+            state, aggregate_partials(df.filter(pred), ["src"], "v"), ["src"]
+        )
+    merged = read_state(state, ["src"]).collect()
+    key = lambda r: r["src"]  # noqa: E731
+    assert sorted(map(tuple, merged), key=lambda t: t[0]) == sorted(
+        map(tuple, full), key=lambda t: t[0]
+    )
+
+
+def test_incremental_merge_new_key_passes_through(spark):
+    from dog_data_pipeline_spark.operators.incremental import (
+        aggregate_partials,
+        merge_aggregate_state,
+        read_state,
+    )
+
+    old = spark.createDataFrame([("a", 5), ("a", 7)], "src STRING, v LONG")
+    new = spark.createDataFrame([("b", 3)], "src STRING, v LONG")
+    state = merge_aggregate_state(
+        aggregate_partials(old, ["src"], "v"),
+        aggregate_partials(new, ["src"], "v"),
+        ["src"],
+    )
+    got = {r["src"]: (r["n_rows"], r["total"], r["min_val"], r["max_val"])
+           for r in read_state(state, ["src"]).collect()}
+    assert got == {"a": (2, 12, 5, 7), "b": (1, 3, 3, 3)}
