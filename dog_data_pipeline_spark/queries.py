@@ -5925,6 +5925,35 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edit_distance_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, left(text, 80) AS p FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS edit_distance
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 8
+    """,
+    "Edit-distance similarity join (entity resolution / fuzzy match — "
+    "character-level tolerance complementing the Jaccard and TF-IDF "
+    "families): 80-char prefixes within 8 Levenshtein edits. Candidates "
+    "come from the Gravano VLDB'01 q-gram COUNT FILTER (bag-semantics "
+    "common-gram lower bound + length filter — both NECESSARY "
+    "conditions, so recall is guaranteed); exact Levenshtein verifies "
+    "candidate-cardinality rows only. The oracle computes the "
+    "unfiltered ALL-PAIRS join, so hash equality certifies the filter "
+    "loses nothing. Inverted-index shuffle keyed on gram; at web scale "
+    "the hot-gram cap applies exactly as in jaccard_pairs.",
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import edit_distance_pairs as _op
+
+    docs = _t(spark, sf_dir, "documents")
+    return _op(docs, "doc_id", "text", prefix_len=80, max_edits=8, q=2)
+
+
+@query(
     "incremental_agg_state",
     """
     SELECT source,
