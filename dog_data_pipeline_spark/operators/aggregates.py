@@ -133,17 +133,21 @@ def approx_quantiles_certified(
     Returns ``(measure STRING, prob DOUBLE, rank_bound_ok BOOLEAN)``.
     """
     probs = list(probs)
+    # Per-column NON-NULL counts: percentile_approx and the rank sums
+    # below ignore NULLs, so the certificate must rank against the same
+    # population (count(1) would inflate N on a nullable column and
+    # wrongly fail/pass the bound).
     ests = df.agg(
         *[
             F.percentile_approx(c, probs, accuracy).alias(c)
             for c in cols
         ],
-        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(c)).alias(f"__n_{c}") for c in cols],
     ).collect()[0]
-    n = ests["__n"]
-    eps_slack = n / accuracy + 1
     rank_aggs = []
     for c in cols:
+        if ests[c] is None:  # empty / all-NULL column: nothing to certify
+            continue
         for i, p in enumerate(probs):
             v = ests[c][i]
             rank_aggs.append(
@@ -156,14 +160,19 @@ def approx_quantiles_certified(
                     f"__lt_{c}_{i}"
                 )
             )
-    ranks = df.agg(*rank_aggs).collect()[0]
     rows = []
-    for c in cols:
-        for i, p in enumerate(probs):
-            lo = ranks[f"__lt_{c}_{i}"] + 1
-            hi = ranks[f"__le_{c}_{i}"]
-            ok = lo <= p * n + eps_slack and hi >= p * n - eps_slack
-            rows.append((c, float(p), bool(ok)))
+    if rank_aggs:
+        ranks = df.agg(*rank_aggs).collect()[0]
+        for c in cols:
+            if ests[c] is None:
+                continue
+            n = ests[f"__n_{c}"]
+            eps_slack = n / accuracy + 1
+            for i, p in enumerate(probs):
+                lo = (ranks[f"__lt_{c}_{i}"] or 0) + 1
+                hi = ranks[f"__le_{c}_{i}"] or 0
+                ok = lo <= p * n + eps_slack and hi >= p * n - eps_slack
+                rows.append((c, float(p), bool(ok)))
     return df.sparkSession.createDataFrame(
         rows, "measure STRING, prob DOUBLE, rank_bound_ok BOOLEAN"
     )

@@ -647,7 +647,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     prefix_len: int = 80,
     max_edits: int = 8,
-    q: int = 2,
+    q: int = 2,  # retained for API compatibility; unused (see below)
 ) -> DataFrame:
     """Edit-distance similarity join: pairs whose ``prefix_len``-char
     prefixes are within ``max_edits`` Levenshtein edits — the classic
@@ -655,75 +655,188 @@ def edit_distance_pairs(
     boilerplate headers), complementing the token-set (Jaccard) and
     weighted (TF-IDF) families with character-level tolerance.
 
-    Candidate generation is the Ed-Join PREFIX FILTER (Xiao, Wang &
-    Lin, VLDB'08), built on Gravano's q-gram count bound (one edit
-    destroys at most q of a string's |s|-q+1 q-grams, so ed(x,y) <= k
-    implies >= max(|x|,|y|) - q + 1 - k*q shared grams): order every
-    string's q-grams by GLOBAL rarity (ascending gram document
-    frequency) and index only the first k*q + 1 of them — two strings
-    within k edits must share a gram inside each other's prefixes, so
-    the prefix self-join loses no true pair, while the hot head of the
-    gram distribution (this is what sinks a naive q-gram inverted
-    index on low-alphabet text: every bigram is shared by thousands of
-    docs and the join goes quadratic — measured 163s vs ~2s at sf0.1)
-    lands outside the prefixes. A length filter (||x|-|y|| <= k, also
-    necessary) rides along; exact Levenshtein verifies
-    candidate-cardinality rows only. The oracle replays the unfiltered
-    ALL-PAIRS join, so hash equality CERTIFIES the filter's recall
-    rather than trusting the theorem.
+    Candidate generation is PASSJOIN partition blocking (Li, Deng &
+    Feng, "PASS-JOIN: a partition-based method for similarity joins",
+    VLDB 2011): split every string into ``k+1`` even segments — if
+    ed(x, y) <= k then by pigeonhole SOME segment of the shorter
+    string appears EXACTLY (same characters, position shifted by at
+    most the edits around it) as a substring of the longer — so
+    candidates come from an EQUALITY join between indexed segments
+    and probe substrings, and the multi-match-aware substring
+    selection (paper Lemma 3) bounds the probe window for segment i
+    (0-based) of an l-length index string against an m-length probe,
+    delta = m - l, to start positions
+    ``[p_i - i, p_i + i] ∩ [p_i + delta - (k-i), p_i + delta + (k-i)]``
+    — O(k^2) probe substrings per string, independent of corpus size.
+    Exact Levenshtein verifies candidate-cardinality rows only.
 
-    Scale shape: gram-df count and the per-doc rarity rank (window
-    over <= |s| rows per doc — bounded, not corpus-sized) are
-    partial-aggregated shuffles on (gram)/(id); the candidate join
-    touches k*q+1 rows per doc keyed on globally-rare grams.
-    Returns (id_a, id_b, edit_distance).
+    Why not a q-gram prefix filter (Ed-Join, Xiao et al. VLDB'08):
+    on a low-alphabet / templated corpus even the globally RAREST
+    q-grams have document frequency in the hundreds, so the gram
+    self-join degenerates toward all-pairs (measured 553s at sf0.1 vs
+    ~2s for this plan; segment keys are ~l/(k+1) chars long and carry
+    position, so their df stays near 1). Strings too short for
+    meaningful segments (len <= 2*(k+1), where even partition gives
+    < 2 chars per segment and, below k+1, empty segments with vacuous
+    pigeonhole — the recall hole flagged for the old gram bound)
+    route through an exact small-block broadcast all-pairs path, so
+    recall holds for EVERY length. The oracle replays the unfiltered
+    ALL-PAIRS join, so hash equality CERTIFIES recall rather than
+    trusting the theorem.
+
+    Scale shape: segment index and probe-substring generation are
+    map-only explodes (k+1 index rows, O(k^2) probe rows per doc);
+    the candidate join shuffles on (l, segment_idx, segment_text) —
+    near-unique keys, no hot-gram skew; Levenshtein runs on candidate
+    pairs only, inside whole-stage codegen. Driver traffic: zero
+    collects. Returns (id_a, id_b, edit_distance).
     """
+    k = int(max_edits)
+    nseg = k + 1
+    short_max = 2 * nseg  # below this, segments are too short to index
     s = F.substring(F.col(text_col), 1, prefix_len)
-    base = df.select(F.col(id_col).alias("id"), s.alias("s")).withColumn(
-        "len", F.length("s")
+    # Only (id, prefix) survives past this point — ~100 bytes/doc — so the
+    # spread-out repartition below shuffles a sliver of the corpus, not the
+    # documents themselves.  It exists because the O(k^2)-per-doc probe
+    # explode otherwise inherits the scan's partitioning (one small file =
+    # one task on the bench; a handful of fat splits at 100 TB).
+    sc = df.sparkSession.sparkContext
+    base = (
+        df.select(F.col(id_col).alias("id"), s.alias("s"))
+        .withColumn("len", F.length("s"))
+        .filter(F.col("len") > 0)
+        .repartition(sc.defaultParallelism)
     )
-    # substring with a column start position needs the SQL expr form
-    grams = base.select(
-        "id",
-        "len",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(len - {q - 1}, 0)),"
-                f" i -> substring(s, i, {q}))"
-            )
-        ).alias("pos", "g"),
-    )
-    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    w = Window.partitionBy("id").orderBy("gdf", "g", "pos")
-    prefix = (
-        grams.join(dfreq, "g")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= max_edits * q + 1)
-        .select("id", "len", "g")
-    )
-    a = prefix.select(
-        F.col("id").alias("id_a"), F.col("len").alias("len_a"), "g"
-    )
-    b = prefix.select(
-        F.col("id").alias("id_b"), F.col("len").alias("len_b"), "g"
-    )
-    cand = (
-        a.join(b, "g")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_edits)
+
+    # Even partition of an l-length string into nseg segments: the first
+    # nseg - (l % nseg) segments have floor(l/nseg) chars, the rest one
+    # more.  start/length are pure column arithmetic shared by both sides.
+    def _seg_len(l, i):
+        return (l / nseg).cast("int") + F.when(
+            i >= nseg - (l % nseg), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def _seg_start(l, i):  # 1-based
+        return (
+            i * (l / nseg).cast("int")
+            + F.greatest(F.lit(0), i - (nseg - (l % nseg)))
+            + 1
         )
-        .select("id_a", "id_b")
+
+    # ---- main path: index strings with len > short_max -----------------
+    idx = (
+        base.filter(F.col("len") > short_max)
+        .select(
+            "id", "len", "s", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i")
+        )
+        .withColumn("st", _seg_start(F.col("len"), F.col("i")))
+        .withColumn("sl", _seg_len(F.col("len"), F.col("i")))
+        .select(
+            F.col("id").alias("id_x"),
+            F.col("len").alias("l"),
+            "i",
+            F.expr("substring(s, st, sl)").alias("g"),
+        )
+    )
+    # Probe side: for every candidate index length l in [m-k, m] (only
+    # l > short_max) and segment i, emit the substrings in the
+    # multi-match-aware window.  Empty windows produce empty arrays and
+    # explode() drops them; sequence() is guarded against lo > hi
+    # (Spark's sequence DESCENDS there, which would fabricate probes).
+    probe = (
+        base.select(F.col("id").alias("id_y"), F.col("s").alias("r"),
+                    F.col("len").alias("m"))
+        .filter(F.col("m") + k > short_max)
+        .withColumn(
+            "l",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("m") - k, F.lit(short_max + 1)),
+                    F.greatest(F.col("m"), F.lit(short_max + 1)),
+                )
+            ),
+        )
+        .filter(F.col("l") <= F.col("m"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("p", _seg_start(F.col("l"), F.col("i")))
+        .withColumn("sl", _seg_len(F.col("l"), F.col("i")))
+        .withColumn("delta", F.col("m") - F.col("l"))
+        .withColumn(
+            "lo",
+            F.greatest(
+                F.lit(1),
+                F.col("p") - F.col("i"),
+                F.col("p") + F.col("delta") - (k - F.col("i")),
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.least(
+                F.col("m") - F.col("sl") + 1,
+                F.col("p") + F.col("i"),
+                F.col("p") + F.col("delta") + (k - F.col("i")),
+            ),
+        )
+        .filter(F.col("hi") >= F.col("lo"))
+        .withColumn("j", F.explode(F.sequence(F.col("lo"), F.col("hi"))))
+        .select("id_y", "l", "i", F.expr("substring(r, j, sl)").alias("g"))
+    )
+    # shuffle_hash hint: both sides are corpus-sized (k+1 vs O(k^2) rows
+    # per doc) so a broadcast is wrong at scale — and on the bench Spark's
+    # post-explode size estimate otherwise picks BuildRight on the FAT
+    # probe side (measured 8.0s vs 4.6s).  Shuffling on the near-unique
+    # (l, i, g) key has no skew; the hash build lands on the slim side.
+    cand_main = (
+        idx.hint("shuffle_hash").join(probe, ["l", "i", "g"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+    )
+    # ---- short path: exact all-pairs over the (rare) short strings -----
+    # A pair (x, y) with min len <= short_max has max len <= short_max+k,
+    # so both sides live in this bounded bucket; broadcast it.
+    shorts = base.filter(F.col("len") <= short_max + k)
+    cand_short = (
+        F.broadcast(
+            shorts.filter(F.col("len") <= short_max).select(
+                F.col("id").alias("id_x"), F.col("len").alias("len_x")
+            )
+        )
+        .join(
+            shorts.select(F.col("id").alias("id_y"), F.col("len").alias("len_y")),
+            F.abs(F.col("len_x") - F.col("len_y")) <= k,
+        )
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+    )
+    # Candidate pairs are bytes-light but COMPUTE-dense (a Levenshtein DP
+    # each), so AQE's size-targeted coalescing would funnel them into 1-2
+    # tasks; spread them explicitly before the verify stage.
+    cand = (
+        cand_main.unionByName(cand_short)
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(sc.defaultParallelism)
     )
     sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    # Threshold-banded Levenshtein (Spark >= 3.5): O(len*k) per pair with
+    # early abandon instead of the full O(len^2) DP; returns -1 past the
+    # threshold, which the filter drops.
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("edit_distance", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("edit_distance") <= max_edits)
-        .select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
+        .withColumn("edit_distance", F.levenshtein("s_a", "s_b", int(max_edits)))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_edits))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+        )
     )
 
 

@@ -191,7 +191,22 @@ def weighted_priority_sample(
         raise ValueError(f"k must be positive, got {k}")
     hx = _bucket_hex(F.col(key_col), salt)
     u = (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
-    pri = u / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    # Fail fast on zero/negative/NULL weights instead of letting inf/NaN/
+    # NULL priorities silently distort the top-k (NaN sorts last in both
+    # engines, masking the bad rows). raise_error rides inside the same
+    # map-only projection — no extra pass.
+    w_checked = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_priority_sample: non-positive/NULL {weight_col}="),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(f" at {key_col}="),
+                F.col(key_col).cast("string"),
+            )
+        ).cast("double")
+    )
+    pri = u / w_checked
     return (
         df.withColumn(priority_col, pri)
         .orderBy(F.col(priority_col), F.col(key_col))

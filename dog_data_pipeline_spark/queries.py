@@ -1353,7 +1353,7 @@ def audio_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = spark.createDataFrame(
         [(f"a{k}", clip(k)) for k in range(n_clips)],
         "audio_id STRING, content BINARY",
-    ).repartition(4, "audio_id")
+    )
     feats = extract_audio_features(clips)
     return feats.select(
         "audio_id",
@@ -1417,7 +1417,7 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = spark.createDataFrame(
         [(f"i{k}", img(k)) for k in range(24)], "image_id STRING, content BINARY"
-    ).repartition(4, "image_id")
+    )
     out = _stats_op(images, factor=2)
     return out.select(
         "image_id", "width", "height", "out_width", "out_height",
@@ -5825,7 +5825,7 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = spark.createDataFrame(
         [(k, img(k)) for k in range(30)], "image_id LONG, content BINARY"
-    ).repartition(6, "image_id")
+    )
     hashes = dhash_images(images, factor=4)
     sig = hashes.select(F.col("image_id").alias("id"), F.col("dhash").alias("simhash"))
     return simhash_pairs_pigeonhole(images, "image_id", sig=sig, max_hamming=3).select(
@@ -6057,7 +6057,7 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = spark.createDataFrame(
         [(k, clip(k)) for k in range(24)], "audio_id LONG, content BINARY"
-    ).repartition(6, "audio_id")
+    )
     sig = fingerprint_audio(clips, frame_len=32).select(
         F.col("audio_id").alias("id"), F.col("afp").alias("simhash")
     )

@@ -363,3 +363,115 @@ def test_prototype_prune_deterministic(spark):
     a = {r["vec_id"]: r["prune"] for r in prototype_prune(emb).collect()}
     b = {r["vec_id"]: r["prune"] for r in prototype_prune(emb.repartition(7)).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs (PassJoin partition blocking)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(rows, k, prefix_len=80):
+    """All-pairs reference: plain DP Levenshtein on prefixes."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t[:prefix_len]) for i, t in rows]
+    out = set()
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            ia, sa = rows[x]
+            ib, sb = rows[y]
+            d = lev(sa, sb)
+            if d <= k:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                out.add((lo, hi, d))
+    return out
+
+
+def _run_pairs(spark, rows, k, prefix_len=80):
+    from dog_data_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = edit_distance_pairs(
+        df, "id", "text", prefix_len=prefix_len, max_edits=k
+    ).collect()
+    return {(r.id_a, r.id_b, r.edit_distance) for r in got}
+
+
+def test_edit_distance_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack")),          # 1 substitution
+        (3, base + " xx"),                            # within prefix? beyond len
+        (4, "completely different words entirely here that share nothing at all"),
+        (5, base.replace("brown fox", "green cat")),  # several edits
+    ]
+    got = _run_pairs(spark, rows, k=8)
+    assert got == _brute_pairs(rows, k=8)
+    assert (1, 2, 1) in got
+    assert not any({a, b} == {1, 4} for a, b, _ in got)
+
+
+def test_edit_distance_short_string_recall(spark):
+    # The recall hole of the old q-gram bound: two disjoint short strings
+    # within k edits share NO gram yet are a true pair. The short-path
+    # broadcast block must find them.
+    rows = [(1, "aaaaaaaa"), (2, "bbbbbbbb"), (3, "aaaaaaab"), (4, "zzzz")]
+    got = _run_pairs(spark, rows, k=8)
+    assert got == _brute_pairs(rows, k=8)
+    assert (1, 2, 8) in got  # ed = 8 exactly, zero shared grams
+
+
+def test_edit_distance_boundary_lengths_match_bruteforce(spark):
+    # Lengths straddling the short/main path boundary (short_max = 2(k+1))
+    # exercise the cross-path pairing and the multi-match-aware windows
+    # with every delta in [0, k].
+    import random
+
+    rnd = random.Random(42)
+    alphabet = "ab"
+    rows = [
+        (i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(4, 40))))
+        for i in range(60)
+    ]
+    for k in (2, 4):
+        assert _run_pairs(spark, rows, k=k) == _brute_pairs(rows, k=k), k
+
+
+def test_edit_distance_property_random_corpus(spark):
+    # Property check on a templated low-alphabet corpus (the regime that
+    # sank the q-gram plan): near-dups planted by mutating a base string.
+    import random
+
+    rnd = random.Random(7)
+    words = ["spark", "join", "sort", "scan", "agg", "key"]
+    docs = []
+    for i in range(80):
+        base = " ".join(rnd.choice(words) for _ in range(25))
+        docs.append((i, base))
+        if i % 4 == 0:  # plant a near-dup with a few char edits
+            chars = list(base)
+            for _ in range(rnd.randint(1, 6)):
+                chars[rnd.randrange(len(chars))] = rnd.choice("xyz")
+            docs.append((1000 + i, "".join(chars)))
+    assert _run_pairs(spark, docs, k=8) == _brute_pairs(docs, k=8)
+
+
+def test_edit_distance_prefix_truncation(spark):
+    # Strings that differ only BEYOND prefix_len are distance 0 on prefixes.
+    a = "x" * 100
+    b = "x" * 80 + "y" * 20
+    got = _run_pairs(spark, [(1, a), (2, b)], k=3, prefix_len=80)
+    assert got == {(1, 2, 0)}

@@ -335,15 +335,23 @@ def test_media_fingerprints_never_shuffle_content(spark):
     # dHash / audio fingerprint: the mapInPandas hash pass must sit
     # BELOW every exchange — (id, int64) rows shuffle, binary content
     # never does
+    import re
+
     for name in ("image_dhash_dedup", "audio_fingerprint_dedup"):
         plan = plan_of(spark, name)
-        body = plan.split("Exchange", 1)[0]
-        # at least one exchange exists (pair join), and no exchange
-        # carries the binary content column
+        # at least one exchange exists (pair join), and no exchange node
+        # CARRIES the binary content column: the formatted-explain detail
+        # block of every Exchange lists the attributes it moves in its
+        # Input [...] line (the header line only shows partitioning keys,
+        # which would let a content-carrying shuffle slip through)
         assert "Exchange" in plan, name
-        for frag in plan.split("Exchange")[1:]:
-            header = frag.split("\n")[0]
-            assert "content" not in header, (name, header)
+        blocks = re.split(r"\n\(\d+\) ", plan)
+        exchanges = [b for b in blocks if b.startswith("Exchange")]
+        assert exchanges, name
+        for b in exchanges:
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+            assert m is not None, (name, b.splitlines()[0])
+            assert "content" not in m.group(1), (name, m.group(1))
 
 
 def test_tfidf_inverted_index_partial_aggs(spark):
@@ -362,3 +370,14 @@ def test_compaction_offsets_broadcast(spark):
     plan = plan_of(spark, "file_compaction_plan")
     assert "BroadcastHashJoin" in plan  # offsets table rides a broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_passjoin_candidate_join_shape(spark):
+    plan = plan_of(spark, "edit_distance_pairs")
+    # the old q-gram plan degenerated toward all-pairs on templated text
+    # (553s at sf0.1); the PassJoin plan must stay an equality join on the
+    # segment key with the hash build on the slim index side
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+    # verify stage runs the threshold-banded levenshtein, not the full DP
+    assert "levenshtein" in plan

@@ -39,24 +39,16 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_north_star_queries_lead_registry_order():
-    """The driver verifies registry entries in dict order and may cap how
-    many it checks (round 1: first 50). The north-star dedup/similarity/
-    text family must sit inside any plausible window."""
+def test_priority_window_leads_registry_order():
+    """The driver verifies registry entries in dict order and caps how
+    many it checks (50 per round). `_PRIORITY_ORDER` is the single source
+    of truth for the window: the registry must lead with exactly that
+    list, in that order, with the flagship first.  (Deriving the check
+    from the list itself means a rotation can never strand a stale
+    duplicate of it here.)"""
+    from dog_data_pipeline_spark.queries import _PRIORITY_ORDER
+
     names = list(REGISTRY)
-    north_star = [
-        "minhash_lsh_dedup",
-        "simhash_dedup", "dedup_clusters",
-        "corpus_curation", "knn_cosine_lsh",
-        "knn_cosine_ivf", "knn_cosine_ivfpq",
-        "bm25_keyword_search", "rolling_fingerprint",
-        # round-3 curation family: first driver rows this round
-        "segment_dedup_stats", "duplicate_span_stats",
-        "incremental_dedup_newbatch",
-        "source_cap_report", "mixture_weights_plan",
-        "quality_classifier_scores", "embedding_quantization_audit",
-        "zorder_locality_report",
-    ]
-    for n in north_star:
-        assert names.index(n) < 40, f"{n} at slot {names.index(n)}"
-    assert names[0] == "flagship_segment_stats"
+    assert len(_PRIORITY_ORDER) == len(set(_PRIORITY_ORDER)) == 50
+    assert names[: len(_PRIORITY_ORDER)] == _PRIORITY_ORDER
+    assert _PRIORITY_ORDER[0] == "flagship_segment_stats"

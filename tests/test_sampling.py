@@ -220,3 +220,18 @@ def test_mixture_upsample_fractional_topup_bounded_and_stable(spark):
     assert set(b_copies) == {100 + i for i in range(10)}  # every doc >= 1 copy
     for eps in b_copies.values():
         assert sorted(eps) in ([0], [0, 1])  # dense epoch indices
+
+
+def test_weighted_priority_sample_rejects_nonpositive_weights(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dog_data_pipeline_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 0.0), ("c", 5.0)], "k STRING, w DOUBLE"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        weighted_priority_sample(df, "k", "w", k=2).collect()
+    assert "non-positive/NULL" in str(ei.value)
