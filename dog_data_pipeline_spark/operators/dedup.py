@@ -942,11 +942,39 @@ def incremental_lsh_pairs_from_tagged_sigs(
     )
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than (or exactly) the core count.  Compute-dense per-document
+    operators (window fingerprints, probe explodes) otherwise inherit
+    the upstream partitioning, which undercounts their real cost two
+    ways: one small parquet file = one scan task, and AQE coalesces a
+    bytes-light shuffle output to 1-2 partitions before the explode
+    multiplies the work 10-20x.  An explicit REPARTITION_BY_NUM is
+    exempt from AQE coalescing, so it pins the fan-out.  At real scale
+    scans have thousands of splits and shuffle.partitions is tuned
+    well above the core count, so this is a no-op there — the corpus
+    is never re-shuffled when it is already spread."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() <= sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+# Rolling-fingerprint constants: two CRT-independent 31-bit prime moduli
+# (collision odds ~ n^2 / 2^62 — negligible at any real corpus size) and a
+# prime base.  Token hashes are 28-bit md5-hex slices, so every fold step
+# stays below 2^52 — safe in ANSI-mode long arithmetic (no overflow throw).
+_RFP_BASE = 1000003
+_RFP_P1 = 2147483629
+_RFP_P2 = 2147483587
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     window_tokens: int = 16,
+    fingerprint: str = "md5",
 ) -> DataFrame:
     """EXACT substring-level duplicate spans at ARBITRARY offsets (the
     Lee et al. 2022 "Deduplicating Training Data" operation): any
@@ -973,27 +1001,89 @@ def duplicate_spans(
     across docs, bounded by doc length within).
 
     Returns one row per merged span: (id, span_start, span_end),
-    1-based inclusive token positions. md5 fingerprints keep the
-    whole decision engine-replayable (full SQL oracle).
+    1-based inclusive token positions.
+
+    ``fingerprint`` picks the window-hash engine, both replayable in a
+    SQL oracle:
+
+    - ``"md5"``: md5 over the re-concatenated w-token slice at every
+      position — n*w token bytes hashed per doc (the straightforward
+      form; hash work scales with the window).
+    - ``"rolling"``: Rabin-Karp polynomial. Each token is hashed ONCE
+      (two 28-bit md5-hex slices), then every window fingerprint is a
+      w-step modular fold of the precomputed longs under two
+      independent 31-bit primes — the per-position cost drops from
+      hashing ~window*token_len bytes to w multiply-adds, cutting the
+      hash work by ~window_len. Double-modulus keys make cross-window
+      collisions ~n^2/2^62 (vanishing); the md5 path doubles as the
+      exactness cross-check in the property suite.
     """
+    df = _spread_if_narrow(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     w = window_tokens
     pos_arr = F.when(n < w, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), n - w + 1)
     )
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                pos_arr,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("h"),
+    if fingerprint == "md5":
+        win_of = lambda i: F.md5(  # noqa: E731
+            F.concat_ws(" ", F.slice(toks, i, w))
+        ).alias("h")
+        wins_src = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    pos_arr, lambda i: F.struct(i.alias("pos"), win_of(i))
+                )
+            ).alias("wc"),
+        )
+    elif fingerprint == "rolling":
+        B, P1, P2 = _RFP_BASE, _RFP_P1, _RFP_P2
+
+        def tok_h(start: int) -> "F.Column":
+            return F.transform(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), start, 7), 16, 10).cast(
+                    "long"
                 ),
             )
-        ).alias("wc"),
-    ).select("id", "wc.pos", "wc.h")
+
+        def roll(harr_name: str, p: int):
+            return lambda i: F.aggregate(
+                F.slice(F.col(harr_name), i, w),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * B + h) % F.lit(p),
+            )
+
+        # Token hashes materialize as real columns BEFORE the per-position
+        # transform: a direct lambda capture would clone the whole
+        # md5-per-token subtree into every window position, re-hashing
+        # each token n times and erasing the rolling win.
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            pos_arr.alias("__pos"),
+            tok_h(1).alias("__h1"),
+            tok_h(8).alias("__h2"),
+        )
+        wins_src = hashed.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.col("__pos"),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            "-",
+                            roll("__h1", P1)(i).cast("string"),
+                            roll("__h2", P2)(i).cast("string"),
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("wc"),
+        )
+    else:
+        raise ValueError(f"unknown fingerprint engine: {fingerprint!r}")
+    wins = wins_src.select("id", "wc.pos", "wc.h")
     firsts = wins.groupBy("h").agg(
         F.min(F.struct("id", "pos")).alias("w0"),
         F.count(F.lit(1)).alias("cnt"),
@@ -1034,6 +1124,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window_tokens: int = 16,
     out: str = "clean_text",
+    fingerprint: str = "md5",
 ) -> DataFrame:
     """Surgical removal of duplicated substrings: rewrite each document
     with every token inside a ``duplicate_spans`` span removed (the Lee
@@ -1044,7 +1135,7 @@ def remove_duplicate_spans(
     spans per doc <= tokens/2), then one filter expression drops the
     covered positions — map-side after the join, no extra shuffle.
     """
-    spans = duplicate_spans(df, id_col, text_col, window_tokens)
+    spans = duplicate_spans(df, id_col, text_col, window_tokens, fingerprint)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

@@ -475,3 +475,28 @@ def test_edit_distance_prefix_truncation(spark):
     b = "x" * 80 + "y" * 20
     got = _run_pairs(spark, [(1, a), (2, b)], k=3, prefix_len=80)
     assert got == {(1, 2, 0)}
+
+
+def test_duplicate_spans_rolling_equals_md5(spark):
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, SF_DIR, "documents")
+    a = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, "doc_id").collect()
+    }
+    b = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, "doc_id", fingerprint="rolling").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_duplicate_spans_rejects_unknown_engine(spark):
+    import pytest
+
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="unknown fingerprint engine"):
+        duplicate_spans(docs, "doc_id", fingerprint="sha9000")

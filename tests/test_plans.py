@@ -381,3 +381,24 @@ def test_edit_distance_passjoin_candidate_join_shape(spark):
     assert "ShuffledHashJoin" in plan
     # verify stage runs the threshold-banded levenshtein, not the full DP
     assert "levenshtein" in plan
+
+
+def test_rolling_span_fingerprints_hash_tokens_once(spark):
+    # the rolling engine must materialize per-token hash arrays BEFORE
+    # the per-position transform: exactly two md5 calls per token (the
+    # two hex slices), never one per (position x token)
+    plan = plan_of(spark, "duplicate_span_stats_rolling")
+    assert "CartesianProduct" not in plan
+    # the md5 expressions live inside the two array transforms; a
+    # re-inlined plan would show md5 nested under slice() per position
+    assert plan.count("md5") <= 4, plan.count("md5")
+
+
+def test_corpus_curation_v2_composition_shape(spark):
+    plan = plan_of(spark, "corpus_curation_v2")
+    assert "CartesianProduct" not in plan
+    # mixture thresholds ride broadcasts; the corpus side never
+    # sort-merge-joins against the |sources|-row plan table
+    assert "BroadcastHashJoin" in plan
+    # span winner selection and the final report partial-aggregate
+    assert plan.count("partial_") >= 2

@@ -52,3 +52,29 @@ def test_priority_window_leads_registry_order():
     assert len(_PRIORITY_ORDER) == len(set(_PRIORITY_ORDER)) == 50
     assert names[: len(_PRIORITY_ORDER)] == _PRIORITY_ORDER
     assert _PRIORITY_ORDER[0] == "flagship_segment_stats"
+
+
+def test_registry_landing_gate_bench_artifact_covers_every_query():
+    """Landing gate (round-3 lesson: a 553s query shipped in an
+    end-of-round snapshot with no builder-run bench entry): every
+    registry query must appear in the latest committed local bench
+    artifact with a non-negative timing. Adding a query without
+    re-running `python bench.py` and committing BENCH_LOCAL_r*.json
+    fails this test."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    locals_ = {
+        int(m.group(1)): p
+        for p in root.glob("BENCH_LOCAL_r*.json")
+        if (m := re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", p.name))
+    }
+    assert locals_, "no BENCH_LOCAL_r*.json artifact committed"
+    latest = locals_[max(locals_)]
+    bench = json.loads(latest.read_text())["queries"]
+    missing = sorted(set(REGISTRY) - set(bench))
+    assert not missing, f"queries missing from {latest.name}: {missing}"
+    slow = {n: t for n, t in bench.items() if n in REGISTRY and t < 0}
+    assert not slow, f"queries recorded as FAILED in {latest.name}: {slow}"
