@@ -92,3 +92,82 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """SPAN-level contamination: the exact token ranges of each corpus
+    document that reproduce any ``window_tokens``-token run from the
+    benchmark, at ARBITRARY offsets — the duplicate-span machinery (Lee
+    et al. 2022) pointed across corpora instead of within one. Where
+    ``contamination_report`` answers "does this document overlap the
+    eval set" (n-gram set overlap), this answers "WHERE, exactly" — the
+    prerequisite for surgical scrubbing instead of whole-document drops
+    (long documents quoting one eval question should lose the quote,
+    not the document).
+
+    Returns (id, span_start, span_end): 1-based inclusive token
+    positions in the corpus document; overlapping contaminated windows
+    merge into maximal spans.
+
+    Scale shape: the benchmark's distinct window-fingerprint set is
+    broadcast (benchmarks are MBs, the corpus TBs); the corpus side is
+    the map-only sliding-window fingerprint explode + broadcast
+    semi-join + the per-doc gaps-and-islands merge. No corpus-vs-corpus
+    shuffle. ``fingerprint`` picks md5 or the Rabin-Karp rolling engine
+    exactly as in ``duplicate_spans``.
+    """
+    from dog_data_pipeline_spark.operators.dedup import (
+        merge_positions_to_spans,
+        window_fingerprints,
+    )
+
+    corpus_wins = window_fingerprints(
+        corpus, id_col, text_col, window_tokens, fingerprint
+    )
+    bench_wins = (
+        window_fingerprints(benchmark, id_col, text_col, window_tokens, fingerprint)
+        .select("h")
+        .distinct()
+    )
+    hits = corpus_wins.join(F.broadcast(bench_wins), "h", "left_semi").select(
+        "id", "pos"
+    )
+    return merge_positions_to_spans(hits, window_tokens)
+
+
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "clean_text",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Surgical benchmark decontamination: rewrite each corpus document
+    with every token inside a ``contamination_spans`` span removed —
+    keep the document, drop the quoted benchmark material. Adds ``out``
+    plus ``n_removed_tokens``; untouched docs pass through verbatim.
+    The complement of ``decontaminate`` (which drops whole documents):
+    use this when the corpus is precious and contamination is quotation,
+    that one when any overlap disqualifies the document."""
+    from dog_data_pipeline_spark.operators.dedup import remove_spans
+
+    spans = contamination_spans(
+        corpus,
+        benchmark,
+        window_tokens=window_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        fingerprint=fingerprint,
+    )
+    return remove_spans(corpus, spans, id_col, text_col, out)

@@ -969,55 +969,21 @@ _RFP_P1 = 2147483629
 _RFP_P2 = 2147483587
 
 
-def duplicate_spans(
+def window_fingerprints(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     window_tokens: int = 16,
     fingerprint: str = "md5",
 ) -> DataFrame:
-    """EXACT substring-level duplicate spans at ARBITRARY offsets (the
-    Lee et al. 2022 "Deduplicating Training Data" operation): any
-    ``window_tokens``-token run that appears anywhere else in the corpus
-    (or earlier in the same document) is a duplicate window; overlapping
-    duplicate windows merge into maximal spans.
-
-    This is strictly stronger than ``segment_dedup``: fixed segment
-    boundaries miss a duplicated passage that straddles them, while a
-    sliding window at every token offset cannot. The cost is the
-    standard one: O(tokens x window) fingerprint work (each of the
-    n-w+1 positions hashes a w-token slice) — map-only, embarrassingly
-    parallel, the deliberate compute-for-recall trade the paper makes
-    (their suffix-array variant trades memory instead; a sliding
-    fingerprint is the shuffle-friendly distributed form).
-
-    First occurrence wins, globally: the window's earliest (id, pos)
-    keeps its tokens; every LATER occurrence is flagged. Winner
-    selection is a groupBy-min on the window fingerprint + semi-join —
-    NOT a row_number window over the fingerprint partition, which would
-    single-task-sort the hottest fingerprint (a million-fold repeated
-    boilerplate line). Span merging is gaps-and-islands over each
-    document's flagged positions (window partitioned by doc — parallel
-    across docs, bounded by doc length within).
-
-    Returns one row per merged span: (id, span_start, span_end),
-    1-based inclusive token positions.
-
-    ``fingerprint`` picks the window-hash engine, both replayable in a
-    SQL oracle:
-
-    - ``"md5"``: md5 over the re-concatenated w-token slice at every
-      position — n*w token bytes hashed per doc (the straightforward
-      form; hash work scales with the window).
-    - ``"rolling"``: Rabin-Karp polynomial. Each token is hashed ONCE
-      (two 28-bit md5-hex slices), then every window fingerprint is a
-      w-step modular fold of the precomputed longs under two
-      independent 31-bit primes — the per-position cost drops from
-      hashing ~window*token_len bytes to w multiply-adds, cutting the
-      hash work by ~window_len. Double-modulus keys make cross-window
-      collisions ~n^2/2^62 (vanishing); the md5 path doubles as the
-      exactness cross-check in the property suite.
-    """
+    """Every ``window_tokens``-token sliding-window fingerprint of every
+    document: (id, pos, h) with 1-based token position — the shared
+    candidate-generation front end of ``duplicate_spans`` (within-corpus
+    dedup) and ``contamination_spans`` (cross-corpus benchmark scrub).
+    Engines as in ``duplicate_spans``: "md5" re-hashes the w-token slice
+    per position, "rolling" is the Rabin-Karp double-modulus fold over
+    once-hashed tokens. Map-only; docs shorter than the window emit
+    nothing."""
     df = _spread_if_narrow(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -1083,18 +1049,15 @@ def duplicate_spans(
         )
     else:
         raise ValueError(f"unknown fingerprint engine: {fingerprint!r}")
-    wins = wins_src.select("id", "wc.pos", "wc.h")
-    firsts = wins.groupBy("h").agg(
-        F.min(F.struct("id", "pos")).alias("w0"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    dup = (
-        wins.join(firsts.filter(F.col("cnt") > 1), "h")
-        .filter(
-            (F.col("id") != F.col("w0.id")) | (F.col("pos") != F.col("w0.pos"))
-        )
-        .select("id", "pos")
-    )
+    return wins_src.select("id", "wc.pos", "wc.h")
+
+
+def merge_positions_to_spans(dup: DataFrame, window_tokens: int) -> DataFrame:
+    """Merge flagged window start positions (id, pos) into maximal
+    non-overlapping spans (id, span_start, span_end) — gaps-and-islands
+    over each document's positions, window partitioned by doc (parallel
+    across docs, bounded by doc length within)."""
+    w = window_tokens
     doc_w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (w - 1)).over(
         doc_w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1118,24 +1081,20 @@ def duplicate_spans(
     )
 
 
-def remove_duplicate_spans(
+def remove_spans(
     df: DataFrame,
+    spans: DataFrame,
     id_col: str,
     text_col: str = "text",
-    window_tokens: int = 16,
     out: str = "clean_text",
-    fingerprint: str = "md5",
 ) -> DataFrame:
-    """Surgical removal of duplicated substrings: rewrite each document
-    with every token inside a ``duplicate_spans`` span removed (the Lee
-    et al. remediation — drop the repeated PASSAGE, keep the document).
-
-    Adds ``out`` plus ``n_removed_tokens``. Docs with no flagged span
-    pass through verbatim. The span list joins back per doc (bounded:
-    spans per doc <= tokens/2), then one filter expression drops the
-    covered positions — map-side after the join, no extra shuffle.
-    """
-    spans = duplicate_spans(df, id_col, text_col, window_tokens, fingerprint)
+    """Rewrite each document with every token inside a span removed.
+    ``spans`` is (id, span_start, span_end) as produced by
+    ``merge_positions_to_spans``. Adds ``out`` plus ``n_removed_tokens``;
+    docs with no span pass through verbatim. The span list joins back
+    per doc (bounded: spans per doc <= tokens/2), then one filter
+    expression drops the covered positions — map-side after the join,
+    no extra shuffle."""
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -1164,3 +1123,86 @@ def remove_duplicate_spans(
         )
         .drop("__spans")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window_tokens: int = 16,
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """EXACT substring-level duplicate spans at ARBITRARY offsets (the
+    Lee et al. 2022 "Deduplicating Training Data" operation): any
+    ``window_tokens``-token run that appears anywhere else in the corpus
+    (or earlier in the same document) is a duplicate window; overlapping
+    duplicate windows merge into maximal spans.
+
+    This is strictly stronger than ``segment_dedup``: fixed segment
+    boundaries miss a duplicated passage that straddles them, while a
+    sliding window at every token offset cannot. The cost is the
+    standard one: O(tokens x window) fingerprint work (each of the
+    n-w+1 positions hashes a w-token slice) — map-only, embarrassingly
+    parallel, the deliberate compute-for-recall trade the paper makes
+    (their suffix-array variant trades memory instead; a sliding
+    fingerprint is the shuffle-friendly distributed form).
+
+    First occurrence wins, globally: the window's earliest (id, pos)
+    keeps its tokens; every LATER occurrence is flagged. Winner
+    selection is a groupBy-min on the window fingerprint + semi-join —
+    NOT a row_number window over the fingerprint partition, which would
+    single-task-sort the hottest fingerprint (a million-fold repeated
+    boilerplate line). Span merging is gaps-and-islands over each
+    document's flagged positions (window partitioned by doc — parallel
+    across docs, bounded by doc length within).
+
+    Returns one row per merged span: (id, span_start, span_end),
+    1-based inclusive token positions.
+
+    ``fingerprint`` picks the window-hash engine, both replayable in a
+    SQL oracle:
+
+    - ``"md5"``: md5 over the re-concatenated w-token slice at every
+      position — n*w token bytes hashed per doc (the straightforward
+      form; hash work scales with the window).
+    - ``"rolling"``: Rabin-Karp polynomial. Each token is hashed ONCE
+      (two 28-bit md5-hex slices), then every window fingerprint is a
+      w-step modular fold of the precomputed longs under two
+      independent 31-bit primes — the per-position cost drops from
+      hashing ~window*token_len bytes to w multiply-adds, cutting the
+      hash work by ~window_len. Double-modulus keys make cross-window
+      collisions ~n^2/2^62 (vanishing); the md5 path doubles as the
+      exactness cross-check in the property suite.
+    """
+    wins = window_fingerprints(df, id_col, text_col, window_tokens, fingerprint)
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w0"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup = (
+        wins.join(firsts.filter(F.col("cnt") > 1), "h")
+        .filter(
+            (F.col("id") != F.col("w0.id")) | (F.col("pos") != F.col("w0.pos"))
+        )
+        .select("id", "pos")
+    )
+    return merge_positions_to_spans(dup, window_tokens)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window_tokens: int = 16,
+    out: str = "clean_text",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Surgical removal of duplicated substrings: rewrite each document
+    with every token inside a ``duplicate_spans`` span removed (the Lee
+    et al. remediation — drop the repeated PASSAGE, keep the document).
+
+    Adds ``out`` plus ``n_removed_tokens``. Docs with no flagged span
+    pass through verbatim. See ``remove_spans`` for the rewrite shape.
+    """
+    spans = duplicate_spans(df, id_col, text_col, window_tokens, fingerprint)
+    return remove_spans(df, spans, id_col, text_col, out)

@@ -93,3 +93,60 @@ def suppress_small_groups(df, quasi_cols: list[str], k: int = 5):
         .select(*quasi_cols)
     )
     return df.join(F.broadcast(bad), quasi_cols, "left_anti")
+
+
+def pii_detection_report(
+    df,
+    text_cols: list[str],
+    group_col: str | list[str] | None = None,
+):
+    """PII DETECTION scan — the audit that runs before (and after) the
+    redaction pass: per text column (optionally per ``group_col``
+    stratum), how many rows contain each structural PII class and how
+    many total occurrences, via the same RE2-safe patterns the redactors
+    rewrite. "After" should report zeros; a nonzero post-redaction row
+    is a release blocker.
+
+    Returns one row per (group, column): (group?, column, n_rows,
+    email_rows, phone_rows, ipv4_rows, email_hits, phone_hits,
+    ipv4_hits). Pure regexp_count aggregates fused into ONE partially-
+    aggregated pass over the corpus — at 100 TB the scan is the cost;
+    all counters ride the same job, and per-column results come from a
+    single unpivoted aggregate, not one pass per column.
+    """
+    pats = {
+        "email": EMAIL_PATTERN,
+        "phone": PHONE_PATTERN,
+        "ipv4": IPV4_PATTERN,
+    }
+    if group_col is None:
+        group_names: list[str] = []
+    elif isinstance(group_col, str):
+        group_names = [group_col]
+    else:
+        group_names = list(group_col)
+    keys = [F.col(g) for g in group_names]
+    key_names = group_names + ["column"]
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            *[
+                F.regexp_count(F.col(c), F.lit(p)).alias(f"{name}_hits")
+                for name, p in pats.items()
+            ],
+        )
+        for c in text_cols
+    ]
+    exploded = df.select(*keys, F.explode(F.array(*per_col)).alias("s")).select(
+        *key_names[:-1],
+        F.col("s.column").alias("column"),
+        *[F.col(f"s.{name}_hits").alias(f"{name}_hits") for name in pats],
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in pats:
+        aggs.append(
+            F.sum((F.col(f"{name}_hits") > 0).cast("long")).alias(f"{name}_rows")
+        )
+    for name in pats:
+        aggs.append(F.sum(f"{name}_hits").cast("long").alias(f"{name}_hits"))
+    return exploded.groupBy(*key_names).agg(*aggs)

@@ -5921,6 +5921,167 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_detection_scan",
+    r"""
+    WITH synth AS (
+      SELECT c_mktsegment,
+             'contact ' || lower(replace(c_name, '#', '')) || '@example.com'
+             || ' ph 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || '-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+             || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST((c_custkey * 7) % 256 AS VARCHAR) AS contact
+      FROM customer
+    ), staged AS (
+      SELECT 'raw' AS stage, c_mktsegment, contact FROM synth
+      UNION ALL
+      SELECT 'redacted', c_mktsegment,
+             regexp_replace(regexp_replace(regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                 '\+?[0-9][0-9()\-. ]{6,}[0-9]', '[PHONE]', 'g')
+      FROM synth
+    ), hits AS (
+      SELECT stage, c_mktsegment,
+             len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_hits,
+             len(regexp_extract_all(contact, '\+?[0-9][0-9()\-. ]{6,}[0-9]')) AS phone_hits,
+             len(regexp_extract_all(contact, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ipv4_hits
+      FROM staged
+    )
+    SELECT stage, c_mktsegment, 'contact' AS column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN email_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_rows,
+           CAST(sum(CASE WHEN phone_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS phone_rows,
+           CAST(sum(CASE WHEN ipv4_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ipv4_rows,
+           CAST(sum(email_hits) AS BIGINT) AS email_hits,
+           CAST(sum(phone_hits) AS BIGINT) AS phone_hits,
+           CAST(sum(ipv4_hits) AS BIGINT) AS ipv4_hits
+    FROM hits GROUP BY 1, 2
+    """,
+    "PII DETECTION scan, before AND after redaction in one report "
+    "(privacy.pii_detection_report — the audit a release pipeline runs "
+    "around its redaction pass): per (stage, market segment), rows "
+    "containing and total occurrences of each structural PII class on "
+    "the deterministically SYNTHESIZED contact string (the tables carry "
+    "no real PII), using the SAME RE2-safe patterns redact_pii rewrites "
+    "— the 'redacted' stage must report ZERO for every class, so the "
+    "driver hash certifies detector/redactor agreement cross-engine. "
+    "All counters fuse into ONE partially-aggregated pass (per-column "
+    "structs unpivoted in-plan); at 100 TB the cost is the scan itself.",
+)
+def pii_detection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.privacy import (
+        pii_detection_report,
+        redact_pii,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("c_custkey") * 7) % 256).cast("string"),
+    )
+    raw = cust.select(
+        F.lit("raw").alias("stage"), "c_mktsegment", contact.alias("contact")
+    )
+    red = cust.select(
+        F.lit("redacted").alias("stage"),
+        "c_mktsegment",
+        redact_pii(contact).alias("contact"),
+    )
+    return pii_detection_report(
+        raw.unionByName(red), ["contact"], group_col=["stage", "c_mktsegment"]
+    )
+
+
+@query(
+    "benchmark_span_scrub",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), bw AS (
+      SELECT DISTINCT md5(array_to_string(toks[i : i+7], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - 8 + 1)) u(i)
+      WHERE source = 'src1' AND len(toks) >= 8
+    ), cw AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(toks[i : i+7], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - 8 + 1)) u(i)
+      WHERE source <> 'src1' AND len(toks) >= 8
+    ), hits AS (
+      SELECT DISTINCT doc_id, pos FROM cw JOIN bw USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl2 GROUP BY 1, 2
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(removed_tokens, 0) AS removed_tokens,
+           CAST(len(toks) - coalesce(removed_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM t LEFT JOIN perdoc USING (doc_id)
+    WHERE t.source <> 'src1'
+    """,
+    "SURGICAL benchmark decontamination (north-star curation): the "
+    "duplicate-span machinery pointed ACROSS corpora — every 8-token "
+    "run of a training document that reproduces any benchmark window "
+    "(source='src1' plays the eval set) is located at its exact token "
+    "offsets, overlapping hits merge into maximal spans, and the "
+    "document is rewritten WITHOUT the quoted material instead of "
+    "being dropped (contamination_report/decontaminate are the "
+    "whole-document form). Scale shape: benchmark window-fingerprint "
+    "set broadcast; corpus side is the map-only sliding-window explode "
+    "+ broadcast semi-join + per-doc islands merge — no corpus "
+    "self-join. Oracle replays fingerprints, span merge, and the "
+    "token arithmetic end to end.",
+)
+def benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.contamination import contamination_spans
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    spans = contamination_spans(corpus, bench, window_tokens=8)
+    perdoc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("removed"),
+    )
+    n_toks = F.size(_tokens(F.col("text")))
+    return (
+        corpus.join(perdoc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            n_toks.cast("int").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed", F.lit(0)).cast("long").alias("removed_tokens"),
+            (n_toks - F.coalesce("removed", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@query(
     "blocklist_screening",
     r"""
     WITH d AS (
@@ -6420,9 +6581,9 @@ _PRIORITY_ORDER = [
     "minhash_lsh_dedup",
     "simhash_pigeonhole_dedup",
     "dedup_clusters",
-    "semantic_dedup",
+    "pii_detection_scan",     # round-4 addition: before/after-redaction audit
     "segment_dedup_stats",
-    "duplicate_span_stats",
+    "benchmark_span_scrub",   # round-4 addition: surgical decontamination
     "incremental_dedup_newbatch",
     "knn_cosine_ivfpq",
     "bm25_keyword_search",

@@ -402,3 +402,23 @@ def test_corpus_curation_v2_composition_shape(spark):
     assert "BroadcastHashJoin" in plan
     # span winner selection and the final report partial-aggregate
     assert plan.count("partial_") >= 2
+
+
+def test_span_scrub_broadcasts_benchmark_windows(spark):
+    plan = plan_of(spark, "benchmark_span_scrub")
+    assert "CartesianProduct" not in plan
+    # the benchmark window-fingerprint set is the broadcast build side of
+    # a semi-join; the corpus windows never self-join or sort-merge
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scan_is_one_aggregate_pass(spark):
+    plan = plan_of(spark, "pii_detection_scan")
+    # per-column counters unpivot in-plan: the only wide exchange is the
+    # final partial/final aggregate; the customer scan appears once per
+    # union branch (raw + redacted), never more.  Formatted explain
+    # prints each node twice (tree + detail block), so thresholds are 2x.
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") <= 4

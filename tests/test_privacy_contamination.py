@@ -197,3 +197,94 @@ def test_psi_zero_for_identical_and_positive_for_shift(spark):
     )
     drift = psi_report(base, shifted, "v", bins=10).agg(F.sum("psi_term")).first()[0]
     assert drift > 0.25  # "drifted" by the standard PSI rubric
+
+
+def test_contamination_spans_locates_planted_quote(spark):
+    from dog_data_pipeline_spark.operators.contamination import (
+        contamination_spans,
+        scrub_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"one two three {quote} four five six seven eight nine"),
+            (2, "clean document with no overlap at all whatsoever here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contamination_spans(corpus, bench, window_tokens=8).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # the quote occupies token positions 4..11 of doc 1
+    assert (s.id, s.span_start, s.span_end) == (1, 4, 11)
+
+    scrubbed = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in scrub_contaminated_spans(corpus, bench, window_tokens=8).collect()
+    }
+    assert scrubbed[1] == (
+        "one two three four five six seven eight nine",
+        8,
+    )
+    assert scrubbed[2][1] == 0  # untouched doc passes through verbatim
+
+
+def test_scrub_is_noop_without_overlap(spark):
+    from dog_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(9, "totally disjoint benchmark content nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "some training text that shares not a single long run of tokens")],
+        ["doc_id", "text"],
+    )
+    rows = scrub_contaminated_spans(corpus, bench, window_tokens=8).collect()
+    assert rows[0].clean_text == rows[0].text
+    assert rows[0].n_removed_tokens == 0
+
+
+def test_pii_detection_report_counts_and_post_redaction_zero(spark):
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.operators.privacy import (
+        pii_detection_report,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "write bob@x.com or 10.0.0.1", "call +1 (555) 123-4567 now"),
+            ("g1", "nothing here", "ok"),
+            ("g2", "a@b.co and c@d.io", "zip"),
+        ],
+        ["g", "t1", "t2"],
+    )
+    rep = {
+        (r.g, r.column): r
+        for r in pii_detection_report(df, ["t1", "t2"], group_col="g").collect()
+    }
+    assert rep[("g1", "t1")].email_rows == 1
+    assert rep[("g1", "t1")].ipv4_rows == 1
+    assert rep[("g1", "t2")].phone_hits == 1
+    assert rep[("g2", "t1")].email_hits == 2
+    assert rep[("g2", "t2")].email_hits == 0
+    # multi-column grouping
+    two = pii_detection_report(
+        df.withColumn("stage", F.lit("raw")), ["t1"], group_col=["stage", "g"]
+    ).collect()
+    assert {(r.stage, r.g) for r in two} == {("raw", "g1"), ("raw", "g2")}
+    # after redaction every counter is zero
+    clean = df.select(
+        "g", redact_pii(F.col("t1")).alias("t1"), redact_pii(F.col("t2")).alias("t2")
+    )
+    for r in pii_detection_report(clean, ["t1", "t2"]).collect():
+        assert r.email_hits == r.phone_hits == r.ipv4_hits == 0

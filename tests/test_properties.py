@@ -314,3 +314,87 @@ def test_duplicate_spans_matches_python_model(spark_prop, texts, w, parts):
     for v in got.values():
         v.sort()
     assert got == _spans_model(texts, w), (texts, w)
+
+
+# ---------------------------------------------------------------------------
+# PassJoin edit-distance join vs brute-force DP (SURVEY §5.4 pattern)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)  # each example runs a Spark job
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=50),
+        min_size=2,
+        max_size=25,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_edit_distance_pairs_equals_bruteforce(spark_prop, texts, k):
+    """PassJoin recall/precision against all-pairs DP on adversarially
+    low-alphabet strings spanning the short/main path boundary and every
+    length delta — the multi-match-aware window lemma, machine-checked."""
+    from dog_data_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(rows, ["id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in edit_distance_pairs(
+            df, "id", "text", prefix_len=40, max_edits=k
+        ).collect()
+    }
+    expect = set()
+    trimmed = [(i, t[:40]) for i, t in rows if len(t[:40]) > 0]
+    for x in range(len(trimmed)):
+        for y in range(x + 1, len(trimmed)):
+            ia, sa = trimmed[x]
+            ib, sb = trimmed[y]
+            d = _lev(sa, sb)
+            if d <= k:
+                expect.add((ia, ib, d))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120).map(
+            lambda s: " ".join(s.split())
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    w=st.integers(min_value=2, max_value=5),
+)
+def test_rolling_span_engine_equals_md5_engine(spark_prop, texts, w):
+    """The Rabin-Karp rolling window fingerprint must produce EXACTLY the
+    md5 engine's spans on arbitrary corpora (double-modulus collision
+    odds are ~n^2/2^62; any systematic fold bug shows up immediately)."""
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark_prop.createDataFrame(rows, ["id", "text"])
+    a = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "id", "text", window_tokens=w).collect()
+    }
+    b = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            df, "id", "text", window_tokens=w, fingerprint="rolling"
+        ).collect()
+    }
+    assert a == b
