@@ -101,6 +101,14 @@ def main() -> None:
                 runs.append(_time_once(spec, spark, sf_dir))
                 timings[name] = round(statistics.median(runs), 3)
             else:
+                # Two AGREEING slow runs can still both be scheduler
+                # stalls (this box stalls 10-25s at a time, and stalls
+                # cluster); for any query past 5s spend one more run and
+                # keep the min — measured to separate a genuinely-heavy
+                # query from back-to-back stalls (e.g. a 2.7s query
+                # recorded as 10.0s).
+                if min(runs) > 5.0:
+                    runs.append(_time_once(spec, spark, sf_dir))
                 timings[name] = round(min(runs), 3)
         except Exception as e:  # record failures as negative sentinel
             sys.stderr.write(f"bench: {name} failed: {e}\n")
