@@ -560,3 +560,55 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     # index now holds replayed signature rows too; ids stay the same set
     ids = {r["id"] for r in spark.read.parquet(index).select("id").distinct().collect()}
     assert ids == {1, 2, 3, 11, 12, 13, 14}
+
+
+# ---------------------------------------------------------------------------
+# streaming benchmark span scrub (static benchmark vs document stream)
+# ---------------------------------------------------------------------------
+
+def test_streaming_span_scrub_matches_batch_and_resumes(spark, tmp_path):
+    """The stream must produce byte-identical scrubbed text to the batch
+    operator, and a second availableNow run over the same checkpoint
+    must add nothing (exactly-once at the source level)."""
+    from dog_data_pipeline_spark.operators.contamination import (
+        scrub_contaminated_spans,
+    )
+    from dog_data_pipeline_spark.streaming.contamination import (
+        scrub_stream_contaminated,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    src = tmp_path / "scrub_src"
+    out = tmp_path / "scrub_out"
+    ckpt = tmp_path / "scrub_ckpt"
+    corpus.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    q = scrub_stream_contaminated(
+        stream, bench, str(out), str(ckpt), window_tokens=8
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    expect = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in scrub_contaminated_spans(
+            corpus, bench, window_tokens=8
+        ).collect()
+    }
+    assert got == expect
+    assert any(n > 0 for _, n in got.values())  # the planted overlap scrubs
+
+    # resume over the same checkpoint: no new input -> no new rows
+    n_before = spark.read.parquet(str(out)).count()
+    stream2 = spark.readStream.schema(corpus.schema).parquet(str(src))
+    q2 = scrub_stream_contaminated(
+        stream2, bench, str(out), str(ckpt), window_tokens=8
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == n_before
