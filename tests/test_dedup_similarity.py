@@ -500,3 +500,31 @@ def test_duplicate_spans_rejects_unknown_engine(spark):
     docs = load(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="unknown fingerprint engine"):
         duplicate_spans(docs, "doc_id", fingerprint="sha9000")
+
+
+def test_edit_distance_survives_duplicate_heavy_corpus(spark):
+    """Whole-corpus duplication is the adversarial regime for every
+    candidate scheme (all blocking keys collide). Each identical pair IS
+    a true pair (ed=0), so output is inherently O(copies^2 * docs) — the
+    operator must produce exactly that set without the candidate join
+    degenerating beyond it."""
+    from dog_data_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = 4
+    corpus = docs
+    for c in range(1, copies):
+        corpus = corpus.unionByName(
+            docs.select((F.col("doc_id") + 1_000_000 * c).alias("doc_id"), "text")
+        )
+    out = edit_distance_pairs(corpus, "doc_id", "text", prefix_len=80, max_edits=2)
+    pairs = out.collect()
+    n_docs = docs.count()
+    # baseline pairs among originals at k=2
+    base = edit_distance_pairs(docs, "doc_id", "text", prefix_len=80, max_edits=2)
+    n_base = base.count()
+    # every original doc contributes C(copies,2) identical pairs, and each
+    # base pair replicates copies^2 times across copy combinations
+    expect = n_docs * copies * (copies - 1) // 2 + n_base * copies * copies
+    assert len(pairs) == expect, (len(pairs), expect, n_base)
+    assert all(p.edit_distance <= 2 for p in pairs)
