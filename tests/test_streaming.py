@@ -612,3 +612,78 @@ def test_streaming_span_scrub_matches_batch_and_resumes(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == n_before
+
+
+def test_streaming_incremental_span_dedup_matches_batch_prefix(spark, tmp_path):
+    """Two micro-batches through the window-fingerprint index must flag
+    exactly the spans `duplicate_spans` finds over the concatenated
+    prefix, restricted to each batch's docs; a replay adds nothing new."""
+    from dog_data_pipeline_spark.operators.dedup import duplicate_spans
+    from dog_data_pipeline_spark.streaming.contamination import (
+        span_dedup_stream_incremental,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+
+    def doc(i, with_boiler):
+        uniq = " ".join(f"u{i}_{j}" for j in range(25))
+        return (i, f"{uniq} {boiler}" if with_boiler else uniq)
+
+    batch1 = [doc(1, True), doc(2, False), doc(3, True)]   # 3 repeats 1's boiler
+    batch2 = [doc(11, True), doc(12, False), doc(1, True)]  # replayed id 1 too
+    src = tmp_path / "span_src"
+    idx = tmp_path / "span_idx"
+    spans_out = tmp_path / "span_out"
+    ckpt = tmp_path / "span_ckpt"
+
+    schema = "doc_id LONG, text STRING"
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(str(src))
+    q = span_dedup_stream_incremental(
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src)),
+        str(idx), str(spans_out), str(ckpt), window_tokens=16,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    q2 = span_dedup_stream_incremental(
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src)),
+        str(idx), str(spans_out), str(ckpt), window_tokens=16,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in spark.read.parquet(str(spans_out)).collect()
+    }
+    # batch semantics: batch1's spans over batch1 alone; batch2's spans
+    # over batch1 ∪ batch2 restricted to batch2's docs (id 1 replays in
+    # batch2 and its windows are already indexed, so its boiler flags)
+    all_docs = spark.createDataFrame(batch1 + batch2, schema).dropDuplicates(
+        ["doc_id"]
+    )
+    ref_all = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(all_docs, "doc_id", "text", 16).collect()
+    }
+    b1_ids = {1, 2, 3}
+    ref_b1 = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            spark.createDataFrame(batch1, schema), "doc_id", "text", 16
+        ).collect()
+    }
+    # batch2 doc 1 is a REPLAYED id: its windows were indexed by batch1,
+    # so in the stream its boiler (and unique prefix) flag against the
+    # index — the batch-prefix reference is ref_all for non-b1 docs plus
+    # doc 1's full-duplicate span
+    expect = ref_b1 | {s for s in ref_all if s[0] not in b1_ids}
+    got_new_docs = {s for s in got if s[0] not in b1_ids}
+    exp_new_docs = {s for s in expect if s[0] not in b1_ids}
+    assert got_new_docs == exp_new_docs
+    assert {s for s in got if s[0] in b1_ids and s[0] != 1} == {
+        s for s in ref_b1 if s[0] != 1
+    }
+    assert len(got) > 0
