@@ -704,7 +704,7 @@ def edit_distance_pairs(
     base = (
         df.select(F.col(id_col).alias("id"), s.alias("s"))
         .withColumn("len", F.length("s"))
-        .filter(F.col("len") > 0)
+        .filter(F.col("len").isNotNull())
         .repartition(sc.defaultParallelism)
     )
 
@@ -942,22 +942,30 @@ def incremental_lsh_pairs_from_tagged_sigs(
     )
 
 
-def _spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
-    than (or exactly) the core count.  Compute-dense per-document
-    operators (window fingerprints, probe explodes) otherwise inherit
-    the upstream partitioning, which undercounts their real cost two
+def _spread(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition before a compute-dense
+    per-document stage (window fingerprints, probe explodes).  The
+    inherited partitioning undercounts such a stage's real cost two
     ways: one small parquet file = one scan task, and AQE coalesces a
     bytes-light shuffle output to 1-2 partitions before the explode
     multiplies the work 10-20x.  An explicit REPARTITION_BY_NUM is
-    exempt from AQE coalescing, so it pins the fan-out.  At real scale
-    scans have thousands of splits and shuffle.partitions is tuned
-    well above the core count, so this is a no-op there — the corpus
-    is never re-shuffled when it is already spread."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() <= sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    exempt from AQE coalescing, so it pins the fan-out.
+
+    Why not probe the partition count and skip when already spread:
+    under AQE, ``df.rdd.getNumPartitions()`` finalizes the adaptive
+    plan, which EXECUTES every upstream shuffle stage — the probe would
+    run a composed pipeline's whole subtree twice (measured on
+    corpus_curation_v2, whose span stage sits above a dedup join).
+    The unconditional shuffle moves one pass of (id, text) rows —
+    bounded by the input, ~10% of the downstream explode's work — and
+    its width follows the session's shuffle tuning, so on a real
+    cluster it lands at the parallelism the cluster is sized for."""
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(n)
 
 
 # Rolling-fingerprint constants: two CRT-independent 31-bit prime moduli
@@ -984,7 +992,7 @@ def window_fingerprints(
     per position, "rolling" is the Rabin-Karp double-modulus fold over
     once-hashed tokens. Map-only; docs shorter than the window emit
     nothing."""
-    df = _spread_if_narrow(df)
+    df = _spread(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     w = window_tokens

@@ -6311,19 +6311,22 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Edit-distance similarity join (entity resolution / fuzzy match — "
     "character-level tolerance complementing the Jaccard and TF-IDF "
     "families): 80-char prefixes within 8 Levenshtein edits. Candidates "
-    "come from the Gravano VLDB'01 q-gram COUNT FILTER (bag-semantics "
-    "common-gram lower bound + length filter — both NECESSARY "
-    "conditions, so recall is guaranteed); exact Levenshtein verifies "
-    "candidate-cardinality rows only. The oracle computes the "
-    "unfiltered ALL-PAIRS join, so hash equality certifies the filter "
-    "loses nothing. Inverted-index shuffle keyed on gram; at web scale "
-    "the hot-gram cap applies exactly as in jaccard_pairs.",
+    "come from PASSJOIN partition blocking (Li/Deng/Feng VLDB'11): k+1 "
+    "even segments per string, equality join on (len, seg_idx, "
+    "seg_text) with multi-match-aware probe windows — a NECESSARY "
+    "condition by pigeonhole, so recall is guaranteed; strings too "
+    "short for meaningful segments take an exact broadcast block. "
+    "Threshold-banded Levenshtein verifies candidate-cardinality rows "
+    "only. The oracle computes the unfiltered ALL-PAIRS join, so hash "
+    "equality certifies the blocking loses nothing. Replaces the "
+    "q-gram prefix plan, which degenerated toward all-pairs on this "
+    "low-alphabet corpus (553s -> ~2s at sf0.1).",
 )
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dog_data_pipeline_spark.operators.dedup import edit_distance_pairs as _op
 
     docs = _t(spark, sf_dir, "documents")
-    return _op(docs, "doc_id", "text", prefix_len=80, max_edits=8, q=2)
+    return _op(docs, "doc_id", "text", prefix_len=80, max_edits=8)
 
 
 @query(
@@ -6598,7 +6601,7 @@ _PRIORITY_ORDER = [
 # family, and the rewritten edit_distance_pairs) enter the window,
 # together with the 2 round-4 additions (duplicate_span_stats_rolling,
 # corpus_curation_v2).  With this window green, cumulative driver
-# coverage reaches 145/145.  The rotated-out multi-round-green entries
+# coverage reaches 147/147.  The rotated-out multi-round-green entries
 # stay under the identical local sf0.001 oracle mirror
 # (tests/test_queries_oracle.py); twelve north-star keepers hold live
 # rows so dedup/search/multimodal evidence never goes stale.

@@ -130,11 +130,14 @@ def span_dedup_stream_incremental(
             # (an h-keyed anti-join would also drop hashes an EARLIER
             # batch legitimately owns, silently un-flagging true spans
             # on replay)
+            # no .distinct(): the left_semi probe is unaffected by
+            # duplicate build-side keys, and a distinct here would
+            # shuffle the ENTIRE accumulated index every batch (rows
+            # are already distinct per batch at write time)
             seen = (
                 spark.read.parquet(index_path)
                 .filter(F.col("src_batch") != batch_id)
                 .select("h")
-                .distinct()
             )
         else:
             seen = None

@@ -357,7 +357,10 @@ def test_edit_distance_pairs_equals_bruteforce(spark_prop, texts, k):
         ).collect()
     }
     expect = set()
-    trimmed = [(i, t[:40]) for i, t in rows if len(t[:40]) > 0]
+    # empty prefixes INCLUDED: ('','') is a distance-0 pair and
+    # ''-vs-short-string qualifies whenever len <= k — the short-path
+    # broadcast block must find both (recall holds for EVERY length)
+    trimmed = [(i, t[:40]) for i, t in rows]
     for x in range(len(trimmed)):
         for y in range(x + 1, len(trimmed)):
             ia, sa = trimmed[x]

@@ -1,7 +1,7 @@
 """Isolated re-timing: run each named registry query in a FRESH JVM
 (new spark-submit-equivalent process), min-of-3, to separate bench-
 environment variance (GC/heap pressure from neighbors in the shared
-145-query session) from real operator drift.
+147-query session) from real operator drift.
 
 Usage: python tools/retime_isolated.py q1 q2 ... [--sf /root/testdata/sf0.1]
 Prints one JSON line {name: min_sec, ...} and, if BENCH_LOCAL_r*.json
@@ -44,11 +44,21 @@ spark.stop()
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf = sys.argv[i + 1]
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            if i + 1 >= len(argv):
+                sys.exit("--sf requires a path argument")
+            sf = argv[i + 1]
+            i += 2
+            continue
+        if argv[i].startswith("--"):
+            sys.exit(f"unknown flag: {argv[i]}")
+        args.append(argv[i])
+        i += 1
     out: dict[str, float] = {}
     for name in args:
         code = _CHILD.format(root=HERE, sf=sf, name=name)
