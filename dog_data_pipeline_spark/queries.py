@@ -5921,6 +5921,50 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_shuffle_order",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_toks,
+             md5('ord1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_toks AS INT) AS n_toks,
+           CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS position
+    FROM keyed
+    """,
+    "Deterministic global training order (north-star: the shuffle every "
+    "epoch pipeline needs — seeded, reproducible, resumable at any "
+    "position): permutation key = md5(salt || id), dense positions via "
+    "the parallel global sort of dense_ids (range-partition -> "
+    "per-partition row_number + cumulative offsets; NEVER a "
+    "single-partition window at scale — the W2 machinery reused). "
+    "Re-running with the same salt reproduces the identical order on "
+    "any cluster/partitioning (md5 is engine-portable, ties broken by "
+    "id); a different salt is a fresh epoch permutation. The oracle "
+    "replays key derivation and ordering, so the position column is "
+    "hash-certified — order itself rides IN the data, surviving the "
+    "driver's order-insensitive compare.",
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.relational import dense_ids
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_toks"),
+        F.concat(
+            F.md5(F.concat(F.lit("ord1:"), F.col("doc_id").cast("string"))),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ).alias("__k"),
+    )
+    return dense_ids(docs, "__k", out="position").select(
+        "doc_id", "source", F.col("n_toks").cast("int").alias("n_toks"), "position"
+    )
+
+
+@query(
     "pii_detection_scan",
     r"""
     WITH synth AS (
@@ -6582,7 +6626,7 @@ _PRIORITY_ORDER = [
     # north-star keepers (multi-round-green families keep one live row
     # each so the window never goes dark on dedup/search/multimodal)
     "minhash_lsh_dedup",
-    "simhash_pigeonhole_dedup",
+    "training_shuffle_order",  # round-4 addition: epoch permutation
     "dedup_clusters",
     "pii_detection_scan",     # round-4 addition: before/after-redaction audit
     "segment_dedup_stats",
