@@ -5921,6 +5921,76 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_overlap",
+    r"""
+    WITH d AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM d
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), common AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    "Cross-source duplication audit (north-star curation diagnostic: "
+    "'how much of src2 re-publishes src1' — the redundancy check run "
+    "before mixing sources into a training blend): exact shingle-set "
+    "Jaccard between every source PAIR via one inverted-index self-join "
+    "on distinct (source, 3-gram) rows — corpus-level, so the join "
+    "output is |sources|^2 rows, not documents^2. Shuffles: one "
+    "distinct agg + one join keyed on the shingle + two broadcast size "
+    "joins. Oracle replays the full set algebra.",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import tokens as _tokens, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(word_ngrams(_tokens(F.col("text")), 3)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sz_b = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
     "training_shuffle_order",
     r"""
     WITH keyed AS (
@@ -6631,7 +6701,7 @@ _PRIORITY_ORDER = [
     "pii_detection_scan",     # round-4 addition: before/after-redaction audit
     "segment_dedup_stats",
     "benchmark_span_scrub",   # round-4 addition: surgical decontamination
-    "incremental_dedup_newbatch",
+    "cross_source_overlap",   # round-4 addition: source redundancy audit
     "knn_cosine_ivfpq",
     "bm25_keyword_search",
     "hybrid_rrf_search",
