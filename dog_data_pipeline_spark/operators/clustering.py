@@ -131,3 +131,37 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
     return components.groupBy("cluster").agg(
         F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_members")
     )
+
+
+def cluster_best_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """(id, cluster) x (id, score) → (cluster, keep_id, keep_score,
+    n_members): the HIGHEST-scoring member represents each near-dup
+    cluster, ties broken by min id — the practitioner policy (keep the
+    best-quality page of a boilerplate family, not the numerically
+    smallest id; min-id `cluster_representatives` is the ledger
+    convention, this is the curation one).
+
+    Plan: one join on id + one partial-aggregated groupBy(cluster) with
+    an argmax encoded as max(struct(score, -id)) — no per-cluster
+    window, so a viral million-member cluster partial-aggregates
+    map-side instead of single-task sorting.
+    """
+    joined = components.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    agg = joined.groupBy("cluster").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("id")).alias("__neg"))).alias("w"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "cluster",
+        (-F.col("w.__neg")).alias("keep_id"),
+        F.col("w.__s").alias("keep_score"),
+        "n_members",
+    )

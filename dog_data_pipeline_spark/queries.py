@@ -5921,6 +5921,93 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_best_keeper",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','for'], x)))::DOUBLE
+               / len(toks) * 0.3
+             + least(len(toks), 100)::DOUBLE / 100 * 0.4
+             + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+               / length(text) * 0.3 AS quality
+      FROM d
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                                    i -> array_to_string(toks[i:i+2], ' '))) u(s)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) > 0.5
+    ), ed AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(node, front) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT walk.node, ed.b FROM walk JOIN ed ON walk.front = ed.a
+    ), comp AS (
+      SELECT node AS id, min(front) AS cluster FROM walk GROUP BY node
+    ), ranked AS (
+      SELECT comp.cluster, comp.id, q.quality,
+             row_number() OVER (PARTITION BY comp.cluster
+                                ORDER BY q.quality DESC, comp.id ASC) AS rn
+      FROM comp JOIN q ON q.doc_id = comp.id
+    )
+    SELECT r.cluster, r.id AS keep_id,
+           round(r.quality, 4) AS keep_quality,
+           CAST(cnt.n AS BIGINT) AS n_members
+    FROM ranked r
+    JOIN (SELECT cluster, count(*) AS n FROM comp GROUP BY cluster) cnt
+      USING (cluster)
+    WHERE r.rn = 1
+    """,
+    "Quality-aware dedup representative selection (the practitioner "
+    "keep policy: retain the BEST page of a boilerplate family, not "
+    "the numerically smallest id): near-dup clusters from connected "
+    "components over jaccard>0.5 edges, each represented by its "
+    "argmax-quality member (tie -> min id). The argmax is one "
+    "partial-aggregated max(struct(score, -id)) per cluster — no "
+    "per-cluster window, so a viral cluster partial-aggregates "
+    "map-side instead of single-task sorting. Oracle replays edges, "
+    "the recursive component fixpoint, AND the quality argmax.",
+)
+def dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.clustering import (
+        cluster_best_representatives,
+        connected_components,
+    )
+    from dog_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from dog_data_pipeline_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    scores = with_quality_score(docs, "text").select(
+        F.col("doc_id").alias("id"), "quality"
+    )
+    out = cluster_best_representatives(comps, scores, id_col="id")
+    return out.select(
+        "cluster",
+        "keep_id",
+        F.round("keep_score", 4).alias("keep_quality"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+@query(
     "cross_source_overlap",
     r"""
     WITH d AS (
@@ -6697,7 +6784,7 @@ _PRIORITY_ORDER = [
     # each so the window never goes dark on dedup/search/multimodal)
     "minhash_lsh_dedup",
     "training_shuffle_order",  # round-4 addition: epoch permutation
-    "dedup_clusters",
+    "dedup_best_keeper",      # round-4 addition: quality-aware keep policy
     "pii_detection_scan",     # round-4 addition: before/after-redaction audit
     "segment_dedup_stats",
     "benchmark_span_scrub",   # round-4 addition: surgical decontamination

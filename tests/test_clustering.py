@@ -68,3 +68,25 @@ def test_iterative_path_matches_union_find(spark):
     }
     assert fast == slow
     assert {c for _, c in fast} == {1, 10, 20}
+
+
+def test_cluster_best_representatives_argmax_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.operators.clustering import (
+        cluster_best_representatives,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["id", "cluster"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.1)], ["id", "quality"]
+    )
+    out = {
+        r.cluster: (r.keep_id, r.keep_score, r.n_members)
+        for r in cluster_best_representatives(comps, scores).collect()
+    }
+    # argmax quality; tie between ids 2 and 3 -> min id wins
+    assert out[1] == (2, 0.9, 3)
+    assert out[10] == (10, 0.1, 2)
