@@ -136,32 +136,49 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
 def cluster_best_representatives(
     components: DataFrame,
     scores: DataFrame,
-    id_col: str = "id",
+    score_id_col: str = "id",
     score_col: str = "quality",
 ) -> DataFrame:
-    """(id, cluster) x (id, score) → (cluster, keep_id, keep_score,
-    n_members): the HIGHEST-scoring member represents each near-dup
-    cluster, ties broken by min id — the practitioner policy (keep the
-    best-quality page of a boilerplate family, not the numerically
-    smallest id; min-id `cluster_representatives` is the ledger
-    convention, this is the curation one).
+    """(id, cluster) x (score_id_col, score) → (cluster, keep_id,
+    keep_score, n_members): the HIGHEST-scoring member represents each
+    near-dup cluster, ties broken by min id — the practitioner policy
+    (keep the best-quality page of a boilerplate family, not the
+    numerically smallest id; min-id `cluster_representatives` is the
+    ledger convention, this is the curation one).
 
-    Plan: one join on id + one partial-aggregated groupBy(cluster) with
-    an argmax encoded as max(struct(score, -id)) — no per-cluster
-    window, so a viral million-member cluster partial-aggregates
-    map-side instead of single-task sorting.
+    ``components`` is `connected_components` output — (id, cluster) —
+    with any orderable id type (strings included). ``scores`` may cover
+    a SUBSET of members and may carry duplicate rows per id: unscored
+    members still count toward n_members and lose every tie (an
+    all-unscored cluster keeps its min id with NULL keep_score);
+    duplicate score rows collapse to the max per id before joining, so
+    membership is never double-counted.
+
+    Plan: one max-per-id agg on the scores side, one left join on id,
+    one partial-aggregated groupBy(cluster) with the argmax encoded as
+    min(struct(-score, id)) — no per-cluster window, so a viral
+    million-member cluster partial-aggregates map-side instead of
+    single-task sorting.
     """
-    joined = components.join(
-        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
-        "id",
+    per_id = (
+        scores.select(
+            F.col(score_id_col).alias("id"), F.col(score_col).alias("__s")
+        )
+        .groupBy("id")
+        .agg(F.max("__s").alias("__s"))
     )
+    joined = components.join(per_id, "id", "left")
+    # min over (-score, id): highest score first, NULL/unscored last
+    # (-NULL coalesces to +inf), ties to the smallest id of any type
+    neg = F.coalesce(-F.col("__s"), F.lit(float("inf")))
     agg = joined.groupBy("cluster").agg(
-        F.max(F.struct(F.col("__s"), (-F.col("id")).alias("__neg"))).alias("w"),
+        F.min(F.struct(neg.alias("__neg"), F.col("id").alias("__id"))).alias("w"),
         F.count(F.lit(1)).alias("n_members"),
+        F.max("__s").alias("__best"),
     )
     return agg.select(
         "cluster",
-        (-F.col("w.__neg")).alias("keep_id"),
-        F.col("w.__s").alias("keep_score"),
+        F.col("w.__id").alias("keep_id"),
+        F.col("__best").alias("keep_score"),
         "n_members",
     )

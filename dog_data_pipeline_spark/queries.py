@@ -5998,7 +5998,7 @@ def dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = with_quality_score(docs, "text").select(
         F.col("doc_id").alias("id"), "quality"
     )
-    out = cluster_best_representatives(comps, scores, id_col="id")
+    out = cluster_best_representatives(comps, scores)
     return out.select(
         "cluster",
         "keep_id",
@@ -6042,13 +6042,14 @@ def dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins. Oracle replays the full set algebra.",
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dog_data_pipeline_spark.operators.text import tokens as _tokens, word_ngrams
+    from dog_data_pipeline_spark.operators.dedup import shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source",
-        F.explode(word_ngrams(_tokens(F.col("text")), 3)).alias("s"),
-    ).distinct()
+    # the shared inverted-index helper, keyed on the SOURCE instead of
+    # the document id — corpus-level set algebra rides the same subtree
+    sh = shingles(docs, "source", "text", n=3).select(
+        F.col("id").alias("source"), F.col("shingle").alias("s")
+    )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "s")
     b = sh.select(F.col("source").alias("source_b"), "s")

@@ -90,3 +90,24 @@ def test_cluster_best_representatives_argmax_and_ties(spark):
     # argmax quality; tie between ids 2 and 3 -> min id wins
     assert out[1] == (2, 0.9, 3)
     assert out[10] == (10, 0.1, 2)
+
+
+def test_cluster_best_representatives_unscored_and_duplicates(spark):
+    from dog_data_pipeline_spark.operators.clustering import (
+        cluster_best_representatives,
+    )
+
+    comps = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2)], ["id", "cluster"]
+    )
+    # 'c' unscored; 'b' has duplicate rows (max wins); cluster 2 fully
+    # unscored -> min id keeps with NULL score; string ids throughout
+    scores = spark.createDataFrame(
+        [("a", 0.4), ("b", 0.2), ("b", 0.7)], ["id", "quality"]
+    )
+    out = {
+        r.cluster: (r.keep_id, r.keep_score, r.n_members)
+        for r in cluster_best_representatives(comps, scores).collect()
+    }
+    assert out[1] == ("b", 0.7, 3)  # dup rows collapsed, n_members intact
+    assert out[2] == ("x", None, 2)  # all-unscored cluster survives
