@@ -15,10 +15,11 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StructField,
     StructType,
@@ -374,4 +375,83 @@ def transcode_videos(
 
     return binary_df.select(video_id_col, content_col).mapInPandas(
         _transcode, TRANSCODE_SCHEMA
+    )
+
+
+def frame_mean_luma(
+    binary_df: DataFrame,
+    video_id_col: str = "video_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused decode + per-frame mean luma in ONE mapInPandas pass:
+    (video_id, frame_idx, mean_luma). Frames never leave the task —
+    only one double per frame shuffles (same no-content-shuffle design
+    as the dHash/audio fingerprint passes). Sums are integer and the
+    divisor w*h is exact in a double, so the mean is bit-reproducible
+    cross-engine when frames are formula-generated (FAKEVID oracles).
+    """
+    import numpy as np
+
+    id_field = binary_df.schema[video_id_col]
+    schema = StructType(
+        [
+            id_field,
+            StructField("frame_idx", IntegerType()),
+            StructField("mean_luma", DoubleType()),
+        ]
+    )
+
+    def _mean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for vid, content in zip(pdf[video_id_col], pdf[content_col]):
+                _fps, frames = codec.decode_video(bytes(content))
+                for i, f in enumerate(frames):
+                    px = np.frombuffer(f, dtype=np.uint8)
+                    ids.append(vid)
+                    idxs.append(i)
+                    means.append(float(int(px.sum(dtype=np.int64))) / len(px))
+            yield pd.DataFrame(
+                {video_id_col: ids, "frame_idx": idxs, "mean_luma": means}
+            )
+
+    return binary_df.select(video_id_col, content_col).mapInPandas(_mean, schema)
+
+
+def detect_scene_cuts(
+    luma: DataFrame,
+    threshold: float,
+    video_id_col: str = "video_id",
+) -> DataFrame:
+    """Scene segmentation from per-frame luma statistics (the classic
+    mean-luma-jump cut detector — the cheap first pass every video
+    curation pipeline runs before sampling clips): a cut lands wherever
+    |mean_luma - lag(mean_luma)| > threshold, and scenes are the runs
+    between cuts. Returns (video_id, scene_idx, start_frame, end_frame,
+    n_frames).
+
+    Plan: two windows partitioned by video (lag + running cut count) —
+    parallel across videos, bounded by frames-per-video within — and
+    one partial-aggregated groupBy. The decoded frames stay inside
+    ``frame_mean_luma``'s task; this stage only ever sees one double
+    per frame.
+    """
+    w = Window.partitionBy(video_id_col).orderBy("frame_idx")
+    cuts = luma.withColumn(
+        "is_cut",
+        (
+            F.abs(F.col("mean_luma") - F.lag("mean_luma").over(w))
+            > F.lit(threshold)
+        ).cast("int"),
+    ).withColumn(
+        "scene_idx",
+        F.coalesce(
+            F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.lit(0),
+        ),
+    )
+    return cuts.groupBy(video_id_col, "scene_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
     )

@@ -5921,6 +5921,84 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_scene_cuts",
+    r"""
+    WITH vids AS (
+      SELECT k AS video_id, 8 + (k % 10) AS cut_at
+      FROM UNNEST(generate_series(0, 11)) t(k)
+    ), frames AS (
+      SELECT video_id, i AS frame_idx,
+             (video_id % 7) * 2 + 15.0 + 7.5 + i * 5
+               + CASE WHEN i >= cut_at THEN 80 ELSE 0 END AS mean_luma
+      FROM vids, UNNEST(generate_series(0, 23)) f(i)
+    ), flagged AS (
+      SELECT video_id, frame_idx,
+             CASE WHEN abs(mean_luma - lag(mean_luma) OVER w) > 40.0
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM frames
+      WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx)
+    ), scened AS (
+      SELECT video_id, frame_idx,
+             sum(is_cut) OVER (PARTITION BY video_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_idx
+      FROM flagged
+    )
+    SELECT video_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(min(frame_idx) AS INT) AS start_frame,
+           CAST(max(frame_idx) AS INT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM scened GROUP BY 1, 2
+    """,
+    "Video scene segmentation (north-star multimodal: the mean-luma-"
+    "jump cut detector — the cheap first pass before sampling training "
+    "clips from video): FAKEVID frames -> fused decode + per-frame "
+    "mean in ONE mapInPandas pass (frames never leave the task; one "
+    "double per frame shuffles), then lag + running-cut-count windows "
+    "partitioned by video and a partial-aggregated scene rollup. "
+    "Pixels are formula-generated below 256 with a planted mid-video "
+    "luma jump, and the frame mean divides an integer sum by a power "
+    "of two — bit-exact in doubles — so the oracle replays the decode "
+    "arithmetic closed-form and the driver hash certifies the whole "
+    "decode -> reduce -> segment chain.",
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.codec import make_fake_video
+    from dog_data_pipeline_spark.multimodal.video import (
+        detect_scene_cuts,
+        frame_mean_luma,
+    )
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    w, h, n_frames = 16, 16, 24
+
+    def vid(k: int) -> bytes:
+        cut = 8 + k % 10
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [
+            ((k % 7) * 2 + y * 2 + x + i * 5 + (80 if i >= cut else 0))
+            .astype(np.uint8)
+            .tobytes()
+            for i in range(n_frames)
+        ]
+        return make_fake_video(30, w, h, frames)
+
+    videos = spark.createDataFrame(
+        [(k, vid(k)) for k in range(12)], "video_id LONG, content BINARY"
+    )
+    luma = frame_mean_luma(videos)
+    return detect_scene_cuts(luma, threshold=40.0).select(
+        "video_id",
+        F.col("scene_idx").cast("long").alias("scene_idx"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+@query(
     "dedup_best_keeper",
     r"""
     WITH RECURSIVE d AS (
@@ -6794,16 +6872,21 @@ _PRIORITY_ORDER = [
     "bm25_keyword_search",
     "hybrid_rrf_search",
     "image_dhash_dedup",
-    "audio_fingerprint_dedup",
+    "video_scene_cuts",       # round-4 addition: scene segmentation
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-4 rotation: all 35 queries that had never received a driver
 # correctness row through rounds 1-3 (the TPC-H breadth set, the file
 # roundtrips incl. the two §2 rows S2/S11, the sketch/privacy/mixture
 # family, and the rewritten edit_distance_pairs) enter the window,
-# together with the 2 round-4 additions (duplicate_span_stats_rolling,
-# corpus_curation_v2).  With this window green, cumulative driver
-# coverage reaches 147/147.  The rotated-out multi-round-green entries
+# together with the 8 round-4 additions (duplicate_span_stats_rolling,
+# corpus_curation_v2, benchmark_span_scrub, pii_detection_scan,
+# training_shuffle_order, cross_source_overlap, dedup_best_keeper,
+# video_scene_cuts — each pre-validated against the sf0.001 AND sf0.01
+# oracles before entering).  With this window green, cumulative driver
+# coverage reaches 44 first-time rows; every one of the 151 registry
+# queries has passed the full sf0.01 oracle sweep locally this round.
+# The rotated-out multi-round-green entries
 # stay under the identical local sf0.001 oracle mirror
 # (tests/test_queries_oracle.py); twelve north-star keepers hold live
 # rows so dedup/search/multimodal evidence never goes stale.

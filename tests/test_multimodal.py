@@ -280,3 +280,39 @@ def test_transcode_roundtrips_and_dead_letters(spark):
     assert fps == 5 and len(frames) == 2  # re-encoded at the target fps
     assert not rows["bad"]["ok"] and "NotImplementedError" in rows["bad"]["error"]
     assert bytes(rows["bad"]["content"]) == b"NOTAVIDEO-garbage"  # passthrough
+
+
+def test_scene_cuts_land_on_planted_luma_jumps(spark):
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.codec import make_fake_video
+    from dog_data_pipeline_spark.multimodal.video import (
+        detect_scene_cuts,
+        frame_mean_luma,
+    )
+
+    w = h = 8
+    y, x = np.mgrid[0:h, 0:w]
+
+    def vid(cuts):  # scene boundaries at the given frame indices
+        frames = []
+        level = 0
+        for i in range(12):
+            if i in cuts:
+                level += 100
+            frames.append((y + x + level).astype(np.uint8).tobytes())
+        return make_fake_video(30, w, h, frames)
+
+    videos = spark.createDataFrame(
+        [(1, vid({4, 9})), (2, vid(set()))], "video_id LONG, content BINARY"
+    )
+    luma = frame_mean_luma(videos)
+    scenes = {
+        (r.video_id, r.scene_idx): (r.start_frame, r.end_frame)
+        for r in detect_scene_cuts(luma, threshold=50.0).collect()
+    }
+    assert scenes[(1, 0)] == (0, 3)
+    assert scenes[(1, 1)] == (4, 8)
+    assert scenes[(1, 2)] == (9, 11)
+    assert scenes[(2, 0)] == (0, 11)
+    assert len(scenes) == 4
