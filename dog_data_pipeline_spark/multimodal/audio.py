@@ -20,9 +20,10 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    LongType,
     IntegerType,
     StructField,
     StructType,
@@ -227,3 +228,76 @@ def _real_decode_audio(content: bytes):  # pragma: no cover - needs soundfile
     if data.ndim > 1:  # downmix to mono: the byte-grid contract is 1-D
         data = data.mean(axis=1).astype("int16")
     return int(sr), data
+
+
+def frame_energy(
+    binary_df: DataFrame,
+    frame_len: int = 32,
+    audio_id_col: str = "audio_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Fused decode + per-frame energy in ONE mapInPandas pass:
+    (audio_id, frame_idx, energy) with energy = sum of squared int16
+    samples over each ``frame_len``-sample frame (trailing partial
+    frame dropped) — all-integer, so a formula-generated FAKEAUD oracle
+    replays it exactly. Waveforms never leave the task; one long per
+    frame shuffles (the audio analog of video.frame_mean_luma)."""
+    id_field = binary_df.schema[audio_id_col]
+    schema = StructType(
+        [
+            id_field,
+            StructField("frame_idx", IntegerType()),
+            StructField("energy", LongType()),
+        ]
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for aid, content in zip(pdf[audio_id_col], pdf[content_col]):
+                _sr, wave = decode_audio(bytes(content))
+                n_frames = len(wave) // frame_len
+                w = wave[: n_frames * frame_len].astype(np.int64)
+                frames = w.reshape(n_frames, frame_len)
+                energy = (frames * frames).sum(axis=1)
+                ids.extend([aid] * n_frames)
+                idxs.extend(range(n_frames))
+                es.extend(int(e) for e in energy)
+            yield pd.DataFrame(
+                {audio_id_col: ids, "frame_idx": idxs, "energy": es}
+            )
+
+    return binary_df.select(audio_id_col, content_col).mapInPandas(_energy, schema)
+
+
+def detect_active_segments(
+    energy: DataFrame,
+    threshold: int,
+    audio_id_col: str = "audio_id",
+) -> DataFrame:
+    """Energy-threshold activity segmentation (the VAD-style silence
+    split every speech/audio curation pipeline runs before sampling
+    training clips): frames with energy > threshold are active, and
+    maximal consecutive runs of active frames become segments —
+    (audio_id, segment_idx, start_frame, end_frame, n_frames).
+
+    Reuses the gaps-and-islands merge from the span-dedup engine
+    (window_tokens=1: a run of consecutive integers IS a 1-width span
+    chain), so the segmentation windows partition by clip — parallel
+    across clips, bounded by frames-per-clip within."""
+    from dog_data_pipeline_spark.operators.dedup import merge_positions_to_spans
+
+    active = energy.filter(F.col("energy") > threshold).select(
+        F.col(audio_id_col).alias("id"), F.col("frame_idx").alias("pos")
+    )
+    spans = merge_positions_to_spans(active, window_tokens=1)
+    w = Window.partitionBy("id").orderBy("span_start")
+    return spans.withColumn(
+        "segment_idx", F.row_number().over(w) - 1
+    ).select(
+        F.col("id").alias(audio_id_col),
+        "segment_idx",
+        F.col("span_start").alias("start_frame"),
+        F.col("span_end").alias("end_frame"),
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_frames"),
+    )

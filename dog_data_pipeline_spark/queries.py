@@ -5921,6 +5921,90 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_active_segments",
+    r"""
+    WITH clips AS (
+      SELECT k AS audio_id, 12 + (k % 6) AS sil_end
+      FROM UNNEST(generate_series(0, 23)) t(k)
+    ), frames AS (
+      SELECT audio_id, sil_end, f AS frame_idx
+      FROM clips, UNNEST(generate_series(0, 39)) u(f)
+    ), vals AS (
+      SELECT audio_id, frame_idx,
+             CASE WHEN frame_idx BETWEEN 12 AND sil_end
+                  THEN ((frame_idx * 32 + j) % 3) - 1
+                  ELSE ((audio_id * 7 + (frame_idx * 32 + j) * 5) % 97) + 3
+             END AS s
+      FROM frames, UNNEST(generate_series(0, 31)) v(j)
+    ), energy AS (
+      SELECT audio_id, frame_idx, sum(s * s) AS e
+      FROM vals GROUP BY 1, 2
+    ), active AS (
+      SELECT audio_id, frame_idx FROM energy WHERE e > 100
+    ), isl AS (
+      SELECT audio_id, frame_idx,
+             max(frame_idx) OVER (PARTITION BY audio_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM active
+    ), isl2 AS (
+      SELECT audio_id, frame_idx,
+             sum(CASE WHEN prev IS NULL OR frame_idx > prev + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY audio_id ORDER BY frame_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    )
+    SELECT audio_id, CAST(island - 1 AS INT) AS segment_idx,
+           CAST(min(frame_idx) AS INT) AS start_frame,
+           CAST(max(frame_idx) AS INT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM isl2 GROUP BY 1, 2
+    """,
+    "Audio activity segmentation (north-star multimodal: the VAD-style "
+    "silence split run before sampling speech/audio training clips): "
+    "FAKEAUD waveforms -> fused decode + per-frame energy (sum of "
+    "squared int16 samples, 32-sample frames) in ONE mapInPandas pass "
+    "— waveforms never leave the task, one long per frame shuffles — "
+    "then energy > threshold gates active frames and the span-dedup "
+    "gaps-and-islands merge (window=1) turns consecutive runs into "
+    "segments. Clips carry a planted low-energy zone; all-integer "
+    "arithmetic lets the oracle replay decode + framing + energy + "
+    "island merge end to end.",
+)
+def audio_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        detect_active_segments,
+        frame_energy,
+        make_fake_audio,
+    )
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    frame_len, n_frames = 32, 40
+
+    def clip(k: int) -> bytes:
+        sil_lo, sil_hi = 12, 12 + k % 6
+        i = np.arange(n_frames * frame_len, dtype=np.int64)
+        f = i // frame_len
+        silent = (f >= sil_lo) & (f <= sil_hi)
+        s = np.where(silent, (i % 3) - 1, ((k * 7 + i * 5) % 97) + 3)
+        return make_fake_audio(1000, s)
+
+    clips = spark.createDataFrame(
+        [(k, clip(k)) for k in range(24)], "audio_id LONG, content BINARY"
+    )
+    energy = frame_energy(clips, frame_len=frame_len)
+    return detect_active_segments(energy, threshold=100).select(
+        "audio_id",
+        F.col("segment_idx").cast("int").alias("segment_idx"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+@query(
     "video_scene_cuts",
     r"""
     WITH vids AS (
@@ -6870,7 +6954,7 @@ _PRIORITY_ORDER = [
     "cross_source_overlap",   # round-4 addition: source redundancy audit
     "knn_cosine_ivfpq",
     "bm25_keyword_search",
-    "hybrid_rrf_search",
+    "audio_active_segments",  # round-4 addition: VAD-style segmentation
     "image_dhash_dedup",
     "video_scene_cuts",       # round-4 addition: scene segmentation
 ]

@@ -316,3 +316,28 @@ def test_scene_cuts_land_on_planted_luma_jumps(spark):
     assert scenes[(1, 2)] == (9, 11)
     assert scenes[(2, 0)] == (0, 11)
     assert len(scenes) == 4
+
+
+def test_audio_active_segments_split_on_planted_silence(spark):
+    import numpy as np
+
+    from dog_data_pipeline_spark.multimodal.audio import (
+        detect_active_segments,
+        frame_energy,
+        make_fake_audio,
+    )
+
+    frame_len = 16
+    loud = np.full(frame_len, 50, dtype=np.int64)
+    quiet = np.zeros(frame_len, dtype=np.int64)
+    # loud [0..2], silent [3..4], loud [5..7]
+    wave = np.concatenate([loud] * 3 + [quiet] * 2 + [loud] * 3)
+    clips = spark.createDataFrame(
+        [(7, make_fake_audio(8000, wave))], "audio_id LONG, content BINARY"
+    )
+    energy = frame_energy(clips, frame_len=frame_len)
+    segs = {
+        r.segment_idx: (r.start_frame, r.end_frame, r.n_frames)
+        for r in detect_active_segments(energy, threshold=0).collect()
+    }
+    assert segs == {0: (0, 2, 3), 1: (5, 7, 3)}
