@@ -137,7 +137,18 @@ def main() -> None:
             if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         n = max(rounds, default=0) + 1
-        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as fh:
+        path = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+        # A re-run must not silently erase the round's side records
+        # (isolated re-times, soak-test results, explanatory notes are
+        # appended to this file by hand): carry over every key the fresh
+        # payload doesn't produce itself.
+        try:
+            with open(path) as fh:
+                for k, v in json.load(fh).items():
+                    payload.setdefault(k, v)
+        except (OSError, ValueError):
+            pass
+        with open(path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError as e:  # read-only checkout must not fail the bench
         sys.stderr.write(f"bench: local artifact write skipped: {e}\n")

@@ -143,6 +143,74 @@ def contamination_spans(
     return merge_positions_to_spans(hits, window_tokens)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-level contamination: flag corpus items whose vector
+    sits within cosine ``threshold`` of any benchmark vector — the
+    semantic complement to the n-gram checks above. N-gram overlap
+    misses paraphrased eval questions (reworded MMLU items share few
+    13-grams with the original); embedding cosine catches them, the
+    same shift SemDeDup made for dedup. This is the decontamination
+    protocol of e.g. Phi/LLaMA-style reports ("semantic dedup against
+    benchmarks").
+
+    Returns one row per corpus vector: (id_col, n_contaminating,
+    max_benchmark_cos, is_contaminated). Cosines are rounded to 4
+    decimals BEFORE thresholding/maxing — the engine's cross-engine
+    determinism contract for float comparisons (see tfidf/bm25).
+
+    Scale shape: benchmark suites are tiny (thousands of rows) next to
+    a 100 TB corpus, so the benchmark side is **broadcast** and the
+    corpus side is ONE map-only scan — broadcast nested-loop against
+    |benchmark| vectors, then a per-id partial aggregate that reduces
+    map-side to one row per corpus vector before any exchange. No
+    corpus shuffle, no index build. The dot product is the engine's
+    sequential double fold (zip_with + aggregate), bit-identical to the
+    oracle's list_sum fold. For benchmark sets too big for a broadcast
+    nested loop, route through ``similarity.cosine_topk_ivf`` instead
+    (probe the corpus index with benchmark vectors).
+    """
+    from dog_data_pipeline_spark.operators.similarity import _with_norm
+
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    b = _with_norm(benchmark, id_col, vec_col, "b")
+    dot = F.aggregate(
+        F.zip_with("c_v", "b_v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # self-matches (benchmark vectors that are themselves corpus rows)
+    # are MASKED to null rather than filtered out: a filter would drop a
+    # corpus row whose only benchmark pair is itself from the output
+    # entirely, while the contract is one row per corpus vector. Nulls
+    # vanish inside count/max, so the aggregate sees only real pairs.
+    scored = c.crossJoin(F.broadcast(b)).withColumn(
+        "cos",
+        F.when(
+            F.col("c_id") != F.col("b_id"),
+            F.round(dot / (F.col("c_norm") * F.col("b_norm")), 4),
+        ),
+    )
+    per = scored.groupBy("c_id").agg(
+        F.coalesce(
+            F.sum((F.col("cos") >= threshold).cast("long")), F.lit(0)
+        ).alias("n_contaminating"),
+        F.max("cos").alias("max_benchmark_cos"),
+    )
+    return per.select(
+        F.col("c_id").alias(id_col),
+        "n_contaminating",
+        "max_benchmark_cos",
+        (F.col("n_contaminating") > 0).alias("is_contaminated"),
+    )
+
+
 def scrub_contaminated_spans(
     corpus: DataFrame,
     benchmark: DataFrame,

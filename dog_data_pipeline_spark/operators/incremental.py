@@ -16,6 +16,13 @@ Holistic aggregates (exact distinct counts, exact medians) do NOT
 merge this way; for those the engine's sketch family
 (``approx_distinct_parts`` HLL partials, ``heavy_hitters_cms``,
 ``approx_quantiles_certified``) provides the mergeable representation.
+The ``distinct_partials`` / ``merge_distinct_state`` trio below closes
+the gap for distinct counts specifically: stored Datasketches HLL
+sketches (``hll_sketch_agg``) merge register-wise (``hll_union_agg``),
+so per-key distinct-count state updates from batch sketches alone —
+the same union-then-reaggregate shape as the algebraic partials, with
+|keys| x 2^lg_k bytes of state and documented error instead of a
+rescan.
 
 The correctness obligation of ANY incremental pipeline is
 incremental == full recompute; the registry query certifies exactly
@@ -83,4 +90,44 @@ def read_state(state: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         )
         .cast("long")
         .alias("mean_u"),
+    )
+
+
+def distinct_partials(
+    df: DataFrame, key_cols: Sequence[str], distinct_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Fold a (batch of) rows into mergeable DISTINCT-count state: one
+    Datasketches HLL_4 sketch per key (``(keys..., __hll)``). The
+    sketch is 2^lg_k registers (4 KiB at the default lg_k=12, relative
+    standard error ~1.04/sqrt(2^12) = 1.6%); small cardinalities stay
+    in the sketch's exact sparse mode. One partial-aggregated shuffle —
+    map-side combine merges sketches before the exchange, so shuffle
+    volume is |keys| x 4 KiB regardless of row count."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("__hll")
+    )
+
+
+def merge_distinct_state(
+    state: DataFrame, batch_partials: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Fold batch HLL partials into stored distinct-count state:
+    union + register-wise sketch union (``hll_union_agg``). Like
+    ``merge_aggregate_state``, both inputs are |keys|-row state tables
+    and the corpus is never rescanned — the whole point: exact distinct
+    is holistic (non-mergeable), the sketch representation is
+    algebraic."""
+    u = state.select(*key_cols, "__hll").unionByName(
+        batch_partials.select(*key_cols, "__hll")
+    )
+    return u.groupBy(*key_cols).agg(F.hll_union_agg("__hll").alias("__hll"))
+
+
+def read_distinct_state(
+    state: DataFrame, key_cols: Sequence[str], out: str = "distinct_est"
+) -> DataFrame:
+    """Materialize the user-facing view: per-key estimated distinct
+    count from the stored sketch."""
+    return state.select(
+        *key_cols, F.hll_sketch_estimate("__hll").cast("long").alias(out)
     )

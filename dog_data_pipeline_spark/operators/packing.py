@@ -81,3 +81,95 @@ def packed_sequences(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(tokens_col).alias("seq_tokens"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    batch_size: int = 8,
+    num_shards: int = 8,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Length-bucketed training batches: items with similar lengths
+    batch together, so per-batch padding to the batch max wastes far
+    fewer slots than global batching (the dynamic-batching standard in
+    seq2seq training). Buckets are floor(log2(tokens)) — geometric
+    widths hold relative overhead roughly constant across scales.
+
+    Batch identity is deterministic and engine-portable (the pack_chunks
+    contract): md5-derived shard within bucket, md5 order within shard,
+    batch = floor(rank / batch_size). The only non-map operation is the
+    per-(bucket, shard) row_number — one shard of one bucket per task,
+    bounded by num_shards exactly as in pack_chunks, never a global or
+    per-bucket single-task sort.
+
+    Returns the input rows + (len_bucket, shard, batch) columns.
+    """
+    ident = [F.col(c).cast("string") for c in id_cols]
+    key = F.concat_ws(":", *ident)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long"),
+        F.lit(num_shards),
+    )
+    order = F.md5(F.concat(F.lit("lenbatch-order:"), key))
+    out = (
+        df.filter(F.col(tokens_col) > 0)
+        .withColumn("len_bucket", F.floor(F.log2(F.col(tokens_col))))
+        .withColumn("shard", shard)
+        .withColumn("__ord", order)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("len_bucket", "shard").orderBy("__ord", *id_cols)
+    )
+    return out.withColumn("batch", F.floor((rn - F.lit(1)) / batch_size)).drop(
+        "__ord"
+    )
+
+
+def padding_waste_report(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    batch_size: int = 8,
+    num_shards: int = 8,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Quantify what length-bucketing buys: per bucket, the padded-slot
+    waste of batching items to the per-batch max length, PLUS a
+    bucket = -1 baseline row replaying the identical sharded batching
+    WITHOUT the length bucket (what a naive loader pays). Waste =
+    sum_batches(batch_max * batch_rows - batch_tokens) /
+    sum_batches(batch_max * batch_rows), rounded to 4 decimals — all
+    integer arithmetic until the final ratio, so the oracle replays it
+    exactly. Returns (len_bucket, n_items, n_batches, pad_waste_rate).
+    """
+
+    def _report(batched: DataFrame, bucket_keys: list) -> DataFrame:
+        per_batch = batched.groupBy(*bucket_keys, "shard", "batch").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(tokens_col).alias("__tok"),
+            F.max(tokens_col).alias("__max"),
+        )
+        return per_batch.groupBy(*bucket_keys).agg(
+            F.sum("__n").cast("long").alias("n_items"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.round(
+                1
+                - F.sum("__tok") / F.sum(F.col("__max") * F.col("__n")),
+                4,
+            ).alias("pad_waste_rate"),
+        )
+
+    bucketed = length_bucketed_batches(
+        df, tokens_col, batch_size, num_shards, id_cols
+    )
+    flat = bucketed.withColumn("len_bucket", F.lit(-1).cast("bigint"))
+    # the baseline replays the same (shard, rank) layout with the bucket
+    # dimension collapsed: same shards, same md5 order, so the ONLY
+    # difference measured is the length grouping itself.
+    rn = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.md5(F.concat(F.lit("lenbatch-order:"), F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols]))), *id_cols)
+    )
+    flat = flat.withColumn("batch", F.floor((rn - F.lit(1)) / batch_size))
+    return _report(bucketed, ["len_bucket"]).unionByName(
+        _report(flat, ["len_bucket"])
+    )

@@ -71,6 +71,88 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).drop(*drop)
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_sec: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, did the event types in
+    ``steps`` occur in sequence (each step strictly after the previous
+    one, optionally all within ``within_sec`` of the first step)?
+    Returns one row per step: (step_idx, step_name, n_users,
+    conversion_rate) where conversion_rate is users-at-step /
+    users-at-step-1, rounded to 4 decimals.
+
+    Implementation is the RELATIONAL min-chain, not a per-user ordered
+    collect: step 1 state is min(ts) over the step-1 events (one
+    partial-aggregated shuffle keyed on user); each later step k joins
+    the step-k events against the |users|-row state on user and takes
+    min(ts) with ts strictly after t_{k-1} (and inside the window).
+    len(steps)-1 user-keyed hash joins of event-subset vs |users|-row
+    state — no unbounded collect_list, no single-task per-user sort, so
+    a power user with 10^8 events costs the same as anyone else at
+    100 TB. (The classic window-function funnel needs the full per-user
+    event sequence in one sorted partition; the min-chain needs only
+    the running timestamp.)
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ts = F.unix_timestamp(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), ts.alias("t")
+    )
+    # step-1 state: first occurrence per user
+    state = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t_prev"))
+        .withColumn("t_first", F.col("t_prev"))
+    )
+    counts = [("1_" + steps[0], state)]
+    for k, step in enumerate(steps[1:], start=2):
+        # both sides derive from `base` — rename the state columns so the
+        # self-join is unambiguous
+        st = state.select(
+            F.col("u").alias("__su"),
+            F.col("t_prev").alias("__tp"),
+            F.col("t_first").alias("__tf"),
+        )
+        ev_k = base.filter(F.col("et") == step)
+        cond = (F.col("u") == F.col("__su")) & (F.col("t") > F.col("__tp"))
+        if within_sec is not None:
+            cond = cond & (F.col("t") <= F.col("__tf") + within_sec)
+        state = (
+            ev_k.join(st, cond)
+            .groupBy(F.col("__su").alias("u"))
+            .agg(
+                F.min("t").alias("t_prev"),
+                F.min("__tf").alias("t_first"),
+            )
+        )
+        counts.append((f"{k}_{step}", state))
+    per_step = None
+    for name, st in counts:
+        row = st.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+        per_step = row if per_step is None else per_step.unionByName(row)
+    # denominator rides a 1-row broadcast, not a global window (a
+    # partitionless window would drag the — tiny — step table through a
+    # single-partition WindowExec and warn on every run)
+    base = per_step.filter(F.col("step").startswith("1_")).select(
+        F.col("n_users").alias("__base")
+    )
+    return per_step.crossJoin(F.broadcast(base)).select(
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__base"), 4).alias("conversion_rate"),
+    )
+
+
 def range_self_join_pairs(
     df: DataFrame,
     keys: Sequence[str],

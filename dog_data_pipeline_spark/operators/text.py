@@ -472,3 +472,59 @@ def char_entropy_profile(
             (F.log("n_chars") - F.col("__nlogn") / F.col("n_chars")).alias("entropy"),
         )
     )
+
+
+def build_vocab(df: DataFrame, text_col: str = "text", size: int = 512) -> DataFrame:
+    """Reference vocabulary: the corpus's top-``size`` tokens by
+    frequency, tie-broken lexicographically — fully deterministic, so
+    an oracle (or a later run) rebuilds the identical vocab. One
+    partial-aggregated token-count shuffle + TakeOrdered(size): the
+    full token histogram never sits on the driver, only the top slice.
+    Returns a single-column (tok) DataFrame, small enough to broadcast.
+    """
+    tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(size).select("tok")
+    )
+
+
+def vocab_coverage_report(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group OOV (out-of-vocabulary) rate against a reference
+    vocabulary — the tokenizer-fit report run before committing a vocab
+    to a training run (a source whose OOV rate spikes will fragment
+    into byte-fallback tokens and blow up its effective token budget).
+
+    Returns (group_col, n_tokens, n_oov, oov_rate[4dp]).
+
+    Scale shape: the vocab side is |vocab| rows (even a 256k BPE vocab
+    is MBs) — **broadcast** left join onto the exploded corpus token
+    stream, then one partial-aggregated per-group fold. The corpus
+    never shuffles tokens by value; the only exchange is |groups| rows.
+    """
+    tok = df.select(
+        F.col(group_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    v = F.broadcast(vocab.select("tok").withColumn("__v", F.lit(1)))
+    return (
+        tok.join(v, "tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__v").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

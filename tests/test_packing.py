@@ -96,3 +96,67 @@ def test_packing_matches_python_md5_replay(spark):
             expect[(d, i)] = (shard, b, pos)
             prefix += n
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching + padding-waste report
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_batches_bounded_and_deterministic(spark):
+    from dog_data_pipeline_spark.operators.packing import length_bucketed_batches
+
+    df = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "CAST(10 + id % 90 AS BIGINT) AS n_tokens"
+    )
+    out = length_bucketed_batches(df, "n_tokens", batch_size=8, num_shards=4)
+    rows = out.collect()
+    # bucket is floor(log2(tokens)); batch sizes never exceed batch_size
+    import collections, math
+
+    sizes = collections.Counter(
+        (r["len_bucket"], r["shard"], r["batch"]) for r in rows
+    )
+    assert max(sizes.values()) <= 8
+    for r in rows:
+        assert r["len_bucket"] == math.floor(math.log2(r["n_tokens"]))
+    # deterministic: a second run assigns identical batches
+    again = {
+        r["doc_id"]: (r["len_bucket"], r["shard"], r["batch"])
+        for r in length_bucketed_batches(
+            df, "n_tokens", batch_size=8, num_shards=4
+        ).collect()
+    }
+    first = {r["doc_id"]: (r["len_bucket"], r["shard"], r["batch"]) for r in rows}
+    assert first == again
+
+
+def test_padding_waste_bucketing_beats_unbucketed_baseline(spark):
+    from dog_data_pipeline_spark.operators.packing import padding_waste_report
+
+    # bimodal lengths: global batches mix 10s with 1000s -> huge waste;
+    # log2 buckets separate them almost perfectly
+    df = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        "CAST(CASE WHEN id % 2 = 0 THEN 10 + id % 5 ELSE 1000 + id % 7 END AS BIGINT) AS n_tokens",
+    )
+    rep = {
+        r["len_bucket"]: r
+        for r in padding_waste_report(df, "n_tokens", batch_size=8).collect()
+    }
+    baseline = rep[-1]
+    bucketed_rates = [
+        r["pad_waste_rate"] for b, r in rep.items() if b != -1
+    ]
+    assert baseline["n_items"] == 400
+    assert sum(r["n_items"] for b, r in rep.items() if b != -1) == 400
+    assert baseline["pad_waste_rate"] > 0.3
+    assert max(bucketed_rates) < baseline["pad_waste_rate"]
+
+
+def test_padding_waste_zero_for_uniform_lengths(spark):
+    from dog_data_pipeline_spark.operators.packing import padding_waste_report
+
+    df = spark.range(0, 64).selectExpr("id AS doc_id", "CAST(32 AS BIGINT) AS n_tokens")
+    for r in padding_waste_report(df, "n_tokens", batch_size=8).collect():
+        assert r["pad_waste_rate"] == 0.0

@@ -422,3 +422,65 @@ def test_pii_scan_is_one_aggregate_pass(spark):
     assert plan.count("Exchange") <= 2
     assert "partial_" in plan
     assert plan.count("Scan parquet") <= 4
+
+
+def test_semantic_contamination_map_only_corpus_scan(spark):
+    plan = plan_of(spark, "semantic_contamination")
+    # benchmark broadcast to a nested-loop join (dot product against
+    # every benchmark vector is the operator); the corpus side reaches
+    # the join straight off the scan with NO shuffle — the only wide
+    # exchange is the per-id partial/final aggregate.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_sum" in plan and "partial_max" in plan
+    # column pruning: the corpus scan reads only (vec_id, embedding)
+    first_read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert first_read == "struct<vec_id:bigint,embedding:array<float>>"
+
+
+def test_hll_rollup_sketches_combine_map_side(spark):
+    plan = plan_of(spark, "hll_distinct_rollup")
+    # sketch aggregates split partial/final around the exchange (the
+    # |keys| x 4KiB shuffle-volume claim) and batch states merge with
+    # register-wise union, never a rescan-shaped distinct over the union
+    assert "partial_hll_sketch_agg" in plan
+    assert "hll_union_agg" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_funnel_min_chain_has_no_sequence_window(spark):
+    plan = plan_of(spark, "event_funnel")
+    # the funnel must be the relational min-chain: per-user state rides
+    # broadcast hash joins, NEVER a per-user ordered sequence window
+    # (that plan would single-sort every power user's event history)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    # the only nested-loop is the deliberate 1-row denominator broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # tree + detail block
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_oov_vocab_rides_takeordered_and_broadcast(spark):
+    plan = plan_of(spark, "vocab_oov_report")
+    # vocab = TakeOrdered top-k (histogram never a full sort / driver
+    # collect) broadcast into a left join on the exploded token stream
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_bucket_padding_windows_are_partitioned(spark):
+    plan = plan_of(spark, "length_bucket_padding")
+    # both layout replays window over (bucket,) shard partitions — a
+    # partitionless window would funnel the corpus into one task
+    assert "Window" in plan
+    specs = [
+        frag for frag in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "no window spec found in plan"
+    for spec in specs:
+        head = spec.split(")")[0]
+        assert "shard" in head  # every spec partitions by shard
+    assert "CartesianProduct" not in plan

@@ -288,3 +288,54 @@ def test_pii_detection_report_counts_and_post_redaction_zero(spark):
     )
     for r in pii_detection_report(clean, ["t1", "t2"]).collect():
         assert r.email_hits == r.phone_hits == r.ipv4_hits == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) contamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_flags_near_and_spares_orthogonal(spark):
+    from dog_data_pipeline_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # benchmark item
+        (1, [0.99, 0.14, 0.0]), # near-duplicate of 0 -> contaminated
+        (2, [0.0, 1.0, 0.0]),   # orthogonal -> clean
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel -> clean (cos = -1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    bench = df.filter(F.col("vec_id") == 0)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(df, bench, threshold=0.9).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["n_contaminating"] == 1
+    assert not out[2]["is_contaminated"] and out[2]["n_contaminating"] == 0
+    assert not out[3]["is_contaminated"]
+    assert out[3]["max_benchmark_cos"] == -1.0
+    # benchmark member itself: self-match excluded, no other bench rows
+    assert not out[0]["is_contaminated"]
+
+
+def test_semantic_contamination_counts_multiple_benchmark_hits(spark):
+    from dog_data_pipeline_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.96, 0.28]),
+        (10, [1.0, 0.01]),  # corpus row close to BOTH benchmark rows
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    bench = df.filter(F.col("vec_id") < 2)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(df, bench, threshold=0.9).collect()
+    }
+    assert out[10]["n_contaminating"] == 2
+    # rounded-before-threshold contract: max_benchmark_cos is 4-decimal
+    assert abs(out[10]["max_benchmark_cos"] * 1e4 - round(out[10]["max_benchmark_cos"] * 1e4)) < 1e-6

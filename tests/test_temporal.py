@@ -66,3 +66,74 @@ def test_range_self_join_excludes_over_limit(spark):
     df = _ts(spark, [(1, 0, 1), (1, 301, 2)], "k INT, sec INT, event_id INT")
     out = range_self_join_pairs(df, ["k"], "ts", "event_id", 300)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (relational min-chain)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=s), et) for (u, s, et) in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+
+
+def test_funnel_orders_and_excludes_out_of_order(spark):
+    from dog_data_pipeline_spark.operators.temporal import funnel_steps
+
+    ev = _funnel_events(
+        spark,
+        [
+            # user 1: full funnel in order
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # user 2: click BEFORE view -> stops after view
+            (2, 50, "click"), (2, 60, "view"),
+            # user 3: purchase before click -> counts view+click only
+            (3, 0, "view"), (3, 5, "purchase"), (3, 10, "click"),
+            # user 4: never views -> not even step 1
+            (4, 0, "click"), (4, 1, "purchase"),
+        ],
+    )
+    out = {
+        r["step"]: (r["n_users"], r["conversion_rate"])
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out["1_view"] == (3, 1.0)
+    assert out["2_click"] == (2, round(2 / 3, 4))
+    assert out["3_purchase"] == (1, round(1 / 3, 4))
+
+
+def test_funnel_within_window_cuts_late_conversions(spark):
+    from dog_data_pipeline_spark.operators.temporal import funnel_steps
+
+    ev = _funnel_events(
+        spark,
+        [
+            (1, 0, "view"), (1, 10, "click"),          # in window
+            (2, 0, "view"), (2, 2000, "click"),        # too late
+        ],
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "click"], within_sec=100).collect()
+    }
+    assert out == {"1_view": 2, "2_click": 1}
+
+
+def test_funnel_strictly_after_ties_do_not_count(spark):
+    from dog_data_pipeline_spark.operators.temporal import funnel_steps
+
+    # click at the SAME second as the first view: t > t_prev is strict
+    ev = _funnel_events(spark, [(1, 0, "view"), (1, 0, "click")])
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "click"]).collect()
+    }
+    assert out == {"1_view": 1, "2_click": 0}

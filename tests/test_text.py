@@ -234,3 +234,40 @@ def test_char_entropy_extremes(spark):
     assert out["mono"]["entropy"] == 0.0  # single symbol: zero entropy
     assert abs(out["uni"]["entropy"] - math.log(4)) < 1e-12  # uniform: ln(k)
     assert out["mono"]["n_chars"] == 8 and out["uni"]["n_chars"] == 4
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV
+# ---------------------------------------------------------------------------
+
+
+def test_build_vocab_deterministic_topk_with_ties(spark):
+    from dog_data_pipeline_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [("b b a a c",), ("d d b a",)], "text STRING"
+    )
+    # counts: a=3, b=3, d=2, c=1 -> top3 by (cnt desc, tok asc) = a, b, d
+    got = {r["tok"] for r in build_vocab(df, size=3).collect()}
+    assert got == {"a", "b", "d"}
+
+
+def test_vocab_coverage_counts_oov_occurrences(spark):
+    from dog_data_pipeline_spark.operators.text import (
+        build_vocab,
+        vocab_coverage_report,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a b zzz"), ("s2", "QQQ qqq a")],
+        "source STRING, text STRING",
+    )
+    vocab = build_vocab(df, size=2)  # a (4: incl lowered QQQ->qqq? no: a=3,qqq=2,b=1,zzz=1) -> {a, qqq}
+    out = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_coverage_report(df, vocab, "source", "text").collect()
+    }
+    # vocab = top2 = a(3), qqq(2); s1: tokens a,a,b,zzz -> 2 oov
+    assert out["s1"] == (4, 2, 0.5)
+    # s2: QQQ lowers to qqq (in vocab), qqq, a -> 0 oov
+    assert out["s2"] == (3, 0, 0.0)
