@@ -528,3 +528,110 @@ def vocab_coverage_report(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    end_of_word: str = "</w>",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Byte-pair-encoding tokenizer induction (Sennrich et al. 2016,
+    'Neural Machine Translation of Rare Words with Subword Units') as
+    distributed aggregation: learn ``num_merges`` merge rules from the
+    corpus and return (merges, final symbolized word-frequency table).
+
+    The scale trick is the one from the paper itself: BPE statistics
+    depend only on the WORD-FREQUENCY table, not the raw corpus — so the
+    corpus is touched exactly once (token explode + groupBy word), and
+    every merge iteration runs over |distinct words| rows (a 100 TB
+    corpus has a bounded word table; Heaps' law puts it in the tens of
+    millions — still distributed here, never driver-side). Per
+    iteration:
+
+    1. adjacent symbol pairs via zip_with over two slices of the symbol
+       array (map-only), weighted by word count;
+    2. one partial-aggregated groupBy(pair) + TakeOrdered(1) — the
+       argmax pair, tie-broken (freq desc, left asc, right asc) for
+       full determinism; ONE row reaches the driver per iteration;
+    3. greedy left-to-right merge application as a higher-order
+       aggregate fold over each symbol array (map-only, no UDF);
+       the state is localCheckpoint'ed each round so the lazy plan
+       doesn't nest ``num_merges`` folds.
+
+    Driver traffic: num_merges rows total. Returns the merge list
+    [(left, right, freq)] in learned order plus the final (word, n,
+    symbols) DataFrame for downstream vocab extraction.
+    """
+    toks = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # initial symbol state: characters + end-of-word marker
+    state = words.select(
+        "w",
+        "n",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(end_of_word))
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        sz = F.size("symbols")
+        pairs = state.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice("symbols", 1, sz - 1),
+                    F.slice("symbols", 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["freq"]
+        merges.append((left, right, int(freq)))
+        merged = F.lit(left + right)
+        # greedy left-to-right application: fold each symbol array,
+        # merging the current element into the accumulator's tail when
+        # (tail, current) == (left, right). Equivalent to the reference
+        # scan because a just-created merge token never re-matches
+        # ``left`` unless it lexically equals it — in which case greedy
+        # rescanning is exactly what BPE specifies.
+        state = state.withColumn(
+            "symbols",
+            F.aggregate(
+                "symbols",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+    return merges, state
+
+
+def bpe_vocab(state: DataFrame) -> DataFrame:
+    """Final subword vocabulary from a ``bpe_learn_merges`` state:
+    (symbol, n_words, total_occurrences), one partial-aggregated
+    explode — the artifact a tokenizer ships."""
+    return (
+        state.select("n", F.explode("symbols").alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").alias("total_occurrences"),
+        )
+    )

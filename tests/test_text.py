@@ -271,3 +271,96 @@ def test_vocab_coverage_counts_oov_occurrences(spark):
     assert out["s1"] == (4, 2, 0.5)
     # s2: QQQ lowers to qqq (in vocab), qqq, a -> 0 oov
     assert out["s2"] == (3, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts, num_merges, eow="</w>"):
+    """Reference BPE (Sennrich et al.) on a word-frequency dict."""
+    state = {w: list(w) + [eow] for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, syms in state.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # argmax, tie-break (freq desc, left asc, right asc)
+        (l, r), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, f))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    # the corpus from the BPE paper's worked example (word level)
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(" ".join([w] * n),) for w, n in wc.items()]
+    df = spark.createDataFrame(rows, "text STRING")
+    merges, state = bpe_learn_merges(df, num_merges=6)
+    ref_merges, ref_state = _ref_bpe(wc, 6)
+    assert merges == ref_merges
+    got = {r["w"]: r["symbols"] for r in state.collect()}
+    assert got == ref_state
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    # "aaa": merge (a,a) applies left-to-right -> [aa, a], never [a, aa]
+    df = spark.createDataFrame([("aaa aaa",)], "text STRING")
+    merges, state = bpe_learn_merges(df, num_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    syms = state.collect()[0]["symbols"]
+    assert syms == ["aa", "a", "</w>"]
+
+
+def test_bpe_property_matches_reference(spark):
+    """Randomized differential: small random corpora, full merge run."""
+    import random
+
+    from dog_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    rng = random.Random(42)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(2, 8))
+        ]
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + rng.randint(1, 4)
+        text = " ".join(w for w, n in wc.items() for _ in range(n))
+        df = spark.createDataFrame([(text,)], "text STRING")
+        merges, state = bpe_learn_merges(df, num_merges=4)
+        ref_merges, ref_state = _ref_bpe(wc, 4)
+        assert merges == ref_merges, (trial, wc)
+        got = {r["w"]: r["symbols"] for r in state.collect()}
+        assert got == ref_state, (trial, wc)
+
+
+def test_bpe_vocab_totals(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_learn_merges, bpe_vocab
+
+    df = spark.createDataFrame([("ab ab ba",)], "text STRING")
+    merges, state = bpe_learn_merges(df, num_merges=1)
+    v = {r["symbol"]: (r["n_words"], r["total_occurrences"]) for r in bpe_vocab(state).collect()}
+    # merge (a,b) freq 2 -> words: ab=[ab,</w>] x2, ba=[b,a,</w>] x1
+    assert merges == [("a", "b", 2)]
+    assert v["ab"] == (1, 2)
+    assert v["b"] == (1, 1) and v["a"] == (1, 1)
+    assert v["</w>"] == (2, 3)
