@@ -26,3 +26,7 @@ from dog_data_pipeline_spark.streaming.dedup_incremental import (  # noqa: F401
     dedup_stream_incremental,
     read_dup_pairs,
 )
+from dog_data_pipeline_spark.streaming.distinct_state import (  # noqa: F401
+    distinct_state_stream,
+    read_distinct_counts,
+)

@@ -1,0 +1,90 @@
+"""Streaming distinct-count state: maintain per-key HLL sketches from a
+stream (the streaming face of ``operators.incremental.distinct_partials``
+— SURVEY §2.9 extension, completing the incremental-aggregate family
+for the holistic distinct count).
+
+Each micro-batch folds its own |keys|-row sketch partials into the
+persisted state with a register-wise union, then stage-then-swaps the
+state directory — per-batch cost is O(batch) + |keys| x 4 KiB of state,
+never a re-scan of history.
+
+Exactly-once comes FREE from the sketch algebra: HLL union is
+idempotent (registers are max'ed, so re-merging the same values is a
+no-op on the registers), which makes foreachBatch's at-least-once
+replay safe with no dedup bookkeeping at all — the one aggregate family
+where crash-replay correctness needs zero extra machinery. (Contrast
+the count/sum partials of ``incremental.merge_aggregate_state``, which
+would double-count on replay and need a batch-id ledger.)
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def distinct_state_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    distinct_col: str,
+    lg_k: int = 12,
+    trigger_available_now: bool = True,
+):
+    """Start the distinct-count state maintainer; returns the
+    StreamingQuery. ``state_path`` holds the current (keys..., __hll)
+    table; read it back through ``read_distinct_counts``."""
+    from dog_data_pipeline_spark.operators.incremental import (
+        distinct_partials,
+        merge_distinct_state,
+    )
+    from dog_data_pipeline_spark.sources.sharding import _hadoop_fs
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        partials = distinct_partials(batch, key_cols, distinct_col, lg_k)
+        fs, hpath = _hadoop_fs(spark, state_path)
+        if fs.exists(hpath):
+            state = spark.read.parquet(state_path)
+            merged = merge_distinct_state(state, partials, key_cols)
+        else:
+            merged = partials
+        # stage-then-swap: never leave the state dir half-written (a
+        # reader or a crashed overwrite must always see a complete
+        # previous state). The state is |keys| rows — one staging write
+        # + two renames.
+        root = state_path.rstrip("/")
+        staging = f"{root}.staging-{uuid.uuid4().hex}"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        old = jpath(f"{root}.old-{uuid.uuid4().hex}")
+        if fs.exists(hpath):
+            if not fs.rename(hpath, old):
+                raise IOError(f"state swap failed: {state_path} -> {old}")
+        if not fs.rename(jpath(staging), hpath):
+            raise IOError(f"state swap failed: {staging} -> {state_path}")
+        if fs.exists(old):
+            fs.delete(old, True)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_distinct_counts(
+    spark, state_path: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """Current per-key distinct estimates from the persisted state."""
+    from dog_data_pipeline_spark.operators.incremental import (
+        read_distinct_state,
+    )
+
+    return read_distinct_state(spark.read.parquet(state_path), key_cols)

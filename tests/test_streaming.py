@@ -687,3 +687,78 @@ def test_streaming_incremental_span_dedup_matches_batch_prefix(spark, tmp_path):
         s for s in ref_b1 if s[0] != 1
     }
     assert len(got) > 0
+
+
+def test_streaming_distinct_state_matches_batch_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """HLL state maintained across micro-batches equals a single-pass
+    batch sketch EXACTLY at sparse-mode cardinality, and re-processing a
+    batch (at-least-once replay) leaves the state unchanged — the sketch
+    algebra's idempotence is the exactly-once mechanism."""
+    import shutil
+
+    from dog_data_pipeline_spark.operators.incremental import (
+        distinct_partials,
+        read_distinct_state,
+    )
+    from dog_data_pipeline_spark.streaming.distinct_state import (
+        distinct_state_stream,
+        read_distinct_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    full = load(spark, SF_DIR, "events").select("user_id", "event_type")
+    # two files -> maxFilesPerTrigger=1 gives two micro-batches
+    half1 = full.filter(F.col("user_id") % 2 == 0)
+    half2 = full.filter(F.col("user_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = distinct_state_stream(
+        stream, state, ck, ["event_type"], "user_id"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_counts(spark, state, ["event_type"]).collect()
+    }
+    batch = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_state(
+            distinct_partials(full, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in full.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # sparse-mode cardinalities: streamed merge == batch sketch == exact
+    assert got == batch == exact
+
+    # replay idempotence: wipe the checkpoint so the SAME files re-run
+    # as fresh batches against the existing state — estimates unchanged
+    shutil.rmtree(ck)
+    q2 = distinct_state_stream(
+        stream, state, str(tmp_path / "ck2"), ["event_type"], "user_id"
+    )
+    q2.awaitTermination(120)
+    again = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_counts(spark, state, ["event_type"]).collect()
+    }
+    assert again == got
