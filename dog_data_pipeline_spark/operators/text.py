@@ -4,12 +4,18 @@ document fingerprinting, Gopher-style repetition signals, and
 CCNet-style unigram-LM perplexity scoring.
 
 All hot-path logic is pure column expressions (JVM-side, whole-stage
-codegen) — no Python UDFs. Each operator has an exact ANSI-SQL
-counterpart used by the DuckDB oracles in queries.py.
+codegen) — no Python UDFs, with one documented exception:
+``bpe_encode``'s per-word merge loop is data-dependent control flow no
+Catalyst expression covers, so it rides an Arrow-batched pandas_udf
+(the pyspark-guide-sanctioned slow path). Each column-expression
+operator has an exact ANSI-SQL counterpart used by the DuckDB oracles
+in queries.py; the BPE pair is certified by a differential pytest suite
+against an independent reference implementation instead.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -635,3 +641,75 @@ def bpe_vocab(state: DataFrame) -> DataFrame:
             F.sum("n").alias("total_occurrences"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str, int]]",
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge list (from ``bpe_learn_merges``) to
+    text — the ENCODE half of the tokenizer: returns ``out`` as
+    array<string> of subword tokens.
+
+    Standard rank-based encoding (the algorithm every BPE runtime
+    ships): per word, repeatedly merge the lowest-rank adjacent pair
+    until none applies. The merge table is tiny (the vocab) and rides
+    the UDF closure to every executor; the corpus pass is map-only —
+    this is the documented Pandas-UDF exception (pyspark guide): a
+    data-dependent while-loop per word has no Catalyst expression, and
+    Arrow batching keeps it off the row-at-a-time path. Words repeat
+    heavily in natural corpora, so encoded word shapes are memoized per
+    batch (the hot-path trick of real tokenizers).
+    """
+
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+
+    def _encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + [end_of_word]
+        while len(syms) > 1:
+            best = None
+            best_rank = len(ranks)
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and rk < best_rank:
+                    best, best_rank = i, rk
+            if best is None:
+                break
+            # merge ALL occurrences of the best pair left-to-right (the
+            # learner's greedy application), then rescan for next rank
+            l, r = syms[best], syms[best + 1]
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        cache[w] = syms
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out_rows = []
+        for t in texts:
+            toks_ = [w for w in (t or "").lower().strip().split() if w]
+            row: list[str] = []
+            for w in toks_:
+                row.extend(_encode_word(w, cache))
+            out_rows.append(row)
+        return pd.Series(out_rows)
+
+    return df.withColumn(out, _enc(F.col(text_col)))

@@ -364,3 +364,79 @@ def test_bpe_vocab_totals(spark):
     assert v["ab"] == (1, 2)
     assert v["b"] == (1, 1) and v["a"] == (1, 1)
     assert v["</w>"] == (2, 3)
+
+
+def _ref_encode(w, merges, eow="</w>"):
+    ranks = {(l, r): i for i, (l, r, _f) in enumerate(merges)}
+    syms = list(w) + [eow]
+    while len(syms) > 1:
+        cand = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        rk, _ = min(cand)
+        l, r = merges[rk][0], merges[rk][1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_reproduces_learner_state_on_training_corpus(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_encode, bpe_learn_merges
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(" ".join([w] * n),) for w, n in wc.items()]
+    df = spark.createDataFrame(rows, "text STRING")
+    merges, state = bpe_learn_merges(df, num_merges=6)
+    learned = {r["w"]: r["symbols"] for r in state.collect()}
+    enc = bpe_encode(
+        spark.createDataFrame([(w,) for w in wc], "text STRING"), merges
+    )
+    got = {r["text"]: r["bpe_tokens"] for r in enc.collect()}
+    # rank-order encoding of each training word == the learner's final
+    # symbolization (the classic BPE encode/learn consistency property)
+    assert got == learned
+
+
+def test_bpe_encode_matches_reference_on_unseen_words(spark):
+    import random
+
+    from dog_data_pipeline_spark.operators.text import bpe_encode, bpe_learn_merges
+
+    rng = random.Random(7)
+    train = " ".join(
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+        for _ in range(30)
+    )
+    merges, _ = bpe_learn_merges(
+        spark.createDataFrame([(train,)], "text STRING"), num_merges=5
+    )
+    unseen = ["abcddd", "dcba", "aaaa", "xyz", "a"]
+    enc = bpe_encode(
+        spark.createDataFrame([(w,) for w in unseen], "text STRING"), merges
+    )
+    got = {r["text"]: r["bpe_tokens"] for r in enc.collect()}
+    for w in unseen:
+        assert got[w] == _ref_encode(w, merges), w
+
+
+def test_bpe_encode_multiword_and_case_normalization(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_encode
+
+    merges = [("a", "b", 99)]
+    enc = bpe_encode(
+        spark.createDataFrame([("AB  ab\tAb",)], "text STRING"), merges
+    )
+    assert enc.collect()[0]["bpe_tokens"] == [
+        "ab", "</w>", "ab", "</w>", "ab", "</w>"
+    ]
