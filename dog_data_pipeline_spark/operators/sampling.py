@@ -248,6 +248,71 @@ def leakage_safe_split(
     return out.drop("__split_key", "cluster")
 
 
+def split_leakage_report(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """One-row audit quantifying near-duplicate LEAKAGE across a
+    train/val/test boundary — the check every split should ship with: a
+    near-dup pair straddling train and val inflates eval scores exactly
+    like benchmark contamination does, from inside the corpus.
+
+    Measures the same ``dup_pairs`` edge set against BOTH assignments:
+    the naive per-document ``with_split`` (whose leak count is the
+    finding) and ``leakage_safe_split`` (whose leak count the report
+    certifies is zero — cluster-keyed hashing cannot separate a dup
+    pair). Returns (n_dup_pairs, plain_leaked_pairs, plain_leak_rate,
+    safe_split_zero_leaks).
+
+    Scale shape: two |pairs|-row joins against |docs|-row assignment
+    projections, each reduced by partial aggregation to one row before
+    the final 1x1 broadcast combine. No corpus-vs-corpus work beyond
+    what produced ``dup_pairs``.
+    """
+    plain = with_split(docs.select(key_col), key_col, weights, salt)
+    safe = leakage_safe_split(
+        docs.select(key_col), dup_pairs, key_col, weights, salt
+    )
+
+    def _leak_counts(assign: DataFrame, out: str) -> DataFrame:
+        a = assign.select(
+            F.col(key_col).alias("id_a"), F.col("split").alias("__sa")
+        )
+        b = assign.select(
+            F.col(key_col).alias("id_b"), F.col("split").alias("__sb")
+        )
+        return (
+            dup_pairs.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum((F.col("__sa") != F.col("__sb")).cast("long")).alias(out),
+            )
+        )
+
+    pl = _leak_counts(plain, "plain_leaked_pairs")
+    sf = _leak_counts(safe, "__safe_leaked").select("__safe_leaked")
+    return (
+        pl.crossJoin(F.broadcast(sf))
+        .select(
+            F.col("__n").alias("n_dup_pairs"),
+            "plain_leaked_pairs",
+            F.round(F.col("plain_leaked_pairs") / F.col("__n"), 4).alias(
+                "plain_leak_rate"
+            ),
+            (F.col("__safe_leaked") == 0).alias("safe_split_zero_leaks"),
+        )
+    )
+
+
 def split_sql_case(
     key_col: str,
     weights: Sequence[tuple[str, float]] = (

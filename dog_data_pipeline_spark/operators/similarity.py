@@ -565,3 +565,56 @@ def cosine_topk_lsh(
             "cosine",
         )
     )
+
+
+def embedding_space_report(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-space audit: class centroids + cohesion
+    stats — the embedding-table data-quality report run before trusting
+    vectors for semantic dedup / ANN / clustering (a label whose
+    members barely correlate with their own centroid signals a broken
+    encoder or mislabeled data; cross-checks the label column the same
+    way dq_report cross-checks scalar columns).
+
+    Returns (label, n_vectors, mean_centroid_cos, min_centroid_cos,
+    max_centroid_cos), cosines rounded to 4 decimals (the cross-engine
+    determinism contract).
+
+    Scale shape: centroids via posexplode + partial-aggregated
+    groupBy((label, pos)) — shuffle volume is |labels| x dim, never
+    vectors; the |labels|-row centroid table broadcasts back onto ONE
+    corpus scan for the cosine fold; one final |labels|-row aggregate.
+    Two corpus passes total, both map-heavy.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), v.alias("v")
+    )
+    dims = base.select("lbl", F.posexplode("v").alias("pos", "x"))
+    centroids = (
+        dims.groupBy("lbl", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("lbl", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    scored = base.join(F.broadcast(centroids), "lbl").withColumn(
+        "cos", F.round(dot / (nv * nc), 4)
+    )
+    return scored.groupBy(F.col("lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cos"), 4).alias("mean_centroid_cos"),
+        F.min("cos").alias("min_centroid_cos"),
+        F.max("cos").alias("max_centroid_cos"),
+    )

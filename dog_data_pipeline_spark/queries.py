@@ -7148,6 +7148,141 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_leakage_audit",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM corpus
+    ), cl AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp
+    ), pairs AS (
+      SELECT rep AS id_a, doc_id AS id_b FROM cl WHERE doc_id <> rep
+    ), plain AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':leak1'), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':leak1'), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS s
+      FROM corpus
+    ), safe AS (
+      SELECT cl.doc_id,
+             CASE WHEN substring(md5(CAST(rep AS VARCHAR) || ':leak1'), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substring(md5(CAST(rep AS VARCHAR) || ':leak1'), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS s
+      FROM cl
+    ), counts AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN pa.s <> pb.s THEN 1 ELSE 0 END) AS leaked
+      FROM pairs
+      JOIN plain pa ON pairs.id_a = pa.doc_id
+      JOIN plain pb ON pairs.id_b = pb.doc_id
+    ), safec AS (
+      SELECT sum(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS sleak
+      FROM pairs
+      JOIN safe sa ON pairs.id_a = sa.doc_id
+      JOIN safe sb ON pairs.id_b = sb.doc_id
+    )
+    SELECT CAST(n AS BIGINT) AS n_dup_pairs,
+           CAST(leaked AS BIGINT) AS plain_leaked_pairs,
+           round(CAST(leaked AS DOUBLE) / n, 4) AS plain_leak_rate,
+           sleak = 0 AS safe_split_zero_leaks
+    FROM counts, safec
+    """,
+    "Train/val/test near-duplicate LEAKAGE audit (north-star eval "
+    "hygiene): near-dup pairs straddling a split boundary inflate eval "
+    "scores exactly like benchmark contamination, from inside the "
+    "corpus. Planted duplicates (every 10th doc re-ingested under a "
+    "new id) make the hazard concrete: the naive per-document md5 "
+    "split separates a measurable fraction of dup pairs "
+    "(plain_leaked_pairs — the finding), while leakage_safe_split "
+    "(split hash keyed on the dup-cluster representative from "
+    "connected components) provably separates none "
+    "(safe_split_zero_leaks). The oracle replays fingerprints, "
+    "min-label clusters (equality cliques need no iteration), both "
+    "split CASEs verbatim (split_sql_case contract), and both leak "
+    "counts end-to-end.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import exact_dup_groups
+    from dog_data_pipeline_spark.operators.sampling import split_leakage_report
+    from dog_data_pipeline_spark.operators.text import normalized_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    groups = exact_dup_groups(corpus, "doc_id", "text")
+    members = corpus.withColumn(
+        "__fp", F.md5(normalized_text(F.col("text")))
+    ).join(
+        F.broadcast(groups), F.col("__fp") == F.col("fingerprint")
+    )
+    pairs = members.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("keep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return split_leakage_report(corpus, pairs, "doc_id", salt="leak1")
+
+
+@query(
+    "embedding_space_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM e, UNNEST(generate_series(1, len(v))) AS t(i)
+    ), c AS (
+      SELECT label, pos, avg(x) AS c FROM d GROUP BY 1, 2
+    ), cv AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM c GROUP BY 1
+    ), s AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                                           i -> v[i] * cv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                   4) AS cos
+      FROM e JOIN cv USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(cos), 4) AS mean_centroid_cos,
+           min(cos) AS min_centroid_cos,
+           max(cos) AS max_centroid_cos
+    FROM s GROUP BY label
+    """,
+    "Embedding-space audit (vector-table data quality, run before "
+    "trusting embeddings for semantic dedup / ANN / mixtures): "
+    "per-label class centroid + member-to-centroid cosine cohesion "
+    "stats — a label whose members barely correlate with their own "
+    "centroid signals a broken encoder or mislabeled rows, the vector "
+    "analog of dq_report. Centroids ride posexplode + a partial- "
+    "aggregated (label, dim) groupBy (shuffle volume |labels| x dim, "
+    "never vectors), broadcast back onto one corpus scan for the exact "
+    "cosine fold. Oracle replays centroid averaging (UNNEST WITH "
+    "ORDINALITY) and the fold end-to-end; cosines rounded to 4 "
+    "decimals before aggregating (the determinism contract).",
+)
+def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import (
+        embedding_space_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_space_report(emb, "label", "embedding", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7235,10 +7370,11 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 157 registry
+# coverage reaches 46 first-time rows; every one of the 159 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
-# (the three post-rotation additions event_funnel / vocab_oov_report /
-# length_bucket_padding sit outside the full window and queue for the
+# (the post-rotation additions event_funnel / vocab_oov_report /
+# length_bucket_padding / split_leakage_audit /
+# embedding_space_audit sit outside the full window and queue for the
 # r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late

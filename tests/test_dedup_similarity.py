@@ -528,3 +528,31 @@ def test_edit_distance_survives_duplicate_heavy_corpus(spark):
     expect = n_docs * copies * (copies - 1) // 2 + n_base * copies * copies
     assert len(pairs) == expect, (len(pairs), expect, n_base)
     assert all(p.edit_distance <= 2 for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# embedding-space audit
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_space_report_tight_and_loose_clusters(spark):
+    from dog_data_pipeline_spark.operators.similarity import (
+        embedding_space_report,
+    )
+
+    rows = [
+        # label 0: identical vectors -> cohesion exactly 1.0
+        (0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+        # label 1: orthogonal pair -> centroid at 45deg, cos ~0.7071
+        (3, 1, [2.0, 0.0]), (4, 1, [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>"
+    )
+    out = {r["label"]: r for r in embedding_space_report(df).collect()}
+    assert out[0]["n_vectors"] == 3
+    assert out[0]["mean_centroid_cos"] == 1.0
+    assert out[0]["min_centroid_cos"] == 1.0
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["mean_centroid_cos"] == 0.7071
+    assert out[1]["min_centroid_cos"] == out[1]["max_centroid_cos"] == 0.7071

@@ -484,3 +484,24 @@ def test_length_bucket_padding_windows_are_partitioned(spark):
         head = spec.split(")")[0]
         assert "shard" in head  # every spec partitions by shard
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_audit_pairs_join_shapes(spark):
+    plan = plan_of(spark, "split_leakage_audit")
+    # dup-group lookup broadcast; the only nested loop is the final
+    # 1-row x 1-row report combine
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # tree + detail
+    assert "partial_sum" in plan
+
+
+def test_embedding_space_audit_shuffles_dims_not_vectors(spark):
+    plan = plan_of(spark, "embedding_space_audit")
+    # centroid path: partial-aggregated (label, pos) groupBy — the
+    # exploded per-dimension rows combine map-side; the centroid table
+    # broadcasts back (never a sort-merge of the corpus against itself)
+    assert "partial_avg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -235,3 +235,28 @@ def test_weighted_priority_sample_rejects_nonpositive_weights(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
         weighted_priority_sample(df, "k", "w", k=2).collect()
     assert "non-positive/NULL" in str(ei.value)
+
+
+def test_split_leakage_report_counts_and_safe_zero(spark):
+    from dog_data_pipeline_spark.operators.sampling import (
+        split_leakage_report,
+        with_split,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    # dup pairs: each even doc paired with doc+1
+    pairs = (
+        spark.range(0, 200, 2)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+    )
+    rep = split_leakage_report(docs, pairs, "doc_id", salt="t").collect()[0]
+    assert rep["n_dup_pairs"] == 100
+    # replay the naive split to confirm the leak count independently
+    s = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs, "doc_id", salt="t").collect()
+    }
+    expected = sum(1 for a in range(0, 200, 2) if s[a] != s[a + 1])
+    assert rep["plain_leaked_pairs"] == expected > 0
+    assert abs(rep["plain_leak_rate"] - round(expected / 100, 4)) < 1e-9
+    assert rep["safe_split_zero_leaks"] is True
