@@ -190,3 +190,82 @@ def range_self_join_pairs(
         )
         .select(*keys, "id_a", "id_b", (F.col("t_b") - F.col("t_a")).alias("delta_sec"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_sec: int = 604800,
+) -> DataFrame:
+    """Cohort retention analysis: group users by first-activity bucket
+    (epoch weeks by default — integer bucket arithmetic, no calendar
+    week-start disagreements between engines), then measure what
+    fraction of each cohort is active k buckets later.
+
+    Returns (cohort_wk, week_offset, n_active, retention_rate[4dp]).
+
+    Scale shape: cohorts = one partial-aggregated min per user
+    (|users| rows); activity = distinct (user, bucket) pairs (bounded
+    by |users| x active-buckets, partial-aggregated); one user-keyed
+    hash join between the two + a final (cohort, offset) fold. No
+    windows, no per-user sequence materialization.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), F.floor(t / bucket_sec).alias("wk")
+    )
+    cohorts = base.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    activity = base.distinct()
+    joined = activity.join(cohorts, "u").select(
+        "u", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+    )
+    per_cell = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("u").alias("n_active")
+    )
+    sizes = cohorts.groupBy("cohort_wk").agg(
+        F.countDistinct("u").alias("__size")
+    )
+    return per_cell.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("__size"), 4).alias("retention_rate"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top event-to-event transition pairs (the first-order Markov view
+    of user journeys): per user, consecutive events ordered by
+    (ts, id) — the id tiebreak makes the sequence fully deterministic —
+    counted per (from, to) pair, top-k by (count desc, pair asc).
+
+    Scale shape: ONE window pass partitioned by user (each user's
+    history sorts within its own partition — no global or
+    single-partition sort), a partial-aggregated pair count, and a
+    TakeOrdered top-k. A power user costs one fat partition at worst;
+    salt the window key by session if that ever binds.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
+        .limit(top_k)
+    )

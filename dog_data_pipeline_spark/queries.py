@@ -7283,6 +7283,74 @@ def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_space_report(emb, "label", "embedding", "vec_id")
 
 
+@query(
+    "cohort_retention",
+    """
+    WITH base AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events
+    ), cohorts AS (
+      SELECT u, min(wk) AS cohort_wk FROM base GROUP BY u
+    ), activity AS (
+      SELECT DISTINCT u, wk FROM base
+    ), cells AS (
+      SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             count(DISTINCT a.u) AS n_active
+      FROM activity a JOIN cohorts c ON a.u = c.u
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_wk, count(*) AS sz FROM cohorts GROUP BY 1
+    )
+    SELECT cells.cohort_wk, week_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           round(CAST(n_active AS DOUBLE) / sz, 4) AS retention_rate
+    FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk
+    """,
+    "Cohort retention (product-analytics staple): users grouped by "
+    "first-activity epoch week — integer bucket arithmetic, immune to "
+    "calendar week-start disagreements between engines — and the "
+    "fraction of each cohort active k weeks later. Cohorts are one "
+    "partial-aggregated min per user, activity is distinct (user, "
+    "week), one user-keyed hash join + a (cohort, offset) fold; no "
+    "windows, no per-user sequences. Oracle replays the bucket "
+    "arithmetic end-to-end.",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "event_transitions",
+    """
+    WITH ordered AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM ordered WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 20
+    """,
+    "Event-transition matrix (first-order Markov view of user "
+    "journeys): consecutive events per user ordered by (ts, event_id) "
+    "— the id tiebreak pins the sequence deterministically — counted "
+    "per (from, to) pair, top-20 by (count desc, pair asc). One window "
+    "pass partitioned BY USER (each history sorts in its own "
+    "partition, no single-task sort), partial-aggregated pair count, "
+    "TakeOrdered top-k. Oracle replays the identical lead() chain.",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7370,12 +7438,12 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 159 registry
+# coverage reaches 46 first-time rows; every one of the 161 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
-# length_bucket_padding / split_leakage_audit /
-# embedding_space_audit sit outside the full window and queue for the
-# r5 rotation).
+# length_bucket_padding / split_leakage_audit / embedding_space_audit
+# / cohort_retention / event_transitions sit outside the full window
+# and queue for the r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

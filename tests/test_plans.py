@@ -505,3 +505,19 @@ def test_embedding_space_audit_shuffles_dims_not_vectors(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_no_windows_no_cartesian(spark):
+    plan = plan_of(spark, "cohort_retention")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # per-user cohort min combines map-side
+
+
+def test_event_transitions_user_partitioned_window_takeordered(spark):
+    plan = plan_of(spark, "event_transitions")
+    # the sequence window partitions by user (never a single global sort)
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all("user_id" in s.split(")")[0] for s in specs)

@@ -137,3 +137,47 @@ def test_funnel_strictly_after_ties_do_not_count(spark):
         for r in funnel_steps(ev, ["view", "click"]).collect()
     }
     assert out == {"1_view": 1, "2_click": 0}
+
+
+def test_cohort_retention_counts_and_rates(spark):
+    from dog_data_pipeline_spark.operators.temporal import cohort_retention
+
+    # bucket_sec=100 for readable buckets: users 1,2 start in bucket 0;
+    # user 1 returns in bucket 1; user 3 starts in bucket 1
+    ev = _funnel_events(
+        spark,
+        [
+            (1, 10, "view"), (1, 150, "click"),
+            (2, 20, "view"),
+            (3, 110, "view"),
+        ],
+    )
+    out = {
+        (r["cohort_wk"], r["week_offset"]): (r["n_active"], r["retention_rate"])
+        for r in cohort_retention(ev, bucket_sec=100).collect()
+    }
+    base = min(k[0] for k in out)
+    assert out[(base, 0)] == (2, 1.0)       # cohort of 2, both active at 0
+    assert out[(base, 1)] == (1, 0.5)       # user 1 retained
+    assert out[(base + 1, 0)] == (1, 1.0)   # user 3's own cohort
+    assert len(out) == 3
+
+
+def test_event_transitions_orders_and_counts(spark):
+    from dog_data_pipeline_spark.operators.temporal import event_transitions
+
+    ev = _funnel_events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "view"), (1, 3, "click"),
+            (2, 0, "view"), (2, 1, "click"),
+            # user 3's events never chain into user 1/2's
+            (3, 0, "purchase"),
+        ],
+    )
+    ev = ev.withColumn("event_id", F.monotonically_increasing_id())
+    rows = event_transitions(ev).collect()
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in rows}
+    assert got == {("view", "click"): 3, ("click", "view"): 1}
+    # top-1 is the most frequent pair
+    assert (rows[0]["from_type"], rows[0]["to_type"]) == ("view", "click")
