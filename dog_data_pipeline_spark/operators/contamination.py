@@ -190,11 +190,16 @@ def semantic_contamination(
     # corpus row whose only benchmark pair is itself from the output
     # entirely, while the contract is one row per corpus vector. Nulls
     # vanish inside count/max, so the aggregate sees only real pairs.
+    # try_divide: a zero-norm (all-zero) embedding — failed or padded
+    # encode rows are common in real vector tables — must yield a null
+    # cosine (not contaminating), not an ANSI DIVIDE_BY_ZERO crash
     scored = c.crossJoin(F.broadcast(b)).withColumn(
         "cos",
         F.when(
             F.col("c_id") != F.col("b_id"),
-            F.round(dot / (F.col("c_norm") * F.col("b_norm")), 4),
+            F.round(
+                F.try_divide(dot, F.col("c_norm") * F.col("b_norm")), 4
+            ),
         ),
     )
     per = scored.groupBy("c_id").agg(

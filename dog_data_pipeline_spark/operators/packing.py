@@ -83,6 +83,33 @@ def packed_sequences(
     )
 
 
+# the length-bucketed layout's identity expressions, shared by the
+# batcher and the padding report's bucket-collapsed baseline replay: if
+# salt, key derivation, or batch formula ever changed in only one of the
+# two, the baseline would silently replay a DIFFERENT layout and the
+# report's isolated-effect claim (same shards, same order, only the
+# bucket differs) would be wrong with no test failing.
+def _lenbatch_key(id_cols: tuple[str, ...]):
+    return F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols])
+
+
+def _lenbatch_shard(id_cols: tuple[str, ...], num_shards: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(_lenbatch_key(id_cols)), 1, 6), 16, 10).cast(
+            "long"
+        ),
+        F.lit(num_shards),
+    )
+
+
+def _lenbatch_order(id_cols: tuple[str, ...]):
+    return F.md5(F.concat(F.lit("lenbatch-order:"), _lenbatch_key(id_cols)))
+
+
+def _batch_of(rn, batch_size: int):
+    return F.floor((rn - F.lit(1)) / batch_size)
+
+
 def length_bucketed_batches(
     df: DataFrame,
     tokens_col: str = "n_tokens",
@@ -105,25 +132,16 @@ def length_bucketed_batches(
 
     Returns the input rows + (len_bucket, shard, batch) columns.
     """
-    ident = [F.col(c).cast("string") for c in id_cols]
-    key = F.concat_ws(":", *ident)
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long"),
-        F.lit(num_shards),
-    )
-    order = F.md5(F.concat(F.lit("lenbatch-order:"), key))
     out = (
         df.filter(F.col(tokens_col) > 0)
         .withColumn("len_bucket", F.floor(F.log2(F.col(tokens_col))))
-        .withColumn("shard", shard)
-        .withColumn("__ord", order)
+        .withColumn("shard", _lenbatch_shard(id_cols, num_shards))
+        .withColumn("__ord", _lenbatch_order(id_cols))
     )
     rn = F.row_number().over(
         Window.partitionBy("len_bucket", "shard").orderBy("__ord", *id_cols)
     )
-    return out.withColumn("batch", F.floor((rn - F.lit(1)) / batch_size)).drop(
-        "__ord"
-    )
+    return out.withColumn("batch", _batch_of(rn, batch_size)).drop("__ord")
 
 
 def padding_waste_report(
@@ -164,12 +182,13 @@ def padding_waste_report(
     )
     flat = bucketed.withColumn("len_bucket", F.lit(-1).cast("bigint"))
     # the baseline replays the same (shard, rank) layout with the bucket
-    # dimension collapsed: same shards, same md5 order, so the ONLY
-    # difference measured is the length grouping itself.
+    # dimension collapsed: same shards, same md5 order (the shared
+    # _lenbatch_* expressions above), so the ONLY difference measured is
+    # the length grouping itself.
     rn = F.row_number().over(
-        Window.partitionBy("shard").orderBy(F.md5(F.concat(F.lit("lenbatch-order:"), F.concat_ws(":", *[F.col(c).cast("string") for c in id_cols]))), *id_cols)
+        Window.partitionBy("shard").orderBy(_lenbatch_order(id_cols), *id_cols)
     )
-    flat = flat.withColumn("batch", F.floor((rn - F.lit(1)) / batch_size))
+    flat = flat.withColumn("batch", _batch_of(rn, batch_size))
     return _report(bucketed, ["len_bucket"]).unionByName(
         _report(flat, ["len_bucket"])
     )

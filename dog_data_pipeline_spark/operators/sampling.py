@@ -300,15 +300,24 @@ def split_leakage_report(
 
     pl = _leak_counts(plain, "plain_leaked_pairs")
     sf = _leak_counts(safe, "__safe_leaked").select("__safe_leaked")
+    # coalesce + try_divide: a duplicate-FREE corpus (the healthy case
+    # this audit certifies) aggregates zero pair rows — sum() is NULL
+    # and a plain divide is 0/0; the report must read (0, 0, null,
+    # TRUE), not a row of NULLs a downstream assert silently passes over
     return (
         pl.crossJoin(F.broadcast(sf))
         .select(
             F.col("__n").alias("n_dup_pairs"),
-            "plain_leaked_pairs",
-            F.round(F.col("plain_leaked_pairs") / F.col("__n"), 4).alias(
-                "plain_leak_rate"
+            F.coalesce("plain_leaked_pairs", F.lit(0)).alias(
+                "plain_leaked_pairs"
             ),
-            (F.col("__safe_leaked") == 0).alias("safe_split_zero_leaks"),
+            F.round(
+                F.try_divide(F.coalesce("plain_leaked_pairs", F.lit(0)), F.col("__n")),
+                4,
+            ).alias("plain_leak_rate"),
+            (F.coalesce("__safe_leaked", F.lit(0)) == 0).alias(
+                "safe_split_zero_leaks"
+            ),
         )
     )
 

@@ -608,9 +608,16 @@ def embedding_space_report(
         lambda acc, x: acc + x,
     )
     nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    # centroid norm computed ONCE per label on the |labels|-row table
+    # (an O(dim) fold per corpus row otherwise), and try_divide so a
+    # zero-norm member or a degenerate all-cancelling centroid reports
+    # a null cosine instead of crashing the audit on exactly the broken
+    # data it exists to surface (ANSI DIVIDE_BY_ZERO)
+    centroids = centroids.withColumn(
+        "nc", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    )
     scored = base.join(F.broadcast(centroids), "lbl").withColumn(
-        "cos", F.round(dot / (nv * nc), 4)
+        "cos", F.round(F.try_divide(dot, nv * F.col("nc")), 4)
     )
     return scored.groupBy(F.col("lbl").alias(label_col)).agg(
         F.count(F.lit(1)).alias("n_vectors"),

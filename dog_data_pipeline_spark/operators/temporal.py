@@ -79,6 +79,7 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_sec: int | None = None,
+    checkpoint_states: bool = True,
 ) -> DataFrame:
     """Ordered-funnel analysis: for each user, did the event types in
     ``steps`` occur in sequence (each step strictly after the previous
@@ -133,6 +134,15 @@ def funnel_steps(
                 F.min("__tf").alias("t_first"),
             )
         )
+        if checkpoint_states:
+            # checkpoint each step's |users|-row state lazily: the
+            # per-step count branches below otherwise re-execute the
+            # whole join-chain prefix (step k re-runs all k-1 upstream
+            # joins — O(K^2) subplan executions in one action); the
+            # first action materializes each state once for all its
+            # consumers. checkpoint_states=False keeps the full lineage
+            # visible for plan-shape inspection (tests/test_plans.py).
+            state = state.localCheckpoint(eager=False)
         counts.append((f"{k}_{step}", state))
     per_step = None
     for name, st in counts:
@@ -149,7 +159,12 @@ def funnel_steps(
     return per_step.crossJoin(F.broadcast(base)).select(
         "step",
         "n_users",
-        F.round(F.col("n_users") / F.col("__base"), 4).alias("conversion_rate"),
+        # try_divide: an empty step 1 (no user fired the first event)
+        # must report (0, null) rows, not crash — ANSI mode makes a
+        # plain 0/0 raise DIVIDE_BY_ZERO
+        F.round(F.try_divide(F.col("n_users"), F.col("__base")), 4).alias(
+            "conversion_rate"
+        ),
     )
 
 

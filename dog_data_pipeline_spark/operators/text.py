@@ -700,12 +700,24 @@ def bpe_encode(
         cache[w] = syms
         return syms
 
+    import re
+
+    # MUST match the learner's word split exactly: tokens() splits on
+    # Java \s+, which is ASCII whitespace only — Python str.split()
+    # splits on all Unicode whitespace and would break encode/learn
+    # consistency on e.g. NBSP-joined words (learned as one word,
+    # encoded as two)
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @F.pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
         cache: dict = {}
         out_rows = []
         for t in texts:
-            toks_ = [w for w in (t or "").lower().strip().split() if w]
+            # no str.strip(): it eats Unicode whitespace (NBSP) that the
+            # JVM trim/split keeps inside words; the split+filter pair
+            # already discards ASCII edge whitespace
+            toks_ = [w for w in _ws.split((t or "").lower()) if w]
             row: list[str] = []
             for w in toks_:
                 row.extend(_encode_word(w, cache))

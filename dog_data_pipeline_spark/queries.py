@@ -6893,11 +6893,16 @@ def quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT vec_id AS b_id, v AS bv, norm AS bnorm FROM n WHERE vec_id % 101 = 0
     ), s AS (
+      -- mirror the operator's mask-not-filter contract: self-matches
+      -- become NULL cosines so a corpus row whose only benchmark pair
+      -- is itself still yields an output row (count/max skip NULLs)
       SELECT c.vec_id,
-             round(list_sum(list_transform(generate_series(1, len(bv)),
-                                           i -> bv[i] * c.v[i]))
-                   / (bnorm * c.norm), 4) AS cos
-      FROM n c, b WHERE c.vec_id <> b_id
+             CASE WHEN c.vec_id <> b_id THEN
+               round(list_sum(list_transform(generate_series(1, len(bv)),
+                                             i -> bv[i] * c.v[i]))
+                     / (bnorm * c.norm), 4)
+             END AS cos
+      FROM n c, b
     )
     SELECT vec_id,
            CAST(count(*) FILTER (cos >= 0.2) AS BIGINT) AS n_contaminating,

@@ -47,8 +47,20 @@ def distinct_state_stream(
         if not batch.columns:
             return
         spark = batch.sparkSession
-        partials = distinct_partials(batch, key_cols, distinct_col, lg_k)
         fs, hpath = _hadoop_fs(spark, state_path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        root = state_path.rstrip("/")
+        backup = jpath(f"{root}.old")
+        # crash recovery: a previous attempt that died between its two
+        # renames leaves the state only under the DETERMINISTIC backup
+        # name — restore it before reading, so no crash point ever
+        # silently re-initializes state from one batch. (Backup names
+        # must not be random: an unrecoverable uuid name is exactly how
+        # accumulated state would be lost.)
+        if not fs.exists(hpath) and fs.exists(backup):
+            if not fs.rename(backup, hpath):
+                raise IOError(f"state recovery failed: {backup} -> {state_path}")
+        partials = distinct_partials(batch, key_cols, distinct_col, lg_k)
         if fs.exists(hpath):
             state = spark.read.parquet(state_path)
             merged = merge_distinct_state(state, partials, key_cols)
@@ -57,19 +69,19 @@ def distinct_state_stream(
         # stage-then-swap: never leave the state dir half-written (a
         # reader or a crashed overwrite must always see a complete
         # previous state). The state is |keys| rows — one staging write
-        # + two renames.
-        root = state_path.rstrip("/")
+        # + two renames; every crash window leaves the state readable
+        # either at state_path or at the fixed backup name above.
         staging = f"{root}.staging-{uuid.uuid4().hex}"
         merged.coalesce(1).write.mode("overwrite").parquet(staging)
-        jpath = spark._jvm.org.apache.hadoop.fs.Path
-        old = jpath(f"{root}.old-{uuid.uuid4().hex}")
+        if fs.exists(backup):
+            fs.delete(backup, True)
         if fs.exists(hpath):
-            if not fs.rename(hpath, old):
-                raise IOError(f"state swap failed: {state_path} -> {old}")
+            if not fs.rename(hpath, backup):
+                raise IOError(f"state swap failed: {state_path} -> {backup}")
         if not fs.rename(jpath(staging), hpath):
             raise IOError(f"state swap failed: {staging} -> {state_path}")
-        if fs.exists(old):
-            fs.delete(old, True)
+        if fs.exists(backup):
+            fs.delete(backup, True)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint

@@ -556,3 +556,27 @@ def test_embedding_space_report_tight_and_loose_clusters(spark):
     assert out[1]["n_vectors"] == 2
     assert out[1]["mean_centroid_cos"] == 0.7071
     assert out[1]["min_centroid_cos"] == out[1]["max_centroid_cos"] == 0.7071
+
+
+def test_embedding_space_report_zero_vector_yields_null_cos_not_crash(spark):
+    from dog_data_pipeline_spark.operators.similarity import (
+        embedding_space_report,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.0, 0.0]),   # zero-norm member
+        (2, 1, [1.0, 0.0]),
+        (3, 1, [-1.0, 0.0]),  # label 1 centroid cancels to zero vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>"
+    )
+    out = {r["label"]: r for r in embedding_space_report(df).collect()}
+    # label 0: the real vector still scores vs centroid; the zero
+    # vector contributes a null (skipped by avg/min/max)
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["mean_centroid_cos"] == 1.0
+    # label 1: degenerate centroid -> every cosine null, stats null
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["mean_centroid_cos"] is None

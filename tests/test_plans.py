@@ -450,7 +450,21 @@ def test_hll_rollup_sketches_combine_map_side(spark):
 
 
 def test_event_funnel_min_chain_has_no_sequence_window(spark):
-    plan = plan_of(spark, "event_funnel")
+    # build the funnel with state checkpointing off: the registry query
+    # lazily checkpoints each step state (truncating visible lineage),
+    # which would hide the join chain this test pins
+    from dog_data_pipeline_spark.operators.temporal import funnel_steps
+    from dog_data_pipeline_spark.tables import load
+
+    df = funnel_steps(
+        load(spark, SF_DIR, "events"),
+        ["view", "click", "purchase"],
+        within_sec=259200,
+        checkpoint_states=False,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     # the funnel must be the relational min-chain: per-user state rides
     # broadcast hash joins, NEVER a per-user ordered sequence window
     # (that plan would single-sort every power user's event history)

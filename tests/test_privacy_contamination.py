@@ -339,3 +339,23 @@ def test_semantic_contamination_counts_multiple_benchmark_hits(spark):
     assert out[10]["n_contaminating"] == 2
     # rounded-before-threshold contract: max_benchmark_cos is 4-decimal
     assert abs(out[10]["max_benchmark_cos"] * 1e4 - round(out[10]["max_benchmark_cos"] * 1e4)) < 1e-6
+
+
+def test_semantic_contamination_zero_norm_vector_is_clean_not_crash(spark):
+    from dog_data_pipeline_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),  # failed/padded encode -> zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    bench = df.filter(F.col("vec_id") == 0)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(df, bench, threshold=0.5).collect()
+    }
+    assert not out[1]["is_contaminated"]
+    assert out[1]["n_contaminating"] == 0
+    assert out[1]["max_benchmark_cos"] is None

@@ -260,3 +260,15 @@ def test_split_leakage_report_counts_and_safe_zero(spark):
     assert rep["plain_leaked_pairs"] == expected > 0
     assert abs(rep["plain_leak_rate"] - round(expected / 100, 4)) < 1e-9
     assert rep["safe_split_zero_leaks"] is True
+
+
+def test_split_leakage_report_clean_corpus_reports_zero_not_nulls(spark):
+    from dog_data_pipeline_spark.operators.sampling import split_leakage_report
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    rep = split_leakage_report(docs, empty, "doc_id", salt="t").collect()[0]
+    assert rep["n_dup_pairs"] == 0
+    assert rep["plain_leaked_pairs"] == 0
+    assert rep["plain_leak_rate"] is None
+    assert rep["safe_split_zero_leaks"] is True

@@ -762,3 +762,63 @@ def test_streaming_distinct_state_matches_batch_and_replay_is_idempotent(
         for r in read_distinct_counts(spark, state, ["event_type"]).collect()
     }
     assert again == got
+
+
+def test_streaming_distinct_state_recovers_from_crash_window(spark, tmp_path):
+    """Simulate the crash point between the two swap renames (state dir
+    gone, deterministic backup present): the next batch must restore
+    the backup instead of silently re-initializing from itself."""
+    import shutil
+
+    from dog_data_pipeline_spark.streaming.distinct_state import (
+        distinct_state_stream,
+        read_distinct_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = tmp_path / "state"
+
+    full = load(spark, SF_DIR, "events").select("user_id", "event_type")
+    full.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    distinct_state_stream(
+        stream, str(state), str(tmp_path / "ck1"), ["event_type"], "user_id"
+    ).awaitTermination(120)
+    before = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_counts(spark, str(state), ["event_type"]).collect()
+    }
+    # crash window: state renamed to backup, new state never swapped in
+    shutil.move(str(state), str(tmp_path / "state.old"))
+    # second batch arrives
+    full.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream2 = (
+        spark.readStream.schema(full.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    distinct_state_stream(
+        stream2, str(state), str(tmp_path / "ck2"), ["event_type"], "user_id"
+    ).awaitTermination(120)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in full.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["distinct_est"]
+        for r in read_distinct_counts(spark, str(state), ["event_type"]).collect()
+    }
+    # recovered backup + both batches (replay is idempotent) == exact
+    assert got == exact
+    assert all(got[k] >= before[k] for k in before)

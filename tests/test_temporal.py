@@ -181,3 +181,15 @@ def test_event_transitions_orders_and_counts(spark):
     assert got == {("view", "click"): 3, ("click", "view"): 1}
     # top-1 is the most frequent pair
     assert (rows[0]["from_type"], rows[0]["to_type"]) == ("view", "click")
+
+
+def test_funnel_empty_first_step_reports_zero_not_crash(spark):
+    from dog_data_pipeline_spark.operators.temporal import funnel_steps
+
+    ev = _funnel_events(spark, [(1, 0, "click")])
+    out = {
+        r["step"]: (r["n_users"], r["conversion_rate"])
+        for r in funnel_steps(ev, ["view", "click"]).collect()
+    }
+    assert out["1_view"] == (0, None)
+    assert out["2_click"] == (0, None)

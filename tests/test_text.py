@@ -440,3 +440,17 @@ def test_bpe_encode_multiword_and_case_normalization(spark):
     assert enc.collect()[0]["bpe_tokens"] == [
         "ab", "</w>", "ab", "</w>", "ab", "</w>"
     ]
+
+
+def test_bpe_encode_nbsp_word_matches_learner_split(spark):
+    from dog_data_pipeline_spark.operators.text import bpe_encode, bpe_learn_merges
+
+    # NBSP is NOT whitespace to the JVM \s+ learner split: the learner
+    # sees ONE word 'a b'; the encoder must agree, not split it
+    text = "a b a b"
+    df = spark.createDataFrame([(text,)], "text STRING")
+    merges, state = bpe_learn_merges(df, num_merges=2)
+    learned = {r["w"]: r["symbols"] for r in state.collect()}
+    assert list(learned) == ["a b"]
+    got = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
+    assert got == learned["a b"] * 2
