@@ -7356,6 +7356,61 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "bigram_lm_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), uni AS (
+      SELECT u AS w1, count(*) AS cnt
+      FROM toks, UNNEST(t) x(u) GROUP BY 1
+    ), v AS (
+      SELECT count(*) AS vocab FROM uni
+    ), bgc AS (
+      SELECT t[i] || ' ' || t[i+1] AS bg, count(*) AS bcnt
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i) GROUP BY 1
+    ), stream AS (
+      SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i)
+    ), scored AS (
+      SELECT doc_id,
+             -ln((coalesce(bcnt, 0) + 0.5)
+                 / (coalesce(cnt, 0) + 0.5 * vocab)) AS nll
+      FROM stream
+      LEFT JOIN bgc USING (bg)
+      LEFT JOIN uni USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll,
+           round(exp(avg(nll)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    "Bigram-LM quality score (the conditional-context upgrade over "
+    "lm_perplexity_scores — word ORDER now matters, separating fluent "
+    "prose from keyword soup at equal unigram mass; the KenLM "
+    "filtering idea at n=2): per-doc cross-entropy + perplexity under "
+    "an add-0.5-smoothed P(w2|w1) trained on the corpus itself. This "
+    "is the engine's JOIN-path LM: bigram tables outgrow a broadcast "
+    "long before unigram vocabs do, so the scoring stream "
+    "shuffle-joins the count tables on (bigram) and (w1) — partial "
+    "aggregation on both training passes and the per-doc fold, no "
+    "unbounded broadcast. Oracle replays counts, smoothing, and the "
+    "fold end-to-end.",
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import bigram_lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_cross_entropy(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7443,12 +7498,12 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 161 registry
+# coverage reaches 46 first-time rows; every one of the 162 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
 # length_bucket_padding / split_leakage_audit / embedding_space_audit
-# / cohort_retention / event_transitions sit outside the full window
-# and queue for the r5 rotation).
+# / cohort_retention / event_transitions / bigram_lm_scores sit
+# outside the full window and queue for the r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

@@ -535,3 +535,12 @@ def test_event_transitions_user_partitioned_window_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     specs = plan.split("windowspecdefinition(")[1:]
     assert specs and all("user_id" in s.split(")")[0] for s in specs)
+
+
+def test_bigram_lm_partial_aggs_no_cartesian(spark):
+    plan = plan_of(spark, "bigram_lm_scores")
+    # both training passes and the per-doc fold partial-aggregate; the
+    # only nested loop is the 1-row vocab-size broadcast
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # tree + detail

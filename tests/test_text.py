@@ -454,3 +454,49 @@ def test_bpe_encode_nbsp_word_matches_learner_split(spark):
     assert list(learned) == ["a b"]
     got = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
     assert got == learned["a b"] * 2
+
+
+def test_bigram_lm_prefers_fluent_order_over_shuffled(spark):
+    """Same unigram mass, different order: the bigram LM must score the
+    corpus-typical order lower-perplexity than the shuffled one."""
+    from dog_data_pipeline_spark.operators.text import bigram_lm_cross_entropy
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_lm_cross_entropy(probe, train=train).collect()
+    }
+    assert out[100] < out[101]
+
+
+def test_bigram_lm_exact_probabilities_tiny_case(spark):
+    import math
+
+    from dog_data_pipeline_spark.operators.text import bigram_lm_cross_entropy
+
+    # corpus: one doc "a b a b"; V=2; C(a)=2, C(b)=2
+    # bigrams: "a b" x2, "b a" x1
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id BIGINT, text STRING")
+    r = bigram_lm_cross_entropy(df, alpha=0.5).collect()[0]
+    p_ab = (2 + 0.5) / (2 + 0.5 * 2)  # P(b|a)
+    p_ba = (1 + 0.5) / (2 + 0.5 * 2)  # P(a|b)
+    expected = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert r["n_bigrams"] == 3
+    assert abs(r["avg_nll"] - expected) < 1e-9
+
+
+def test_bigram_lm_single_token_docs_drop_out(spark):
+    from dog_data_pipeline_spark.operators.text import bigram_lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "two words")], "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"] for r in bigram_lm_cross_entropy(df).collect()}
+    assert got == {2}
