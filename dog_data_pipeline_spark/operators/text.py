@@ -16,7 +16,7 @@ against an independent reference implementation instead.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -753,6 +753,27 @@ def bigram_lm_cross_entropy(
     table is actually small. ``train`` scores one corpus under a model
     counted on another (the CCNet pattern).
     """
+    scored = _bigram_nll_stream(docs, id_col, text_col, alpha, train)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("nll").alias("avg_nll"),
+        )
+        .withColumn("ppl", F.exp(F.col("avg_nll")))
+    )
+
+
+def _bigram_nll_stream(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float,
+    train: DataFrame | None,
+) -> DataFrame:
+    """Shared bigram-LM scoring stream: (id_col, pos, nll) with pos the
+    1-based bigram position — the per-document fold consumes it for
+    perplexity, the windowed span detector for localization."""
     if train is None:
         train = docs
     toks = tokens(F.col(text_col))
@@ -774,8 +795,13 @@ def bigram_lm_cross_entropy(
         .agg(F.count(F.lit(1)).alias("bcnt"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("__vocab"))
-    stream = docs.select(F.col(id_col), F.explode(pair).alias("p")).select(
-        id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")
+    stream = docs.select(
+        F.col(id_col), F.posexplode(pair).alias("__p0", "p")
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        F.col("p.w1").alias("w1"),
+        F.col("p.bg").alias("bg"),
     )
     p = F.try_divide(
         F.coalesce(F.col("bcnt"), F.lit(0)) + F.lit(alpha),
@@ -785,10 +811,57 @@ def bigram_lm_cross_entropy(
         stream.join(big, "bg", "left")
         .join(uni, "w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg(-F.log(p)).alias("avg_nll"),
-        )
-        .withColumn("ppl", F.exp(F.col("avg_nll")))
+        .select(id_col, "pos", (-F.log(p)).alias("nll"))
     )
+
+
+def incoherent_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    threshold: float = 3.6,
+    alpha: float = 0.5,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Localize INCOHERENT token runs inside otherwise-keepable
+    documents: windows of ``window`` consecutive bigrams whose mean
+    bigram-LM cross-entropy reaches ``threshold`` are flagged and
+    merged into maximal spans — the span-surgery idea of
+    ``duplicate_spans``/``contamination_spans`` pointed at LM quality
+    (drop the garbled paste-damage segment, keep the document; the
+    line-level filtering of RefinedWeb generalized to model-scored
+    spans).
+
+    Returns (id, span_start, span_end): 1-based inclusive TOKEN
+    positions (a window starting at bigram pos covers tokens
+    pos..pos+window). Only full windows score (the incomplete-window
+    drop rule, T2). The window mean is rounded to 4 decimals BEFORE
+    thresholding — the cross-engine determinism contract.
+
+    Scale shape: the scoring stream is the shared shuffle-join LM; the
+    windowed mean partitions BY DOCUMENT (parallel across docs, bounded
+    within); the islands merge is the existing spans engine.
+    """
+    from dog_data_pipeline_spark.operators.dedup import (
+        merge_positions_to_spans,
+    )
+
+    scored = _bigram_nll_stream(docs, id_col, text_col, alpha, train)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    flagged = (
+        scored.select(
+            F.col(id_col).alias("id"),
+            "pos",
+            F.round(F.avg("nll").over(w), 4).alias("__m"),
+            F.count(F.lit(1)).over(w).alias("__c"),
+        )
+        .filter((F.col("__c") == window) & (F.col("__m") >= threshold))
+        .select("id", "pos")
+    )
+    return merge_positions_to_spans(flagged, window + 1)

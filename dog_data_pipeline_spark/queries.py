@@ -7411,6 +7411,82 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incoherent_span_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), uni AS (
+      SELECT u AS w1, count(*) AS cnt FROM toks, UNNEST(t) x(u) GROUP BY 1
+    ), v AS (
+      SELECT count(*) AS vocab FROM uni
+    ), bgc AS (
+      SELECT t[i] || ' ' || t[i+1] AS bg, count(*) AS bcnt
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i) GROUP BY 1
+    ), stream AS (
+      SELECT doc_id, i AS pos, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i)
+    ), scored AS (
+      SELECT doc_id, pos,
+             -ln((coalesce(bcnt, 0) + 0.5)
+                 / (coalesce(cnt, 0) + 0.5 * vocab)) AS nll
+      FROM stream LEFT JOIN bgc USING (bg) LEFT JOIN uni USING (w1), v
+    ), wm AS (
+      SELECT doc_id, pos,
+             round(avg(nll) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING),
+                   4) AS m,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS c
+      FROM scored
+    ), hits AS (
+      SELECT doc_id, pos FROM wm WHERE c = 8 AND m >= 3.6
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN coalesce(pos > max(pos + 8) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) + 1, TRUE)
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl2 GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS flagged_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    "Incoherent-span localization (span-level quality filtering — the "
+    "RefinedWeb line-filter idea generalized to model-scored spans, "
+    "and the quality-side sibling of duplicate_span_stats): windows of "
+    "8 consecutive bigrams whose mean bigram-LM cross-entropy reaches "
+    "3.6 nats (the corpus's p99+ tail) merge into maximal spans via "
+    "the shared gaps-and-islands engine — drop the garbled segment, "
+    "keep the document. Window means partition BY DOCUMENT (parallel "
+    "across docs); rounded to 4 decimals BEFORE thresholding. Oracle "
+    "replays the LM, windowed means, and islands merge end-to-end.",
+)
+def incoherent_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import incoherent_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = incoherent_spans(
+        docs, "doc_id", "text", window=8, threshold=3.6, alpha=0.5
+    )
+    return spans.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("flagged_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7498,12 +7574,13 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 162 registry
+# coverage reaches 46 first-time rows; every one of the 163 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
 # length_bucket_padding / split_leakage_audit / embedding_space_audit
-# / cohort_retention / event_transitions / bigram_lm_scores sit
-# outside the full window and queue for the r5 rotation).
+# / cohort_retention / event_transitions / bigram_lm_scores /
+# incoherent_span_stats sit outside the full window and queue for the
+# r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

@@ -544,3 +544,13 @@ def test_bigram_lm_partial_aggs_no_cartesian(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # tree + detail
+
+
+def test_incoherent_spans_window_partitions_by_document(spark):
+    plan = plan_of(spark, "incoherent_span_stats")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(
+        "doc_id" in s.split(")")[0] or "id#" in s.split(")")[0] for s in specs
+    )

@@ -500,3 +500,48 @@ def test_bigram_lm_single_token_docs_drop_out(spark):
     )
     got = {r["doc_id"] for r in bigram_lm_cross_entropy(df).collect()}
     assert got == {2}
+
+
+def test_incoherent_spans_flags_planted_garble_not_fluent_text(spark):
+    from dog_data_pipeline_spark.operators.text import incoherent_spans
+
+    fluent = "the cat sat on the mat and then " * 6  # 48 tokens
+    # train corpus: many fluent docs; probe: fluent doc + doc with a
+    # garbled (never-seen-bigram) run spliced into the middle
+    train_rows = [(i, fluent.strip()) for i in range(30)]
+    garbled = (
+        "the cat sat on the mat and then "
+        + "zq xv qj vz jx qx zv xj jq vq zx qz "  # 12 unseen tokens
+        + "the cat sat on the mat and then the cat"
+    )
+    probe = spark.createDataFrame(
+        train_rows + [(100, garbled)], "doc_id BIGINT, text STRING"
+    )
+    train = spark.createDataFrame(train_rows, "doc_id BIGINT, text STRING")
+    # with V=8 the smoothing floor puts unseen-after-unseen bigrams at
+    # ln(8) ~ 2.08 nats while fluent bigrams sit near 0.7 — threshold
+    # between the two bands
+    spans = incoherent_spans(
+        probe, window=4, threshold=1.5, train=train
+    ).collect()
+    flagged_docs = {r["id"] for r in spans}
+    assert flagged_docs == {100}
+    (s,) = [(r["span_start"], r["span_end"]) for r in spans]
+    # the garbled run occupies tokens 9..20; the span must cover it and
+    # stay inside the splice's bigram neighborhood
+    assert s[0] <= 9 and s[1] >= 20
+    assert s[0] >= 5 and s[1] <= 25
+
+
+def test_incoherent_spans_merges_adjacent_windows(spark):
+    from dog_data_pipeline_spark.operators.text import incoherent_spans
+
+    # every bigram unseen under a disjoint train corpus -> all windows
+    # flagged -> exactly ONE maximal span per doc
+    train = spark.createDataFrame([(0, "a b c d e f g h")], "doc_id BIGINT, text STRING")
+    probe = spark.createDataFrame([(1, "q r s t u v w x y z")], "doc_id BIGINT, text STRING")
+    spans = incoherent_spans(probe, window=3, threshold=0.1, train=train).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    # 10 tokens -> 9 bigrams -> full windows start at 1..7, span 1..10
+    assert (r["span_start"], r["span_end"]) == (1, 10)
