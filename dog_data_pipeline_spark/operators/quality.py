@@ -179,3 +179,62 @@ def psi_report(
     return joined.select(
         "bin", "p_ref", "p_cur", ((pc - pr) * F.log(pc / pr)).alias("psi_term")
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    measure_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier audit via the median/MAD rule: a value
+    is an outlier when |x - median| > k * 1.4826 * MAD (the modified
+    z-score; 1.4826 scales MAD to sigma under normality, k=3.5 is the
+    Iglewicz-Hoaglin cutoff). Robust where mean/stddev gating is not:
+    the outliers themselves cannot drag the fence, so a corrupted
+    ingest batch is flagged instead of widening its own tolerance.
+
+    Returns (group_col, n_rows, median, mad, n_outliers, outlier_rate)
+    with median/mad rounded to 4 decimals and the rate computed via
+    try_divide (empty groups cannot crash the report).
+
+    Scale shape: two grouped percentile passes (median, then MAD over
+    the |x - median| residuals after a broadcast join of the
+    |groups|-row medians) + one counting aggregate — all
+    partial-aggregated; nothing driver-side. Exact percentiles hold
+    per-group state; at extreme group sizes swap in approx_percentile
+    (its certified-bounds variant lives in approx_quantiles_certified).
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(measure_col, F.lit(0.5)).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(
+            F.abs(F.col(measure_col) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    fenced = with_med.join(F.broadcast(mad), group_col)
+    out = (
+        F.abs(F.col(measure_col) - F.col("__med"))
+        > F.lit(k) * F.lit(1.4826) * F.col("__mad")
+    ).cast("long")
+    return (
+        fenced.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("__med"), 4).alias("median"),
+            F.round(F.first("__mad"), 4).alias("mad"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(F.try_divide(F.col("n_outliers"), F.col("n_rows")), 4).alias(
+                "outlier_rate"
+            ),
+        )
+    )

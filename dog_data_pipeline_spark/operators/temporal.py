@@ -284,3 +284,51 @@ def event_transitions(
         .orderBy(F.col("n_transitions").desc(), "from_type", "to_type")
         .limit(top_k)
     )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_sec: int = 604800,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Recency-weighted engagement score per user: each event
+    contributes value halved once per whole half-life of age. The score
+    is computed ENTIRELY in integer centi-units — value snapped to
+    centi-units, then arithmetic-right-shifted by the age in half-lives
+    (floor division by 2^n) — so every per-event weight and the final
+    sum are exact integers, bit-identical cross-engine (a float decay
+    sum's last-ulp ordering differences flip the 4th decimal and break
+    the value-hash oracle; measured, not hypothetical). The shift is
+    capped at 62 half-lives (beyond that the contribution is 0 anyway,
+    and 2^n stays a finite double); dividing an integer by 2^n in IEEE
+    doubles is EXACT (only the exponent changes), so the floor is never
+    off-by-one. Nonnegative values only (floor division semantics).
+
+    Returns (user_col, n_events, engagement_c) — engagement in
+    centi-units; top_k keeps the top users by (engagement desc, user
+    asc) via TakeOrdered.
+
+    Scale shape: t_max is a 1-row broadcast; the decay weight is a
+    map-only expression; one partial-aggregated per-user fold.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    tmax = events.agg(F.max(t).alias("__tmax"))
+    age = F.least(
+        F.floor((F.col("__tmax") - t) / halflife_sec), F.lit(62)
+    ).cast("int")
+    micro = F.round(F.col(value_col) * 100).cast("long")
+    weighted = events.crossJoin(F.broadcast(tmax)).select(
+        F.col(user_col),
+        F.floor(micro / F.pow(F.lit(2.0), age)).cast("long").alias("__w"),
+    )
+    out = weighted.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__w").cast("long").alias("engagement_c"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("engagement_c").desc(), user_col).limit(top_k)
+    return out

@@ -7487,6 +7487,88 @@ def incoherent_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "robust_outlier_report",
+    """
+    WITH med AS (
+      SELECT l_returnflag, percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY l_extendedprice) AS m
+      FROM lineitem GROUP BY 1
+    ), mad AS (
+      SELECT l.l_returnflag, percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY abs(l_extendedprice - m)) AS d
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(m, 4) AS median,
+           round(d, 4) AS mad,
+           CAST(sum(CASE WHEN abs(l_extendedprice - m) > 3.5 * 1.4826 * d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN abs(l_extendedprice - m)
+                                    > 3.5 * 1.4826 * d
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+             AS outlier_rate
+    FROM lineitem l
+    JOIN med ON l.l_returnflag = med.l_returnflag
+    JOIN mad ON l.l_returnflag = mad.l_returnflag
+    GROUP BY 1, m, d
+    """,
+    "Robust per-group outlier audit (median/MAD modified z-score, "
+    "Iglewicz-Hoaglin k=3.5): unlike mean/stddev gating, the outliers "
+    "cannot drag their own fence, so a corrupted ingest batch gets "
+    "flagged instead of widening its tolerance — the robust-statistics "
+    "companion to dq_report/skew_report. Two grouped percentile passes "
+    "(median, then MAD over broadcast-joined residuals) + one counting "
+    "aggregate, all partial-aggregated. Oracle replays percentile_cont "
+    "medians, the fence, and the counts end-to-end.",
+)
+def robust_outlier_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import robust_outlier_report
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return robust_outlier_report(li, "l_returnflag", "l_extendedprice", k=3.5)
+
+
+@query(
+    "decayed_engagement",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS mc,
+             epoch(ts) AS t
+      FROM events
+    ), mx AS (
+      SELECT max(t) AS tmax FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(mc / power(2,
+                     least(floor((tmax - t) / 604800.0), 62)))
+                    AS BIGINT)) AS BIGINT) AS engagement_c
+    FROM e, mx
+    GROUP BY user_id
+    ORDER BY engagement_c DESC, user_id
+    LIMIT 25
+    """,
+    "Recency-weighted engagement leaderboard: each event's value is "
+    "halved once per whole one-week half-life of age. Computed "
+    "ENTIRELY in integer centi-units with per-event floor division by "
+    "2^age — a float decay sum's last-ulp ordering differences flip "
+    "the 4th decimal and break the value hash (measured during "
+    "development, not hypothetical), while integer-divided-by-2^n is "
+    "IEEE-exact on both engines. t_max is a 1-row broadcast; the "
+    "weight is map-only; one partial-aggregated per-user fold + "
+    "TakeOrdered(25) with user-id tie-break.",
+)
+def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import decayed_engagement
+
+    return decayed_engagement(
+        _t(spark, sf_dir, "events"), halflife_sec=604800, top_k=25
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7574,13 +7656,13 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 163 registry
+# coverage reaches 46 first-time rows; every one of the 165 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
 # length_bucket_padding / split_leakage_audit / embedding_space_audit
 # / cohort_retention / event_transitions / bigram_lm_scores /
-# incoherent_span_stats sit outside the full window and queue for the
-# r5 rotation).
+# incoherent_span_stats / robust_outlier_report / decayed_engagement
+# sit outside the full window and queue for the r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

@@ -169,3 +169,44 @@ def test_skew_report_flags_hot_key(spark):
     # 101 keys, 1000 rows -> mean ~9.9 rows/key; hot is ~91x the mean
     assert rep[0]["skew_factor"] > 80
     assert all(r["skew_factor"] <= 1.0 for r in rep[1:])
+
+
+def test_robust_outliers_flag_planted_spikes_not_bulk(spark):
+    from dog_data_pipeline_spark.operators.quality import robust_outlier_report
+
+    rows = [("g", float(100 + (i % 11) - 5)) for i in range(100)]  # 95..105
+    rows += [("g", 10000.0), ("g", -10000.0)]  # planted spikes
+    df = spark.createDataFrame(rows, "grp STRING, x DOUBLE")
+    r = robust_outlier_report(df, "grp", "x").collect()[0]
+    assert r["n_rows"] == 102
+    assert r["n_outliers"] == 2
+    assert 95 <= r["median"] <= 105
+    assert r["outlier_rate"] == round(2 / 102, 4)
+
+
+def test_robust_outliers_mean_based_fence_would_miss(spark):
+    """The scenario robust stats exist for: spikes so large they blow up
+    a mean/stddev fence (both spikes within 2 sigma of the dragged
+    mean) but cannot drag the median/MAD fence."""
+    import statistics
+
+    from dog_data_pipeline_spark.operators.quality import robust_outlier_report
+
+    vals = [100.0] * 10 + [1e6] * 3
+    mean, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert all(abs(v - mean) < 2 * sd for v in vals)  # mean fence: 0 flagged
+    df = spark.createDataFrame([("g", v) for v in vals], "grp STRING, x DOUBLE")
+    r = robust_outlier_report(df, "grp", "x").collect()[0]
+    assert r["n_outliers"] == 3
+
+
+def test_robust_outliers_zero_mad_uniform_group(spark):
+    from dog_data_pipeline_spark.operators.quality import robust_outlier_report
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 9 + [("g", 6.0)], "grp STRING, x DOUBLE"
+    )
+    r = robust_outlier_report(df, "grp", "x").collect()[0]
+    # MAD = 0: every deviation beyond zero is an outlier (strict >)
+    assert r["mad"] == 0.0
+    assert r["n_outliers"] == 1

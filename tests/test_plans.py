@@ -554,3 +554,10 @@ def test_incoherent_spans_window_partitions_by_document(spark):
     assert specs and all(
         "doc_id" in s.split(")")[0] or "id#" in s.split(")")[0] for s in specs
     )
+
+
+def test_robust_outliers_broadcast_medians_partial_aggs(spark):
+    plan = plan_of(spark, "robust_outlier_report")
+    assert "SortMergeJoin" not in plan  # |groups|-row stats broadcast
+    assert "CartesianProduct" not in plan
+    assert "partial_percentile" in plan or "partial_" in plan

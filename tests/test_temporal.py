@@ -193,3 +193,47 @@ def test_funnel_empty_first_step_reports_zero_not_crash(spark):
     }
     assert out["1_view"] == (0, None)
     assert out["2_click"] == (0, None)
+
+
+def test_decayed_engagement_exact_halving_per_halflife(spark):
+    from dog_data_pipeline_spark.operators.temporal import decayed_engagement
+
+    # user 1: 100.00 now + 100.00 one halflife ago -> 10000 + 5000
+    # user 2: 100.00 two halflives ago -> 2500; odd centi-value floors
+    ev = _funnel_events(
+        spark,
+        [(1, 200, "e"), (1, 100, "e"), (2, 0, "e")],
+    ).withColumn(
+        "value",
+        F.when(F.col("user_id") == 2, 100.0).otherwise(100.0),
+    )
+    out = {
+        r["user_id"]: (r["n_events"], r["engagement_c"])
+        for r in decayed_engagement(ev, halflife_sec=100).collect()
+    }
+    assert out[1] == (2, 10000 + 5000)
+    assert out[2] == (1, 2500)
+
+
+def test_decayed_engagement_floor_division_and_cap(spark):
+    import datetime as dt
+
+    from dog_data_pipeline_spark.operators.temporal import decayed_engagement
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0.05),                                   # 5c >> 1 = 2
+        (2, base + dt.timedelta(seconds=100), 0.05),       # fresh: 5c
+        # ancient event: age floor-capped at 62 halflives -> 0
+        (3, base - dt.timedelta(seconds=100 * 10**6), 490.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {
+        r["user_id"]: r["engagement_c"]
+        for r in decayed_engagement(ev, halflife_sec=100).collect()
+    }
+    assert out[2] == 5
+    assert out[1] == 2   # floor(5 / 2)
+    assert out[3] == 0   # shifted to nothing, no overflow/crash
