@@ -225,7 +225,10 @@ def robust_outlier_report(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.first("__med"), 4).alias("median"),
             F.round(F.first("__mad"), 4).alias("mad"),
-            F.sum(out).alias("n_outliers"),
+            # coalesce: an all-NULL measure group sums over zero
+            # non-null predicates -> NULL, but the report must say 0
+            # (the split_leakage_report pathology)
+            F.coalesce(F.sum(out), F.lit(0)).alias("n_outliers"),
         )
         .select(
             group_col,

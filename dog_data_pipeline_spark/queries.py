@@ -7007,7 +7007,11 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_funnel",
     """
     WITH e AS (
-      SELECT user_id AS u, event_type AS et, epoch(ts) AS t FROM events
+      -- floor(epoch): DuckDB epoch() is fractional, Spark
+      -- unix_timestamp truncates; same-second step pairs would
+      -- otherwise order differently under the strict > chain
+      SELECT user_id AS u, event_type AS et,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
     ), s1 AS (
       SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY u
     ), s2 AS (
@@ -7535,8 +7539,11 @@ def robust_outlier_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decayed_engagement",
     """
     WITH e AS (
+      -- floor(epoch): DuckDB epoch() returns fractional seconds while
+      -- Spark unix_timestamp truncates — an age within 1s of a
+      -- half-life multiple would otherwise weight differently
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS mc,
-             epoch(ts) AS t
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
       FROM events
     ), mx AS (
       SELECT max(t) AS tmax FROM e

@@ -60,6 +60,11 @@ def distinct_state_stream(
         if not fs.exists(hpath) and fs.exists(backup):
             if not fs.rename(backup, hpath):
                 raise IOError(f"state recovery failed: {backup} -> {state_path}")
+        # clean up staging dirs orphaned by crashed attempts (each
+        # attempt uses a fresh uuid, so without this every crash leaks
+        # a full |keys|-row copy of the state forever)
+        for st in fs.globStatus(jpath(f"{root}.staging-*")) or []:
+            fs.delete(st.getPath(), True)
         partials = distinct_partials(batch, key_cols, distinct_col, lg_k)
         if fs.exists(hpath):
             state = spark.read.parquet(state_path)

@@ -210,3 +210,15 @@ def test_robust_outliers_zero_mad_uniform_group(spark):
     # MAD = 0: every deviation beyond zero is an outlier (strict >)
     assert r["mad"] == 0.0
     assert r["n_outliers"] == 1
+
+
+def test_robust_outliers_all_null_group_reports_zero(spark):
+    from dog_data_pipeline_spark.operators.quality import robust_outlier_report
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("h", 1.0), ("h", 100.0)],
+        "grp STRING, x DOUBLE",
+    )
+    out = {r["grp"]: r for r in robust_outlier_report(df, "grp", "x").collect()}
+    assert out["g"]["n_outliers"] == 0
+    assert out["g"]["median"] is None

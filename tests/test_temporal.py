@@ -203,10 +203,7 @@ def test_decayed_engagement_exact_halving_per_halflife(spark):
     ev = _funnel_events(
         spark,
         [(1, 200, "e"), (1, 100, "e"), (2, 0, "e")],
-    ).withColumn(
-        "value",
-        F.when(F.col("user_id") == 2, 100.0).otherwise(100.0),
-    )
+    ).withColumn("value", F.lit(100.0))
     out = {
         r["user_id"]: (r["n_events"], r["engagement_c"])
         for r in decayed_engagement(ev, halflife_sec=100).collect()
