@@ -241,3 +241,49 @@ def robust_outlier_report(
             ),
         )
     )
+
+
+def filter_agreement_report(
+    df: DataFrame,
+    flag_a,
+    flag_b,
+) -> DataFrame:
+    """Agreement audit between two boolean screening filters — run
+    BEFORE swapping one quality gate for another (a cheap heuristic vs
+    a trained classifier, an old vs new blocklist): raw agreement is
+    inflated by class imbalance, so the report carries Cohen's kappa,
+    the chance-corrected statistic.
+
+    ``flag_a`` / ``flag_b`` are boolean Columns. Returns one row:
+    (n, n_both, n_only_a, n_only_b, n_neither, agreement_rate, kappa)
+    with kappa = (po - pe) / (1 - pe); po = observed agreement, pe =
+    expected-by-chance from the marginals. try_divide: two constant
+    filters give pe = 1 and kappa reads NULL (undefined), not a crash.
+
+    Scale shape: ONE counting aggregate over the corpus (all four
+    contingency cells partial-aggregate in a single pass); the kappa
+    arithmetic runs on the 1-row result. Nothing else touches data.
+    """
+    a = flag_a.cast("boolean")
+    b = flag_b.cast("boolean")
+    cells = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("long")).alias("n_both"),
+        F.sum((a & ~b).cast("long")).alias("n_only_a"),
+        F.sum((~a & b).cast("long")).alias("n_only_b"),
+        F.sum((~a & ~b).cast("long")).alias("n_neither"),
+    )
+    nn = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")) / nn
+    pa = (F.col("n_both") + F.col("n_only_a")) / nn
+    pb = (F.col("n_both") + F.col("n_only_b")) / nn
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return cells.select(
+        "n",
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        "n_neither",
+        F.round(po, 4).alias("agreement_rate"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 4).alias("kappa"),
+    )

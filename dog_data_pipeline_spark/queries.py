@@ -7576,6 +7576,83 @@ def decayed_engagement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "filter_agreement_audit",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+        (len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+           / len(toks) * 0.3
+         + least(len(toks), 100)::DOUBLE / 100 * 0.4
+         + length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+           / length(text) * 0.3) >= 0.5 AS fa
+      FROM t
+    ), ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), hist AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE len(c) > 0 GROUP BY 1, 2
+    ), e AS (
+      SELECT doc_id,
+             round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) >= 2.8 AS fb
+      FROM hist GROUP BY doc_id
+    ), cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+             CAST(sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+             CAST(sum(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM q JOIN e USING (doc_id)
+    )
+    SELECT n, n_both, n_only_a, n_only_b, n_neither,
+           round((n_both + n_neither) / CAST(n AS DOUBLE), 4) AS agreement_rate,
+           round(((n_both + n_neither) / CAST(n AS DOUBLE)
+                  - ((n_both + n_only_a) / CAST(n AS DOUBLE)
+                       * ((n_both + n_only_b) / CAST(n AS DOUBLE))
+                     + (1 - (n_both + n_only_a) / CAST(n AS DOUBLE))
+                       * (1 - (n_both + n_only_b) / CAST(n AS DOUBLE))))
+                 / (1 - ((n_both + n_only_a) / CAST(n AS DOUBLE)
+                           * ((n_both + n_only_b) / CAST(n AS DOUBLE))
+                         + (1 - (n_both + n_only_a) / CAST(n AS DOUBLE))
+                           * (1 - (n_both + n_only_b) / CAST(n AS DOUBLE)))),
+                 4) AS kappa
+    FROM cells
+    """,
+    "Filter-agreement audit (run before swapping one quality gate for "
+    "another): 2x2 contingency between the heuristic quality screen "
+    "(quality >= 0.5) and the character-entropy screen (entropy >= "
+    "2.8), with Cohen's kappa — raw agreement is inflated by class "
+    "imbalance, kappa chance-corrects via the marginals. ONE counting "
+    "aggregate over the corpus (all four cells partial-aggregate in a "
+    "single pass); kappa arithmetic runs on the 1-row result with "
+    "try_divide (two constant filters -> kappa NULL, not a crash). "
+    "Oracle replays both filter formulas, the contingency, and the "
+    "kappa arithmetic in identical operation order.",
+)
+def filter_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import (
+        filter_agreement_report,
+    )
+    from dog_data_pipeline_spark.operators.text import (
+        char_entropy_profile,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = with_quality_score(docs, "text").select(
+        "doc_id", F.col("quality").alias("__q")
+    )
+    e = char_entropy_profile(docs).select(
+        "doc_id", F.round("entropy", 4).alias("__e")
+    )
+    joined = q.join(e, "doc_id")
+    return filter_agreement_report(
+        joined, F.col("__q") >= 0.5, F.col("__e") >= 2.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7663,13 +7740,14 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 165 registry
+# coverage reaches 46 first-time rows; every one of the 166 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
 # length_bucket_padding / split_leakage_audit / embedding_space_audit
 # / cohort_retention / event_transitions / bigram_lm_scores /
 # incoherent_span_stats / robust_outlier_report / decayed_engagement
-# sit outside the full window and queue for the r5 rotation).
+# / filter_agreement_audit sit outside the full window and queue for
+# the r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

@@ -222,3 +222,41 @@ def test_robust_outliers_all_null_group_reports_zero(spark):
     out = {r["grp"]: r for r in robust_outlier_report(df, "grp", "x").collect()}
     assert out["g"]["n_outliers"] == 0
     assert out["g"]["median"] is None
+
+
+def test_filter_agreement_kappa_known_values(spark):
+    from dog_data_pipeline_spark.operators.quality import filter_agreement_report
+
+    # contingency: both=40, only_a=10, only_b=10, neither=40 -> po=0.8,
+    # pa=pb=0.5, pe=0.5, kappa=0.6
+    rows = (
+        [(True, True)] * 40 + [(True, False)] * 10
+        + [(False, True)] * 10 + [(False, False)] * 40
+    )
+    df = spark.createDataFrame(rows, "a BOOLEAN, b BOOLEAN")
+    r = filter_agreement_report(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n"], r["n_both"], r["n_neither"]) == (100, 40, 40)
+    assert r["agreement_rate"] == 0.8
+    assert r["kappa"] == 0.6
+
+
+def test_filter_agreement_constant_filters_kappa_undefined(spark):
+    from dog_data_pipeline_spark.operators.quality import filter_agreement_report
+
+    df = spark.createDataFrame([(True, True)] * 5, "a BOOLEAN, b BOOLEAN")
+    r = filter_agreement_report(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["agreement_rate"] == 1.0
+    assert r["kappa"] is None  # pe = 1: undefined, not a crash
+
+
+def test_filter_agreement_chance_level_is_zero_kappa(spark):
+    from dog_data_pipeline_spark.operators.quality import filter_agreement_report
+
+    # independent marginals at exactly chance agreement: kappa = 0
+    rows = (
+        [(True, True)] * 25 + [(True, False)] * 25
+        + [(False, True)] * 25 + [(False, False)] * 25
+    )
+    df = spark.createDataFrame(rows, "a BOOLEAN, b BOOLEAN")
+    r = filter_agreement_report(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["kappa"] == 0.0
