@@ -7653,6 +7653,54 @@ def filter_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "schema_evolution_roundtrip",
+    """
+    WITH g1 AS (
+      SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars FROM documents
+    ), g2 AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), merged AS (
+      SELECT * FROM g1 UNION ALL SELECT * FROM g2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM merged GROUP BY source
+    """,
+    "Schema-evolution roundtrip (SURVEY §2.1 extension — long-lived "
+    "corpora are written by evolving pipelines, so files carry "
+    "different schemas): generation 1 files lack the n_chars column "
+    "generation 2 added; the mergeSchema read reconciles footers into "
+    "the union schema with nulls backfilled for old files (DuckDB's "
+    "union_by_name — which is what makes this oracle-checkable). The "
+    "aggregate proves null-backfill semantics: n_with_chars counts "
+    "only generation-2 rows. schema_drift_report (footer-only, "
+    "file-count-bounded like the compaction planner) turns the same "
+    "gap into a backfill worklist.",
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dog_data_pipeline_spark.sources.evolution import read_merged
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _roundtrip_dir("schemaevo")
+    docs.select("doc_id", "source").write.mode("overwrite").parquet(
+        os.path.join(root, "gen=1")
+    )
+    docs.select("doc_id", "source", "n_chars").write.mode("overwrite").parquet(
+        os.path.join(root, "gen=2")
+    )
+    merged = read_merged(spark, root)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7740,14 +7788,14 @@ _PRIORITY_ORDER = [
 # video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
 # pre-validated against the sf0.001 AND sf0.01
 # oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 166 registry
+# coverage reaches 46 first-time rows; every one of the 167 registry
 # queries has passed the full sf0.01 oracle sweep locally this round
 # (the post-rotation additions event_funnel / vocab_oov_report /
 # length_bucket_padding / split_leakage_audit / embedding_space_audit
 # / cohort_retention / event_transitions / bigram_lm_scores /
 # incoherent_span_stats / robust_outlier_report / decayed_engagement
-# / filter_agreement_audit sit outside the full window and queue for
-# the r5 rotation).
+# / filter_agreement_audit / schema_evolution_roundtrip sit outside
+# the full window and queue for the r5 rotation).
 # The rotated-out multi-round-green entries (incl. segment_dedup_stats
 # and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
 # round-4 additions) stay under the identical local sf0.001 oracle

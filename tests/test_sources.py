@@ -103,3 +103,39 @@ def test_binary_listing_and_path_parse(spark, tmp_path):
     assert "content" not in df.columns  # metadata-only listing prunes payload
     with_payload = list_binary_files(spark, str(tmp_path), glob="*.mp4", with_content=True)
     assert with_payload.select("content").collect()[0]["content"] == b"\x00fakevideo"
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_merge_backfills_nulls_for_old_generation(spark, tmp_path):
+    from dog_data_pipeline_spark.sources.evolution import read_merged
+
+    spark.createDataFrame([(1, "a")], "id BIGINT, s STRING").write.parquet(
+        str(tmp_path / "gen=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 99)], "id BIGINT, s STRING, extra BIGINT"
+    ).write.parquet(str(tmp_path / "gen=2"))
+    got = {r["id"]: r for r in read_merged(spark, str(tmp_path)).collect()}
+    assert got[1]["extra"] is None
+    assert got[2]["extra"] == 99
+
+
+def test_schema_drift_report_lists_backfill_worklist(spark, tmp_path):
+    from dog_data_pipeline_spark.sources.evolution import schema_drift_report
+
+    spark.createDataFrame([(1, "a")], "id BIGINT, s STRING").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "gen=1"))
+    spark.createDataFrame(
+        [(2, "b", 99)], "id BIGINT, s STRING, extra BIGINT"
+    ).coalesce(1).write.parquet(str(tmp_path / "gen=2"))
+    rows = schema_drift_report(spark, str(tmp_path)).collect()
+    lagging = [r for r in rows if r["n_missing"] > 0]
+    current = [r for r in rows if r["n_missing"] == 0]
+    assert len(lagging) == 1 and len(current) == 1
+    assert lagging[0]["missing_cols"] == ["extra"]
+    assert "gen=1" in lagging[0]["file"]
