@@ -141,11 +141,27 @@ def main() -> None:
         # A re-run must not silently erase the round's side records
         # (isolated re-times, soak-test results, explanatory notes are
         # appended to this file by hand): carry over every key the fresh
-        # payload doesn't produce itself.
+        # payload doesn't produce itself. But a carried dict keyed by
+        # query name may reference queries renamed/rotated out since the
+        # prior run — prune those entries so the artifact never
+        # misrepresents the current registry, and stamp what was carried.
         try:
             with open(path) as fh:
+                carried = []
                 for k, v in json.load(fh).items():
-                    payload.setdefault(k, v)
+                    if k in payload or k == "carried_keys":
+                        continue
+                    if isinstance(v, dict) and v and all(
+                        isinstance(x, (int, float)) for x in v.values()
+                    ):
+                        pruned = {q: t for q, t in v.items() if q in REGISTRY}
+                        if not pruned:
+                            continue
+                        v = pruned
+                    payload[k] = v
+                    carried.append(k)
+                if carried:
+                    payload["carried_keys"] = sorted(carried)
         except (OSError, ValueError):
             pass
         with open(path, "w") as fh:

@@ -190,13 +190,19 @@ def semantic_contamination(
     # corpus row whose only benchmark pair is itself from the output
     # entirely, while the contract is one row per corpus vector. Nulls
     # vanish inside count/max, so the aggregate sees only real pairs.
+    # A self-match means the SAME RECORD — id equality alone is not
+    # enough when corpus and benchmark are distinct datasets that both
+    # use 0-based integer ids (bare-id masking would silently null real
+    # corpus-vs-benchmark pairs and under-report contamination), so the
+    # mask requires id AND vector equality.
     # try_divide: a zero-norm (all-zero) embedding — failed or padded
     # encode rows are common in real vector tables — must yield a null
     # cosine (not contaminating), not an ANSI DIVIDE_BY_ZERO crash
     scored = c.crossJoin(F.broadcast(b)).withColumn(
         "cos",
         F.when(
-            F.col("c_id") != F.col("b_id"),
+            (F.col("c_id") != F.col("b_id"))
+            | (F.col("c_v") != F.col("b_v")),
             F.round(
                 F.try_divide(dot, F.col("c_norm") * F.col("b_norm")), 4
             ),

@@ -107,6 +107,53 @@ def hashed_shingles(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a document's
+    distinct n-grams appear here for the first time (corpus-wide first
+    owner = min id). The corpus-growth diagnostic behind data-scaling
+    decisions: as a crawl saturates, marginal documents' novelty decays
+    toward zero — plotted cumulatively this is the "new n-grams per
+    shard" curve used to decide when more of the same source stops
+    buying model quality (the diminishing-returns analysis in dedup
+    papers, e.g. Lee et al. 2022 §5).
+
+    Returns (id_col, n_distinct_ngrams, n_novel, novelty_frac) — one
+    row per document that has at least one n-gram.
+
+    Scale shape: ONE wide shuffle keyed on the shingle (window min
+    instead of a groupBy+self-join — halves the exchanges), then a
+    per-id partial aggregate. The shuffle moves distinct (id, shingle)
+    pairs — the same O(corpus tokens) volume every inverted-index
+    dedup op here moves; for 100 TB swap the string shingle for the
+    md5 fingerprint (same trick as ``window_fingerprints``) to narrow
+    the rows. First-owner choice is min(id): deterministic under any
+    partitioning, and stable as the corpus grows append-only with
+    increasing ids — yesterday's novelty scores never change.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    first = F.min("id").over(Window.partitionBy("shingle"))
+    per = (
+        sh.withColumn("first_id", first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum((F.col("id") == F.col("first_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_distinct_ngrams",
+        "n_novel",
+        F.round(
+            F.col("n_novel") / F.col("n_distinct_ngrams"), 4
+        ).alias("novelty_frac"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -236,7 +283,13 @@ def jaccard_pairs_prefix(
     verified = (
         cand.hint("merge").join(set_a, "id_a")
         .hint("merge").join(set_b, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            # cast to long: F.size is INT, but every sibling variant's
+            # n_common is a COUNT (bigint) — the driver-strict oracle
+            # mirror flags the width drift (round-5 catch)
+            "n_common",
+            F.size(F.array_intersect("set_a", "set_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -961,10 +1014,14 @@ def _spread(df: DataFrame) -> DataFrame:
     its width follows the session's shuffle tuning, so on a real
     cluster it lands at the parallelism the cluster is sized for."""
     spark = df.sparkSession
-    n = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    # shuffle.partitions may be non-numeric on managed platforms
+    # (e.g. "auto" under auto-optimized shuffle) — fall back to
+    # defaultParallelism rather than crashing every caller
+    try:
+        conf_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        conf_n = 0
+    n = max(spark.sparkContext.defaultParallelism, conf_n)
     return df.repartition(n)
 
 

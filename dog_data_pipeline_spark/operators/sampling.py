@@ -381,6 +381,41 @@ def source_cap_sample(
     return df.withColumn(keep_col, F.row_number().over(w) <= cap)
 
 
+def quality_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    score_col: str,
+    cap: int,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Per-source QUALITY quota: keep each source's ``cap``
+    BEST-scoring documents — the curation complement of
+    ``source_cap_sample`` (which selects uniformly). This is the
+    per-domain shape real pipelines run after classifier scoring
+    (FineWeb/DCLM-style: score everything, then take each domain's
+    best k so no domain dominates AND what survives is its best
+    material, not a uniform draw).
+
+    Deterministic: rank orders by (score desc, key asc) so equal
+    scores resolve identically across runs/partitionings/engines.
+    Adds ``keep_col``; filtering stays the caller's one-liner so the
+    drop report is writable from the same frame.
+
+    Scale shape: identical to ``source_cap_sample`` — one row_number
+    window partitioned by source; millions of domains parallelize
+    wide, the straggler bound is the hottest domain. Pre-thin a
+    pathological domain with a score-threshold filter (scores are
+    map-only) before ranking if one source outweighs an executor.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(key_col)
+    )
+    return df.withColumn(keep_col, F.row_number().over(w) <= cap)
+
+
 def mixture_weights(
     df: DataFrame,
     source_col: str,

@@ -541,6 +541,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     num_merges: int = 8,
     end_of_word: str = "</w>",
+    max_words: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Byte-pair-encoding tokenizer induction (Sennrich et al. 2016,
     'Neural Machine Translation of Rare Words with Subword Units') as
@@ -568,12 +569,27 @@ def bpe_learn_merges(
     Driver traffic: num_merges rows total. Returns the merge list
     [(left, right, freq)] in learned order plus the final (word, n,
     symbols) DataFrame for downstream vocab extraction.
+
+    **Real tokenizer training (32k+ merges) must set ``max_words``.**
+    Each merge is one Spark job over the word table — honest and cheap
+    at ``num_merges=8``, but 32k merges schedule 32k sequential jobs.
+    The standard fix (what SentencePiece/HF trainers do) is learning
+    from a TRUNCATED word-frequency table: ``max_words`` keeps only the
+    most frequent words (deterministic tie-break on the word itself),
+    which bounds every iteration's input to a constant-size table that
+    fits a handful of partitions, while the head of the frequency
+    distribution — which is all BPE statistics ever see at real corpus
+    sizes — is preserved exactly. ``None`` (default) keeps every word:
+    identical behavior to previous rounds.
     """
     toks = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .filter(F.length("w") > 0)
     )
     words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    if max_words is not None:
+        # TakeOrdered plan (orderBy+limit): never a full sort at scale
+        words = words.orderBy(F.col("n").desc(), F.col("w")).limit(max_words)
     # initial symbol state: characters + end-of-word marker
     state = words.select(
         "w",

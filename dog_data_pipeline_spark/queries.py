@@ -4774,10 +4774,10 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority_counts",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
     GROUP BY l_linestatus
@@ -6894,13 +6894,17 @@ def quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS b_id, v AS bv, norm AS bnorm FROM n WHERE vec_id % 101 = 0
     ), s AS (
       -- mirror the operator's mask-not-filter contract: self-matches
-      -- become NULL cosines so a corpus row whose only benchmark pair
-      -- is itself still yields an output row (count/max skip NULLs)
+      -- (same id AND same vector — bare-id masking would null real
+      -- cross-dataset pairs that merely share an id space) become NULL
+      -- cosines so a corpus row whose only benchmark pair is itself
+      -- still yields an output row (count/max skip NULLs). The `+ 0.0`
+      -- collapses IEEE -0.0 (DuckDB round keeps the sign bit; Spark's
+      -- BigDecimal round has no negative zero — r4 hash lesson).
       SELECT c.vec_id,
-             CASE WHEN c.vec_id <> b_id THEN
+             CASE WHEN c.vec_id <> b_id OR c.v <> bv THEN
                round(list_sum(list_transform(generate_series(1, len(bv)),
                                              i -> bv[i] * c.v[i]))
-                     / (bnorm * c.norm), 4)
+                     / (bnorm * c.norm), 4) + 0.0
              END AS cos
       FROM n c, b
     )
@@ -7261,12 +7265,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            i -> v[i] * cv[i]))
                    / (sqrt(list_sum(list_transform(v, x -> x * x)))
                       * sqrt(list_sum(list_transform(cv, x -> x * x)))),
-                   4) AS cos
+                   4) + 0.0 AS cos
       FROM e JOIN cv USING (label)
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(avg(cos), 4) AS mean_centroid_cos,
+           round(avg(cos), 4) + 0.0 AS mean_centroid_cos,
            min(cos) AS min_centroid_cos,
            max(cos) AS max_centroid_cos
     FROM s GROUP BY label
@@ -7714,93 +7718,83 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # ---- round-4 rotation policy: every slot after the flagship goes to
-    # a query that has NEVER had a driver correctness row (35 of them
-    # after rounds 1-3) or that is NEW this round, topped up with the
-    # north-star keepers below.  Everything rotated out stays under the
-    # identical local sf0.001 oracle mirror (tests/test_queries_oracle.py).
-    # round-4 additions (pre-validated against the sf0.001 AND sf0.01
-    # oracles before entering the window):
-    "edit_distance_pairs",          # PassJoin rewrite — 553.7s -> ~2s at sf0.1
-    "duplicate_span_stats_rolling", # Rabin-Karp window fingerprints
-    "corpus_curation_v2",           # screen -> exact dedup -> span removal -> mixture
-    # never-driver-checked: LLM-pipeline family first
-    "ngram_jaccard_dedup_prefix",   # PPJoin prefix-filter exact Jaccard
-    "incremental_agg_state",
-    "quantile_sketch_bounds",
-    "heavy_hitters_cms",
-    "file_compaction_plan",
-    "k_anonymity_report",
-    "feature_drift_psi",
-    "blocklist_screening",
-    "char_entropy_profile",
-    "mixture_sampled_tokens",
-    "mixture_upsampled_tokens",
-    "top_bigrams",
-    # never-driver-checked: file-surface roundtrips (S2/S11 + formats)
-    "headerless_csv_roundtrip",
-    "file_copy_pipeline",
-    "jsonl_corpus_roundtrip",
-    "orc_corpus_roundtrip",
-    # never-driver-checked: temporal / window breadth
-    "running_revenue",
-    "lead_lag_order_gaps",
-    # never-driver-checked: set-op + TPC-H-shaped breadth
-    "except_all_lines",
-    "intersect_statuses",
-    "priority_waiting_orders",
-    "customer_order_distribution",
-    "small_qty_order_revenue",
-    "sole_blame_supplier",
-    "idle_rich_customers",
-    "volume_shipping",
-    "product_type_profit",
+    # ---- round-5 rotation policy: (a) the two round-4 hash-red queries
+    # stay in so the driver certifies their oracle fixes; (b) all 13
+    # round-4 additions that have never had a driver row enter; (c) the
+    # remaining slots re-certify the OLDEST rotated-out greens (the
+    # round-1 relational/§2 set — last driver row two windows ago).
+    # Everything rotated out stays under the identical local sf0.001
+    # oracle mirror (tests/test_queries_oracle.py), which since round 5
+    # is driver-strict (type-tagged, sign-bit-preserving compare).
+    # (a) round-4 hash-reds, oracles fixed this round (BIGINT cast /
+    # -0.0 normalisation — values were already identical cross-engine):
     "shipmode_priority_counts",
-    "top_revenue_supplier",
-    "disjunctive_filter_revenue",
-    "important_stock_parts",
-    "supplier_count_by_part_attrs",
-    "half_stock_suppliers",
-    "forecast_revenue_change",
-    # north-star keepers (multi-round-green families keep one live row
-    # each so the window never goes dark on dedup/search/multimodal)
-    "minhash_lsh_dedup",
-    "training_shuffle_order",  # round-4 addition: epoch permutation
-    "dedup_best_keeper",      # round-4 addition: quality-aware keep policy
-    "pii_detection_scan",     # round-4 addition: before/after-redaction audit
-    "semantic_contamination", # round-4 addition: embedding-level decontamination
-    "benchmark_span_scrub",   # round-4 addition: surgical decontamination
-    "cross_source_overlap",   # round-4 addition: source redundancy audit
-    "hll_distinct_rollup",    # round-4 addition: mergeable distinct state
-    "bm25_keyword_search",
-    "audio_active_segments",  # round-4 addition: VAD-style segmentation
-    "image_dhash_dedup",
-    "video_scene_cuts",       # round-4 addition: scene segmentation
+    "semantic_contamination",
+    # (b) never-driver-checked round-4 additions:
+    "event_funnel",
+    "cohort_retention",
+    "event_transitions",
+    "decayed_engagement",
+    "robust_outlier_report",
+    "filter_agreement_audit",
+    "bigram_lm_scores",
+    "incoherent_span_stats",
+    "vocab_oov_report",
+    "length_bucket_padding",
+    "split_leakage_audit",
+    "embedding_space_audit",
+    "schema_evolution_roundtrip",
+    # (c) round-1 re-certification: §2-operator-backed queries first
+    # (each is the driver evidence for a SURVEY §2 row), then the
+    # join/window breadth set.  Last driver row: round 1 or 2.
+    "anti_join_idempotence",
+    "broadcast_dim_join",
+    "completeness_users",
+    "conditional_freq_users",
+    "dead_letter_split",
+    "dense_sequential_ids",
+    "derived_keys",
+    "filter_project_in",
+    "group_max_pad",
+    "json_props_extract",
+    "key_formatting",
+    "map_array_functions",
+    "ordered_collect_seq",
+    "recode_fallthrough",
+    "resume_offset",
+    "topk_orders",
+    "tracking_pipeline_samples",
+    "tumbling_daily_counts",
+    "union_ledger",
+    "window_partition_max",
+    "zip_join_positional",
+    "approx_distinct_parts",
+    "asof_join_latest_event",
+    "correlated_subquery_above_avg",
+    "cube_order_stats",
+    "pricing_summary",
+    "range_frame_window",
+    "range_join_event_pairs",
+    "rollup_revenue",
+    "scalar_subquery_filter",
+    "semi_join_active_customers",
+    "sql_shipping_priority",
+    "unpivot_measures",
+    "window_rank_latest",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-4 rotation: all 35 queries that had never received a driver
-# correctness row through rounds 1-3 (the TPC-H breadth set, the file
-# roundtrips incl. the two §2 rows S2/S11, the sketch/privacy/mixture
-# family, and the rewritten edit_distance_pairs) enter the window,
-# together with the 10 round-4 additions (duplicate_span_stats_rolling,
-# corpus_curation_v2, benchmark_span_scrub, pii_detection_scan,
-# training_shuffle_order, cross_source_overlap, dedup_best_keeper,
-# video_scene_cuts, semantic_contamination, hll_distinct_rollup — each
-# pre-validated against the sf0.001 AND sf0.01
-# oracles before entering).  With this window green, cumulative driver
-# coverage reaches 46 first-time rows; every one of the 167 registry
-# queries has passed the full sf0.01 oracle sweep locally this round
-# (the post-rotation additions event_funnel / vocab_oov_report /
-# length_bucket_padding / split_leakage_audit / embedding_space_audit
-# / cohort_retention / event_transitions / bigram_lm_scores /
-# incoherent_span_stats / robust_outlier_report / decayed_engagement
-# / filter_agreement_audit / schema_evolution_roundtrip sit outside
-# the full window and queue for the r5 rotation).
-# The rotated-out multi-round-green entries (incl. segment_dedup_stats
-# and knn_cosine_ivfpq, both hash-green r3, displaced by the two late
-# round-4 additions) stay under the identical local sf0.001 oracle
-# mirror (tests/test_queries_oracle.py); twelve north-star keepers hold
-# live rows so dedup/search/multimodal evidence never goes stale.
+# Round-5 rotation math: 1 flagship + 2 fix-certifications + 13
+# first-ever rows + 34 round-1/2 re-certifications = 50.  With this
+# window green, cumulative driver coverage reaches 167/167 registry
+# queries (the 13 in (b) were the only never-checked entries).  The
+# rotated-out round-4 greens (TPC-H breadth, file roundtrips, the
+# sketch/privacy/mixture family, north-star dedup/search/multimodal
+# keepers) all passed in CORRECTNESS_r04.json and stay under the
+# local mirror.  Round-1 queries NOT re-certified here
+# (busy_window_detail, distinct_agg, large_order_customers,
+# market_share, nation_trade_volume, promo_revenue_share,
+# regional_revenue, returned_item_report) are TPC-H-shaped breadth
+# whose structural cousins hold fresh r4 rows; they queue for r6.
 
 
 def _apply_registry_order() -> None:

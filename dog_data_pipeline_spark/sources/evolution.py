@@ -37,27 +37,77 @@ def schema_drift_report(spark, path: str) -> DataFrame:
     report an empty list — the operational query is
     ``filter(n_missing > 0)``: the backfill worklist.
 
-    Footer-only: schemas come from reading each file's parquet
-    metadata, no data pages move; the per-file loop is bounded by file
-    count exactly like the compaction planner's.
+    Footer-only AND distributed: the file list is parallelized over
+    executors and each task reads just its files' parquet footers with
+    pyarrow (``pq.read_schema`` seeks to the footer; no data pages
+    move). One Spark job regardless of |files| — the previous design
+    issued one sequential driver-side ``spark.read.parquet(f)`` per
+    file, which crawls at millions of files. The union schema and the
+    per-file diff are computed in-plan (explode → distinct → broadcast
+    back), so the driver never materializes per-file schemas.
+
+    The union schema comes from the FOOTERS, not a merged read: a
+    merged read's schema also carries directory-derived partition
+    columns (gen=K), which no footer contains and which would make
+    every file look like it lags the union.
     """
-    files = [
-        str(f.getPath())
-        for f in _list_parquet_files(spark, path)
-    ]
-    # the union schema comes from the FOOTERS, not a merged read: a
-    # merged read's schema also carries directory-derived partition
-    # columns (gen=K), which no footer contains and which would make
-    # every file look like it lags the union
-    per_file = {f: set(spark.read.parquet(f).columns) for f in sorted(files)}
-    union_cols = set().union(*per_file.values()) if per_file else set()
-    rows = []
-    for f, cols in per_file.items():
-        missing = sorted(union_cols - cols)
-        rows.append((f, len(cols), len(missing), missing))
-    return spark.createDataFrame(
-        rows,
-        "file STRING, n_cols INT, n_missing INT, missing_cols ARRAY<STRING>",
+    files = sorted(str(f.getPath()) for f in _list_parquet_files(spark, path))
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "file STRING, n_cols INT, n_missing INT, missing_cols ARRAY<STRING>",
+        )
+
+    def _footer_cols(batches):
+        import re
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                # Hadoop renders local URIs as file:/x or file:///x;
+                # pyarrow's LocalFileSystem wants a bare path. Other
+                # schemes (s3://, hdfs://) route through from_uri.
+                if f.startswith("file:") or "://" not in f:
+                    local = re.sub(r"^file:/+", "/", f)
+                    names = list(pq.read_schema(local).names)
+                else:
+                    from pyarrow import fs as pafs
+
+                    filesystem, p = pafs.FileSystem.from_uri(f)
+                    names = list(
+                        pq.read_schema(p, filesystem=filesystem).names
+                    )
+                out.append((f, names))
+            yield pd.DataFrame(out, columns=["file", "cols"])
+
+    n = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    footers = (
+        spark.createDataFrame([(f,) for f in files], "file STRING")
+        .repartition(n)
+        .mapInPandas(_footer_cols, "file STRING, cols ARRAY<STRING>")
+    )
+    # union schema is tiny (one row of column names) — broadcast it
+    # back onto the footer rows for the per-file diff
+    union_df = (
+        footers.select(F.explode("cols").alias("c"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("c")).alias("_union_cols"))
+    )
+    return (
+        footers.crossJoin(F.broadcast(union_df))
+        .select(
+            "file",
+            F.size("cols").cast("int").alias("n_cols"),
+            F.size(F.array_except("_union_cols", "cols"))
+            .cast("int")
+            .alias("n_missing"),
+            F.sort_array(F.array_except("_union_cols", "cols")).alias(
+                "missing_cols"
+            ),
+        )
     )
 
 

@@ -115,7 +115,21 @@ def span_dedup_stream_incremental(
         if not batch.columns:
             return
         spark = batch.sparkSession
-        docs = batch.dropDuplicates([id_col])
+        # deterministic survivor per duplicate id: dropDuplicates keeps
+        # an ARBITRARY row, so a crash-replay could keep a different
+        # text and emit different spans under the same batch_id —
+        # breaking the byte-identical at-least-once replay contract.
+        # min(struct(<other cols>)) pins the survivor independent of
+        # partition/arrival order.
+        others = [c for c in batch.columns if c != id_col]
+        if others:
+            docs = (
+                batch.groupBy(id_col)
+                .agg(F.min(F.struct(*others)).alias("_row"))
+                .select(id_col, *[F.col(f"_row.{c}").alias(c) for c in others])
+            )
+        else:
+            docs = batch.dropDuplicates([id_col])
         wins = window_fingerprints(
             docs, id_col, text_col, window_tokens, fingerprint
         )

@@ -78,3 +78,42 @@ def test_registry_landing_gate_bench_artifact_covers_every_query():
     assert not missing, f"queries missing from {latest.name}: {missing}"
     slow = {n: t for n, t in bench.items() if n in REGISTRY and t < 0}
     assert not slow, f"queries recorded as FAILED in {latest.name}: {slow}"
+
+
+class TestMirrorIsDriverStrict:
+    """Round-4 regression: both r4 hash failures pre-validated green
+    locally because the old `_norm` collapsed -0.0 and compared Python
+    ints untyped. The mirror must now FAIL exactly those fixtures —
+    it may never pass what the driver fails."""
+
+    def test_negative_zero_is_distinct(self, spark, con):
+        # Spark emits +0.0, oracle emits -0.0 → must mismatch
+        df = spark.sql("SELECT CAST(0.0 AS DOUBLE) AS z")
+        # literal -0.0 constant-folds to +0.0 in DuckDB; multiply forces it
+        problems = compare(df, con, "SELECT -1.0::DOUBLE * 0.0::DOUBLE AS z")
+        assert problems, "-0.0 vs +0.0 must be a mismatch (driver is sign-sensitive)"
+
+    def test_hugeint_vs_bigint_is_distinct(self, spark, con):
+        # bare SUM(int) in DuckDB is HUGEINT; Spark SUM is BIGINT →
+        # must mismatch even though the values are equal as Python ints
+        df = spark.sql("SELECT CAST(3 AS BIGINT) AS n")
+        problems = compare(
+            df, con, "SELECT sum(x) AS n FROM (VALUES (1), (2)) t(x)"
+        )
+        assert problems, "HUGEINT vs BIGINT must be a mismatch (driver is type-sensitive)"
+
+    def test_decimal_vs_double_is_distinct(self, spark, con):
+        df = spark.sql("SELECT CAST(1.5 AS DOUBLE) AS v")
+        problems = compare(df, con, "SELECT CAST(1.5 AS DECIMAL(10,2)) AS v")
+        assert problems, "DECIMAL vs DOUBLE must be a mismatch"
+
+    def test_identical_results_still_pass(self, spark, con):
+        df = spark.sql(
+            "SELECT CAST(3 AS BIGINT) AS n, CAST(-1.0 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS z, 'x' AS s"
+        )
+        problems = compare(
+            df,
+            con,
+            "SELECT CAST(3 AS BIGINT) AS n, -1.0::DOUBLE * 0.0::DOUBLE AS z, 'x' AS s",
+        )
+        assert not problems, problems

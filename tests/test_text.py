@@ -318,6 +318,29 @@ def test_bpe_matches_reference_on_classic_corpus(spark):
     assert got == ref_state
 
 
+def test_bpe_max_words_truncates_word_table(spark):
+    """The real-vocab-size knob: max_words keeps only the head of the
+    word-frequency table (deterministic tie-break), so statistics come
+    from the frequent words only. With max_words covering all words the
+    result is identical to the default."""
+    from dog_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(" ".join([w] * n),) for w, n in wc.items()]
+    df = spark.createDataFrame(rows, "text STRING")
+
+    # covering cap == default behavior
+    m_all, _ = bpe_learn_merges(df, num_merges=4)
+    m_cap, _ = bpe_learn_merges(df, num_merges=4, max_words=10)
+    assert m_all == m_cap
+
+    # truncating cap learns from the top-2 words only (newest=6, low=5)
+    m2, state2 = bpe_learn_merges(df, num_merges=4, max_words=2)
+    ref_merges, _ = _ref_bpe({"newest": 6, "low": 5}, 4)
+    assert m2 == ref_merges
+    assert state2.count() == 2
+
+
 def test_bpe_greedy_overlap_semantics(spark):
     from dog_data_pipeline_spark.operators.text import bpe_learn_merges
 
