@@ -124,15 +124,25 @@ def ngram_novelty(
 
     Scale shape: ONE wide shuffle keyed on the shingle (window min
     instead of a groupBy+self-join — halves the exchanges), then a
-    per-id partial aggregate. The shuffle moves distinct (id, shingle)
-    pairs — the same O(corpus tokens) volume every inverted-index
-    dedup op here moves; for 100 TB swap the string shingle for the
-    md5 fingerprint (same trick as ``window_fingerprints``) to narrow
-    the rows. First-owner choice is min(id): deterministic under any
-    partitioning, and stable as the corpus grows append-only with
-    increasing ids — yesterday's novelty scores never change.
+    per-id partial aggregate. Per-doc dedupe happens MAP-SIDE
+    (array_distinct on the gram array before the explode) rather than
+    via ``shingles()``'s global distinct, which would add a second
+    full shuffle of the exploded corpus on (id, shingle) — verified in
+    the physical plan: exactly two exchanges (shingle window, id agg).
+    The shuffle moves distinct (id, shingle) pairs — the same
+    O(corpus tokens) volume every inverted-index dedup op here moves;
+    for 100 TB swap the string shingle for the md5 fingerprint (same
+    trick as ``window_fingerprints``) to narrow the rows. First-owner
+    choice is min(id): deterministic under any partitioning, and
+    stable as the corpus grows append-only with increasing ids —
+    yesterday's novelty scores never change.
     """
-    sh = shingles(df, id_col, text_col, n)
+    from dog_data_pipeline_spark.operators.text import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+    )
     first = F.min("id").over(Window.partitionBy("shingle"))
     per = (
         sh.withColumn("first_id", first)

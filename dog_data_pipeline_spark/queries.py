@@ -7705,6 +7705,107 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "per_source_quality_quota",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             floor(list_reduce(
+                     list_prepend(0.0, list_transform(toks, t -> {_qc_weight_sql('t')})),
+                     (acc, x) -> acc + x) / len(toks) * 1000000.0 + 0.5) AS mean_w_u,
+             floor(CAST(len(list_filter(toks,
+                    t -> list_contains(['the','a','of','and','to','in','is','for'], t)))
+                  AS DOUBLE) / len(toks) / 2 * 1000000.0 + 0.5) AS half_sr_u
+      FROM d
+    ), sc AS (
+      SELECT doc_id, source,
+             greatest(0, least(1000000, 500000 + mean_w_u + half_sr_u))
+               / 1000000.0 AS clf_score
+      FROM s
+    ), r AS (
+      SELECT doc_id, source, clf_score,
+             row_number() OVER (
+               PARTITION BY source ORDER BY clf_score DESC, doc_id) AS rn
+      FROM sc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(min(CASE WHEN rn <= 15 THEN clf_score END), 4) AS min_kept_score,
+           round(avg(CASE WHEN rn <= 15 THEN clf_score END), 4) AS mean_kept_score
+    FROM r GROUP BY source
+    """,
+    "Per-source QUALITY quota (north-star curation): score every doc "
+    "with the hashed-feature classifier, then keep each source's top-15 "
+    "BY SCORE (tie-break doc_id) — the FineWeb/DCLM-style domain cap "
+    "that keeps a domain's best material rather than a uniform draw "
+    "(source_cap_report is the uniform variant; this is its quality "
+    "complement). Scoring is map-only column expressions; the quota is "
+    "one row_number window partitioned by source (millions of domains "
+    "-> wide parallelism); the report a partial aggregate. Oracle "
+    "replays the full scoring pipeline and the window.",
+)
+def per_source_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import quality_quota_sample
+    from dog_data_pipeline_spark.operators.text import with_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_classifier_score(docs, "text")
+    quota = quality_quota_sample(
+        scored, "doc_id", "source", "clf_score", cap=15
+    )
+    kept = F.when(F.col("kept"), F.col("clf_score"))
+    return quota.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.round(F.min(kept), 4).alias("min_kept_score"),
+        F.round(F.avg(kept), 4).alias("mean_kept_score"),
+    )
+
+
+@query(
+    "ngram_novelty_profile",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM d, UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS u(s)
+    ), f AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_id
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+           CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS novelty_frac
+    FROM f GROUP BY doc_id
+    """,
+    "Per-document n-gram NOVELTY (corpus-growth diagnostic): fraction "
+    "of each doc's distinct trigrams whose corpus-wide first owner "
+    "(min doc_id) is this doc — the 'new n-grams per shard' decay "
+    "curve behind data-scaling decisions (Lee et al. 2022 §5: when "
+    "marginal novelty flattens, more of the same source stops buying "
+    "quality). ONE wide shuffle keyed on the shingle (window min, no "
+    "self-join), then a per-id partial aggregate; append-only stable "
+    "(new docs never change old scores). Oracle replays shingling and "
+    "the first-owner window end-to-end.",
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7779,8 +7880,12 @@ _PRIORITY_ORDER = [
     "scalar_subquery_filter",
     "semi_join_active_customers",
     "sql_shipping_priority",
-    "unpivot_measures",
-    "window_rank_latest",
+    # round-5 additions (pre-validated against the sf0.001 AND sf0.01
+    # strict oracles before entering; displace the unpivot_measures /
+    # window_rank_latest re-certs — r1-green, window cousins covered by
+    # range_frame_window / window_partition_max above, queued for r6):
+    "per_source_quality_quota",
+    "ngram_novelty_profile",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-5 rotation math: 1 flagship + 2 fix-certifications + 13

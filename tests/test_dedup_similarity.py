@@ -580,3 +580,40 @@ def test_embedding_space_report_zero_vector_yields_null_cos_not_crash(spark):
     # label 1: degenerate centroid -> every cosine null, stats null
     assert out[1]["n_vectors"] == 2
     assert out[1]["mean_centroid_cos"] is None
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    """Planted construction: doc 1 is all-novel; doc 2 repeats doc 1
+    verbatim (novelty 0); doc 3 shares a suffix with doc 1."""
+    from dog_data_pipeline_spark.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "a b c d e"),          # trigrams: abc bcd cde — all first-owned
+        (2, "a b c d e"),          # identical — zero novel
+        (3, "x y c d e"),          # xyc yc? -> trigrams: "x y c" "y c d" "c d e"
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id").collect()}
+    assert got[1]["n_novel"] == got[1]["n_distinct_ngrams"] == 3
+    assert got[1]["novelty_frac"] == 1.0
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_frac"] == 0.0
+    # doc 3: "c d e" first-owned by doc 1; "x y c"/"y c d" novel
+    assert got[3]["n_distinct_ngrams"] == 3 and got[3]["n_novel"] == 2
+
+
+def test_ngram_novelty_short_doc_absent_and_append_stable(spark):
+    """Docs with <n tokens yield no row; appending new docs never
+    changes existing docs' scores (min-id first owner)."""
+    from dog_data_pipeline_spark.operators.dedup import ngram_novelty
+
+    base = spark.createDataFrame(
+        [(1, "a b c d"), (2, "too short")], "doc_id INT, text STRING"
+    )
+    r1 = {r["doc_id"]: r for r in ngram_novelty(base, "doc_id").collect()}
+    assert 2 not in r1  # one token pair < trigram width
+    appended = base.union(
+        spark.createDataFrame([(9, "a b c d")], "doc_id INT, text STRING")
+    )
+    r2 = {r["doc_id"]: r for r in ngram_novelty(appended, "doc_id").collect()}
+    assert r2[1] == r1[1]          # old score unchanged
+    assert r2[9]["n_novel"] == 0   # repeat owns nothing

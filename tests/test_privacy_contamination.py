@@ -359,3 +359,39 @@ def test_semantic_contamination_zero_norm_vector_is_clean_not_crash(spark):
     assert not out[1]["is_contaminated"]
     assert out[1]["n_contaminating"] == 0
     assert out[1]["max_benchmark_cos"] is None
+
+
+def test_semantic_contamination_distinct_datasets_sharing_id_space(spark):
+    """Round-5 regression (ADVICE): corpus and benchmark are DISTINCT
+    datasets that both use 0-based ids. Bare-id masking would null the
+    real corpus[0] vs benchmark[0] pair and under-report; the mask must
+    only fire for the same RECORD (id AND vector equal)."""
+    from dog_data_pipeline_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    bench = spark.createDataFrame(
+        [(0, [0.99, 0.14, 0.0])],  # id collides with corpus 0; different vector
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    # corpus 0 IS near benchmark 0 despite the id collision
+    assert out[0]["is_contaminated"] and out[0]["n_contaminating"] == 1
+    assert not out[1]["is_contaminated"]
+    # true self-match (same id AND same vector) still masked
+    subset_bench = corpus.filter(F.col("vec_id") == 0)
+    out2 = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            corpus, subset_bench, threshold=0.9
+        ).collect()
+    }
+    assert not out2[0]["is_contaminated"]
+    assert out2[0]["max_benchmark_cos"] is None

@@ -272,3 +272,31 @@ def test_split_leakage_report_clean_corpus_reports_zero_not_nulls(spark):
     assert rep["plain_leaked_pairs"] == 0
     assert rep["plain_leak_rate"] is None
     assert rep["safe_split_zero_leaks"] is True
+
+
+def test_quality_quota_keeps_best_k_per_source(spark):
+    """Per-source quota selects by score (desc) with doc_id tie-break,
+    deterministically across partitionings."""
+    from dog_data_pipeline_spark.operators.sampling import quality_quota_sample
+
+    rows = [
+        (i, "s%d" % (i % 2), float(i % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, score DOUBLE")
+    out = quality_quota_sample(df, "doc_id", "source", "score", cap=3)
+    kept = out.filter("kept").orderBy("source", "doc_id").collect()
+    assert len(kept) == 6
+    for src in ("s0", "s1"):
+        ks = [r for r in kept if r["source"] == src]
+        # reference ranking: (score desc, doc_id asc), take 3
+        expected = sorted(
+            [(-(r[2]), r[0]) for r in rows if r[1] == src]
+        )[:3]
+        assert sorted(r["doc_id"] for r in ks) == sorted(d for _, d in expected)
+    # partition-invariance
+    out2 = quality_quota_sample(
+        df.repartition(13), "doc_id", "source", "score", cap=3
+    )
+    assert sorted(
+        (r["doc_id"],) for r in out2.filter("kept").collect()
+    ) == sorted((r["doc_id"],) for r in kept)
