@@ -595,3 +595,114 @@ def mixture_upsample(
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__full", "__thr", "__n")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every doc by
+    how much likelier its hashed n-gram features are under the TARGET
+    distribution than under the RAW corpus distribution —
+    log w(doc) = sum over gram occurrences of ln p_target(b) / p_raw(b).
+
+    Features are word unigrams + bigrams hashed into ``n_buckets`` via
+    md5 (engine-portable: the oracle replays the identical hash and
+    bucket arithmetic). Both feature distributions are Laplace-smoothed
+    bucket unigram models learned in ONE partial-aggregated pass over
+    the exploded grams — the target counts ride beside the raw counts
+    as a conditional sum, so adding the target model is free. The
+    n_buckets-row log-ratio table gets its two totals from a 1-row
+    broadcast and is itself BROADCAST back onto the (doc, bucket)
+    occurrences; the per-doc sum is another partial aggregate keyed on
+    the doc id. Scale shape: two passes over the corpus text (count,
+    score), shuffles carry only (bucket) and (id) keyed partials —
+    never document text; at 100 TB the bucket model is KB-sized
+    regardless of corpus size. ``target_col`` is a boolean column
+    marking rows of the target domain (the paper's formulation with
+    target == a held-out corpus is the same math with is_target=false
+    everywhere in df and the target corpus unioned in).
+
+    Returns (id_col, n_grams, log_w); docs whose text yields zero grams
+    drop out (whitespace-only text is the only way there under the
+    ASCII tokenizer).
+    """
+    from dog_data_pipeline_spark.operators.text import tokens, word_ngrams
+
+    toks = tokens(F.col(text_col))
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).cast("boolean").alias("__is_target"),
+        F.explode(grams).alias("__g"),
+    ).select(
+        "__id",
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__bucket"),
+    )
+    bc = occ.groupBy("__bucket").agg(
+        F.sum(F.col("__is_target").cast("long")).alias("__t_cnt"),
+        F.count(F.lit(1)).alias("__r_cnt"),
+    )
+    tot = bc.agg(
+        F.sum("__t_cnt").alias("__t_total"), F.sum("__r_cnt").alias("__r_total")
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha * n_buckets))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "__bucket",
+        (
+            F.log((F.col("__t_cnt") + a) / (F.col("__t_total") + ab))
+            - F.log((F.col("__r_cnt") + a) / (F.col("__r_total") + ab))
+        ).alias("__log_ratio"),
+    )
+    return (
+        occ.join(F.broadcast(lr), "__bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__log_ratio").alias("log_w"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "log_w")
+    )
+
+
+def dsir_resample(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    log_w_col: str = "log_w",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel-free importance resample of ``k`` rows from DSIR-scored
+    docs: exponential order sampling (Efraimidis-Espirakis without-
+    replacement PPS) carried out ENTIRELY in log space so the weight
+    never has to exp() out of it — priority = ln(u) - log_w, keep the k
+    smallest. ln(u) spans ~[-22, 0] for the md5-derived 32-bit uniform,
+    so selection is weight-dominated for docs more than a few nats
+    apart and noise-tiebroken within that band — exactly the paper's
+    "sample, don't argmax" guidance (argmax overselects near-duplicate
+    target-looking docs; the noise spreads the draw).
+
+    Plan shape: one map-only projection + TakeOrdered(k) — per-
+    partition heaps, driver merge, no global sort. Deterministic for a
+    fixed salt (u comes from md5(id:salt), ties break on id).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hx = _bucket_hex(F.col(id_col), salt)
+    u = (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
+    pri = F.log(u) - F.col(log_w_col)
+    return (
+        scored.withColumn("priority", pri)
+        .orderBy(F.col("priority"), F.col(id_col))
+        .limit(k)
+    )

@@ -881,3 +881,49 @@ def incoherent_spans(
         .select("id", "pos")
     )
     return merge_positions_to_spans(flagged, window + 1)
+
+
+def zipf_spectrum(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-group token rank-frequency (Zipf) audit: natural language
+    sits near slope -1 on the log-log rank/frequency line (Zipf 1949;
+    Piantadosi 2014 review); machine-generated filler, keyword spam,
+    and template boilerplate bend it — a cheap corpus-health screen
+    per source/lang before any model-based scoring.
+
+    Emits (group, n_types, n_tokens, zipf_slope, top10_coverage, ttr):
+    the least-squares slope of ln(freq) on ln(rank) over ALL types
+    (regr_slope — a streaming covariance aggregate, JVM-side), the
+    token-mass share of the 10 most frequent types, and the type-token
+    ratio.
+
+    Scale shape: one partial-aggregated groupBy((group, token)) — the
+    only corpus-sized shuffle, carrying (group, token, count) partials;
+    the rank window partitions by group over the VOCABULARY (Heaps-law
+    sublinear in corpus size), not the corpus; the final per-group agg
+    is another partial. Rank ties break (count desc, token asc) so the
+    ranking — and therefore the slope — is deterministic across
+    engines and partitionings.
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    freq = toks.groupBy("__g", "__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy("__g").orderBy(F.desc("__cnt"), F.col("__tok"))
+    ranked = freq.withColumn("__rank", F.row_number().over(w))
+    top10 = F.when(F.col("__rank") <= 10, F.col("__cnt")).otherwise(F.lit(0))
+    return ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__cnt").alias("n_tokens"),
+        F.round(
+            F.regr_slope(F.log("__cnt"), F.log("__rank")), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.sum(top10).cast("double") / F.sum("__cnt"), 4
+        ).alias("top10_coverage"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("__cnt"), 4
+        ).alias("ttr"),
+    ).withColumnRenamed("__g", group_col)

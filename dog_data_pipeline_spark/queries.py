@@ -7806,6 +7806,131 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "doc_id", "text", n=3)
 
 
+@query(
+    "dsir_selection_report",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, g
+      FROM tok, UNNEST(list_concat(toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]))) AS u(g)
+    ), occ AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % 1024 AS bucket
+      FROM grams
+    ), bc AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+             count(*) AS r_cnt
+      FROM occ GROUP BY 1
+    ), tot AS (
+      SELECT sum(t_cnt) AS t_total, sum(r_cnt) AS r_total FROM bc
+    ), lr AS (
+      SELECT bucket,
+             ln((t_cnt + 1.0) / (t_total + 1024.0))
+               - ln((r_cnt + 1.0) / (r_total + 1024.0)) AS log_ratio
+      FROM bc, tot
+    ), doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             sum(log_ratio) AS log_w
+      FROM occ JOIN lr USING (bucket) GROUP BY 1
+    ), pri AS (
+      SELECT doc_id, n_grams, log_w,
+             ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+                  1, 8))::BIGINT + 0.5) / 4294967296.0) - log_w AS priority
+      FROM doc
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM pri
+    )
+    SELECT d.doc_id, d.lang, r.n_grams, round(r.log_w, 4) AS log_w,
+           r.rn <= 60 AS kept
+    FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+    """,
+    "DSIR data selection (Xie et al. NeurIPS 2023; north-star "
+    "curation): hashed unigram+bigram importance weights toward an "
+    "English target slice — ONE partial-aggregated pass learns both "
+    "Laplace-smoothed bucket models (target counts ride beside raw as "
+    "a conditional sum), the KB-sized log-ratio table broadcasts back "
+    "onto the gram occurrences, per-doc log-weight is a second partial "
+    "aggregate; the without-replacement resample is exponential order "
+    "sampling in LOG space (priority = ln(u) - log_w, TakeOrdered(k) — "
+    "no global sort, no exp()). Oracle replays hash, models, and "
+    "priority ranking end-to-end.",
+)
+def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dsir_log_weights(
+        docs.withColumn("is_target", F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        "is_target",
+        n_buckets=1024,
+        alpha=1.0,
+    )
+    kept = dsir_resample(scored, "doc_id", k=60).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .join(F.broadcast(kept), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            F.round("log_w", 4).alias("log_w"),
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
+
+
+@query(
+    "zipf_spectrum_audit",
+    r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           round(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END)::DOUBLE
+                 / sum(cnt), 4) AS top10_coverage,
+           round(count(*)::DOUBLE / sum(cnt), 4) AS ttr
+    FROM ranked GROUP BY lang
+    """,
+    "Zipf rank-frequency audit per language (corpus-health screen): "
+    "least-squares slope of ln(freq) on ln(rank) over the full "
+    "vocabulary (regr_slope, a streaming covariance aggregate), top-10 "
+    "token-mass coverage, and type-token ratio — natural text sits "
+    "near slope -1; template spam and generated filler bend it. One "
+    "(group, token) partial aggregate is the only corpus-sized "
+    "shuffle; the rank window runs over the Heaps-sublinear VOCABULARY "
+    "with deterministic (count desc, token) tie-break so the slope is "
+    "engine-portable. Oracle replays ranking and regression exactly.",
+)
+def zipf_spectrum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import zipf_spectrum
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_spectrum(docs, "lang", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
@@ -7878,14 +8003,17 @@ _PRIORITY_ORDER = [
     "range_join_event_pairs",
     "rollup_revenue",
     "scalar_subquery_filter",
-    "semi_join_active_customers",
-    "sql_shipping_priority",
     # round-5 additions (pre-validated against the sf0.001 AND sf0.01
     # strict oracles before entering; displace the unpivot_measures /
-    # window_rank_latest re-certs — r1-green, window cousins covered by
-    # range_frame_window / window_partition_max above, queued for r6):
+    # window_rank_latest / sql_shipping_priority /
+    # semi_join_active_customers re-certs — all r1-green, window cousins
+    # covered by range_frame_window / window_partition_max /
+    # pricing_summary / anti_join_idempotence above, queued for r6;
+    # a FIRST driver row is worth more than a third):
     "per_source_quality_quota",
     "ngram_novelty_profile",
+    "dsir_selection_report",
+    "zipf_spectrum_audit",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-5 rotation math: 1 flagship + 2 fix-certifications + 13

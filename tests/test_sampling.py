@@ -300,3 +300,44 @@ def test_quality_quota_keeps_best_k_per_source(spark):
     assert sorted(
         (r["doc_id"],) for r in out2.filter("kept").collect()
     ) == sorted((r["doc_id"],) for r in kept)
+
+
+def test_dsir_log_weights_favor_target_distribution(spark):
+    """Planted construction: target docs are all 'alpha beta' grams,
+    off-target all 'gamma delta'. A fresh doc written in target-speak
+    must outscore one written in raw-only-speak."""
+    from dog_data_pipeline_spark.operators.sampling import dsir_log_weights
+
+    rows = (
+        [(i, "alpha beta alpha beta", True) for i in range(10)]
+        + [(100 + i, "gamma delta gamma delta", False) for i in range(10)]
+        + [(900, "alpha beta alpha beta", False),   # target-speak probe
+           (901, "gamma delta gamma delta", False)] # raw-speak probe
+    )
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, is_target BOOLEAN")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(df, "doc_id", "text", "is_target").collect()
+    }
+    assert got[900]["log_w"] > got[901]["log_w"]
+    # identical text => identical weight regardless of the target flag
+    assert got[900]["log_w"] == got[0]["log_w"]
+    # gram accounting: 4 unigrams + 3 bigrams
+    assert got[900]["n_grams"] == 7
+
+
+def test_dsir_resample_is_deterministic_and_weight_dominated(spark):
+    from dog_data_pipeline_spark.operators.sampling import dsir_resample
+
+    rows = [(i, 50.0 if i < 5 else -50.0) for i in range(100)]
+    scored = spark.createDataFrame(rows, "doc_id INT, log_w DOUBLE")
+    kept = sorted(
+        r["doc_id"] for r in dsir_resample(scored, "doc_id", k=5).collect()
+    )
+    # 100 nats of separation swamps the ln(u) noise band (~22 nats)
+    assert kept == [0, 1, 2, 3, 4]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dsir_resample(scored.repartition(7), "doc_id", k=5).collect()
+    )
+    assert kept2 == kept

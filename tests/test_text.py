@@ -568,3 +568,37 @@ def test_incoherent_spans_merges_adjacent_windows(spark):
     r = spans[0]
     # 10 tokens -> 9 bigrams -> full windows start at 1..7, span 1..10
     assert (r["span_start"], r["span_end"]) == (1, 10)
+
+
+def test_zipf_spectrum_planted_slope_and_coverage(spark):
+    """Frequencies 4/2/1 for tokens a/b/c: slope of ln(freq) on
+    ln(rank) is computable in closed form; coverage and ttr exact."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.text import zipf_spectrum
+
+    df = spark.createDataFrame(
+        [(1, "g1", "a a a a b b c")], "doc_id INT, lang STRING, text STRING"
+    )
+    row = zipf_spectrum(df, "lang").collect()[0]
+    x = np.log([1.0, 2.0, 3.0])
+    y = np.log([4.0, 2.0, 1.0])
+    expected = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    assert row["n_types"] == 3 and row["n_tokens"] == 7
+    assert abs(row["zipf_slope"] - round(expected, 4)) <= 1e-4
+    assert row["top10_coverage"] == 1.0
+    assert row["ttr"] == round(3 / 7, 4)
+
+
+def test_zipf_spectrum_rank_ties_break_on_token(spark):
+    """Equal-frequency tokens must rank deterministically (token asc)
+    regardless of partitioning — the slope depends on it."""
+    from dog_data_pipeline_spark.operators.text import zipf_spectrum
+
+    rows = [(i, "g", "alpha beta gamma delta") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    a = zipf_spectrum(df, "lang").collect()[0]
+    b = zipf_spectrum(df.repartition(5), "lang").collect()[0]
+    assert a == b
+    # all-equal frequencies: regression on a flat line -> slope 0
+    assert a["zipf_slope"] == 0.0
