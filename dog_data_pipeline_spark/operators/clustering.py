@@ -1,5 +1,7 @@
-"""Duplicate-cluster resolution: connected components over near-dup
-pairs (north-star dedup, the step after pair generation).
+"""Clustering operators: connected components over near-dup pairs
+(north-star dedup, the step after pair generation) and distributed
+Lloyd k-means over embedding columns (the cluster stage of
+SemDeDup-style curation when the corpus is too large to sample).
 
 Pair detectors (jaccard/minhash/simhash/cosine) emit EDGES; corpus
 curation needs CLUSTERS — A~B and B~C must collapse to one group even
@@ -16,6 +18,9 @@ grow with iterations (the classic iterative-algorithm hazard on Spark).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -182,3 +187,306 @@ def cluster_best_representatives(
         F.col("__best").alias("keep_score"),
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (full-corpus refinement)
+# ---------------------------------------------------------------------------
+
+def kmeans_init_hash(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    salt: str = "km",
+) -> list[list[float]]:
+    """Deterministic k-means init: the vectors of the k rows with the
+    smallest (md5(id:salt), id) key — a seeded uniform draw that any
+    engine (and any partitioning) reproduces exactly, unlike
+    rand()-based init. One TakeOrdered(k) job (per-partition heaps,
+    driver merge — no global sort)."""
+    hx = F.md5(F.concat(F.col("__id").cast("string"), F.lit(":" + salt)))
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(hx, F.col("__id"))
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r["__v"])) for r in rows]
+
+
+def _lloyd_partials(centroids: list[list[float]]):
+    """mapInPandas generator computing per-PARTITION Lloyd sufficient
+    statistics against a closure-captured centroid matrix: for each
+    cell, (count, per-dimension coordinate sums, inertia contribution).
+    One BLAS matmul per Arrow batch for the assignment; the emitted
+    rows are pre-exploded to (cell, pos, sx[, n, inertia on pos=0]) so
+    the downstream combine is ONE groupBy — never a collect_list of
+    arrays."""
+    mat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c_sq = (mat**2).sum(axis=1)
+    k, dim = mat.shape
+
+    def gen(batches):
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        inert = np.zeros(k, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            d = (v**2).sum(axis=1)[:, None] - 2.0 * (v @ mat.T) + c_sq[None, :]
+            a = d.argmin(axis=1)
+            cnt += np.bincount(a, minlength=k)
+            np.add.at(sums, a, v)
+            # clamp: float cancellation can push an exact-zero distance
+            # a few ulps negative
+            dmin = np.maximum(d[np.arange(len(a)), a], 0.0)
+            inert += np.bincount(a, weights=dmin, minlength=k)
+        live = np.flatnonzero(cnt)
+        yield pd.DataFrame(
+            {
+                "cell": np.repeat(live, dim).astype("int32"),
+                "pos": np.tile(np.arange(dim, dtype="int32"), len(live)),
+                "sx": sums[live].ravel(),
+                "n": np.where(
+                    np.tile(np.arange(dim), len(live)) == 0,
+                    np.repeat(cnt[live], dim),
+                    0,
+                ),
+                "inertia": np.where(
+                    np.tile(np.arange(dim), len(live)) == 0,
+                    np.repeat(inert[live], dim),
+                    0.0,
+                ),
+            }
+        )
+
+    return gen
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 4,
+    salt: str = "km",
+    init: str = "parallel",
+) -> dict:
+    """Distributed Lloyd k-means over the FULL corpus — the refinement
+    stage that complements the bounded-sample quantizer in
+    ``similarity._train_centroids``: IVF only needs a sample-quality
+    coarse quantizer, but SemDeDup-style curation clusters (Abbas et
+    al. 2023 use ~100k clusters over the whole corpus) want centroids
+    fitted on every vector.
+
+    Each iteration is ONE map-side-combined pass: a mapInPandas task
+    reduces its entire partition to k x dim sufficient-statistic rows
+    (count, coordinate sums, inertia — BLAS assignment inside), so the
+    shuffle carries P x k x dim tiny rows instead of n vectors, and the
+    driver folds k rows into the next centroid set (empty cells keep
+    their previous centroid). Scale shape: per-iteration network cost
+    is independent of n; for the k x dim ~ 10^8 extreme (k=100k,
+    dim=1024) swap the final single groupBy for a two-level tree
+    combine. Input is persisted across iterations and unpersisted
+    before returning.
+
+    ``init`` picks the seeding: "parallel" (default — k-means||, see
+    ``kmeans_parallel_init``; uniform seeding measurably merges planted
+    clusters) or "hash" (plain deterministic uniform draw).
+
+    Returns {"centroids", "init", "inertia"} — inertia is the
+    per-iteration history measured AGAINST the centroids that iteration
+    assigned with (so Lloyd guarantees it non-increasing).
+    """
+    vdf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .persist()
+    )
+    try:
+        if init == "parallel":
+            seeds = kmeans_parallel_init(vdf, "__id", "__v", k, salt)
+        elif init == "hash":
+            seeds = kmeans_init_hash(vdf, "__id", "__v", k, salt)
+        else:
+            raise ValueError(f"unknown init {init!r}")
+        init = seeds
+        centroids = [list(c) for c in init]
+        dim = len(centroids[0])
+        history: list[float] = []
+        schema = "cell int, pos int, sx double, n long, inertia double"
+        for _ in range(iters):
+            parts = vdf.select("__v").mapInPandas(
+                _lloyd_partials(centroids), schema
+            )
+            agg = (
+                parts.groupBy("cell", "pos")
+                .agg(
+                    F.sum("sx").alias("sx"),
+                    F.sum("n").alias("n"),
+                    F.sum("inertia").alias("inertia"),
+                )
+                .collect()
+            )
+            sums = {}
+            cnt = {}
+            total_inertia = 0.0
+            for r in agg:
+                sums.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["sx"]
+                if r["pos"] == 0:
+                    cnt[r["cell"]] = r["n"]
+                    total_inertia += r["inertia"]
+            history.append(total_inertia)
+            centroids = [
+                [s / cnt[ci] for s in sums[ci]] if cnt.get(ci) else centroids[ci]
+                for ci, _ in enumerate(centroids)
+            ]
+        return {"centroids": centroids, "init": init, "inertia": history}
+    finally:
+        vdf.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Input columns + ``cell`` (nearest centroid id, ties to the lower
+    cell — stable argsort on exact arithmetic). One Arrow-batched
+    matmul per batch; map-only, no shuffle."""
+    from dog_data_pipeline_spark.operators.similarity import _nearest_cells
+
+    return df.withColumn(
+        "cell",
+        _nearest_cells(centroids, vec_col, 1)[0],
+    )
+
+
+def _min_dist2(centers: list[list[float]], vec_col: str):
+    """Column: squared distance to the nearest of ``centers`` (clamped
+    at 0 against float cancellation). One closure matmul per Arrow
+    batch."""
+    mat = np.asarray(centers, dtype=np.float64)
+    c_sq = (mat**2).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def _d2(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        if v.size == 0:
+            return pd.Series([], dtype="float64")
+        d = (v**2).sum(axis=1)[:, None] - 2.0 * (v @ mat.T) + c_sq[None, :]
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    return _d2(F.col(vec_col))
+
+
+def _weighted_reduce(cands, weights, k: int):
+    """Driver-side reduction of the k-means|| candidate set to k
+    centers: deterministic weighted farthest-first seeding followed by
+    weighted Lloyd to convergence — no RNG, so any engine reproduces
+    it. Candidate count is O(rounds * oversample), driver-trivial."""
+    c = np.asarray(cands, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if len(c) <= k:
+        return [list(map(float, x)) for x in c]
+    picked = [int(np.argmax(w))]  # heaviest candidate first
+    d2 = ((c - c[picked[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(w * d2))
+        picked.append(nxt)
+        d2 = np.minimum(d2, ((c - c[nxt]) ** 2).sum(axis=1))
+    centers = c[picked].copy()
+    for _ in range(20):
+        d = ((c[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            m = a == j
+            if w[m].sum() > 0:
+                new[j] = (c[m] * w[m, None]).sum(axis=0) / w[m].sum()
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return [list(map(float, x)) for x in centers]
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    salt: str = "km",
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al., VLDB 2012 — "Scalable
+    k-means++"): instead of k sequential D^2-weighted draws (k passes,
+    useless at scale) or a uniform draw (arbitrarily bad seeding —
+    measured here: two uniform seeds in one blob merge the other two),
+    each of ``rounds`` passes samples every point INDEPENDENTLY with
+    probability min(1, l * d^2/phi) where d is its distance to the
+    current center set and phi the summed cost — the paper's
+    oversampling step, l = ``oversample`` (default 2k). The O(rounds*l)
+    weighted candidates are reduced to k on the driver (deterministic
+    farthest-first + weighted Lloyd; the paper's "recluster the
+    weighted candidates" step, RNG-free here so any engine replays it).
+
+    The Bernoulli draw uses the md5(id:salt:round) uniform — the
+    repo-wide deterministic-sampling idiom — so init is a pure function
+    of the data. Each round costs two passes (phi, then draw); the
+    final weighting pass reuses the Lloyd partials machinery. All
+    driver state is O(rounds * l * dim).
+    """
+    l = oversample or 2 * k
+    first = kmeans_init_hash(df, id_col, vec_col, 1, salt)
+    centers = [list(c) for c in first]
+    for r in range(rounds):
+        d2 = _min_dist2(centers, vec_col)
+        scored = df.select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"), d2.alias("__d2")
+        )
+        phi = scored.agg(F.sum("__d2")).collect()[0][0]
+        if not phi or phi <= 0.0:
+            break  # every point coincides with a center already
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("__cid").cast("string"),
+                            F.lit(salt),
+                            F.lit(str(r)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+        drawn = scored.filter(u < F.lit(float(l)) * F.col("__d2") / F.lit(float(phi)))
+        new = [list(map(float, row["__cv"])) for row in drawn.collect()]
+        seen = {tuple(c) for c in centers}
+        centers.extend([c for c in new if tuple(c) not in seen])
+    # weight candidates by how many points they'd absorb, then reduce
+    from dog_data_pipeline_spark.operators.similarity import _nearest_cells
+
+    counts = dict(
+        df.withColumn("__cell", _nearest_cells(centers, vec_col, 1)[0])
+        .groupBy("__cell")
+        .count()
+        .collect()
+    )
+    weights = [counts.get(i, 0) for i in range(len(centers))]
+    return _weighted_reduce(centers, weights, k)

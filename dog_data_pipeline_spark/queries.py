@@ -7931,6 +7931,261 @@ def zipf_spectrum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_spectrum(docs, "lang", "text")
 
 
+@query(
+    "url_canonicalization_report",
+    r"""
+    WITH derived AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN 'not a url ' || doc_id
+                  ELSE
+               (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP'
+                                ELSE 'http' END)
+               || '://'
+               || (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.'
+                                   ELSE '' END)
+               || source
+               || (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                                   WHEN 2 THEN '.github.io'
+                                   WHEN 3 THEN '.org'
+                                   ELSE '.blogspot.com' END)
+               || (CASE doc_id % 7 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                                   WHEN 2 THEN ':8080' ELSE '' END)
+               || (CASE WHEN doc_id % 2 = 1 THEN '/docs/' || doc_id
+                        ELSE '' END)
+               || (CASE doc_id % 6 WHEN 1 THEN '?utm_source=feed'
+                                   WHEN 2 THEN '?id=' || doc_id
+                                   WHEN 3 THEN '?utm_campaign=x&id=' || doc_id
+                                   WHEN 4 THEN '?id=' || doc_id || '&utm_medium=m'
+                                   WHEN 5 THEN '?fbclid=abc&ref=hp'
+                                   ELSE '' END)
+               || (CASE WHEN doc_id % 8 = 0 THEN '#top' ELSE '' END)
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*).*$', 1)) AS host,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+).*$', 1) AS port,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*).*$', 1) AS path,
+        array_to_string(list_filter(
+          string_split(regexp_extract(url, '^[^?#]*\?([^#]*).*$', 1), '&'),
+          x -> x <> '' AND NOT regexp_matches(
+                 x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') AS cq
+      FROM derived
+    ), doms AS (
+      SELECT *, string_split(host, '.') AS labels FROM parts
+    ), built AS (
+      SELECT doc_id, url, host,
+        CASE
+          WHEN regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+               OR len(labels) <= 2 THEN host
+          WHEN len(labels) >= 4 AND array_to_string(labels[-3:], '.')
+               IN ('s3.amazonaws.com')
+            THEN array_to_string(labels[-4:], '.')
+          WHEN len(labels) >= 3 AND array_to_string(labels[-2:], '.')
+               IN ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp',
+                   'or.jp','com.au','net.au','org.au','com.br','com.cn',
+                   'com.mx','co.in','co.kr','co.za','com.ar','com.tr',
+                   'github.io','blogspot.com')
+            THEN array_to_string(labels[-3:], '.')
+          ELSE array_to_string(labels[-2:], '.')
+        END AS reg_domain,
+        CASE WHEN scheme <> '' AND host <> '' THEN
+          scheme || '://' || host
+          || (CASE WHEN port <> ''
+                    AND NOT (scheme = 'http' AND port = '80')
+                    AND NOT (scheme = 'https' AND port = '443')
+               THEN ':' || port ELSE '' END)
+          || (CASE WHEN path = '' THEN '/' ELSE path END)
+          || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)
+        END AS canon_url
+      FROM doms
+    )
+    SELECT doc_id, url, canon_url, reg_domain,
+           canon_url IS NULL AS is_dead_letter
+    FROM built
+    """,
+    "URL canonicalization + registered-domain extraction (functions/"
+    "urls.py) — the first screen of a web-crawl curation stack "
+    "(C4/RefinedWeb dedupe and cap by canonical URL / registrable "
+    "domain): lowercase scheme+host, drop default ports and fragments, "
+    "strip tracking params (utm_*/fbclid/gclid/ref) preserving the "
+    "order of survivors, PSL-style longest-suffix registered domain. "
+    "All pure regex/string column expressions — map-only, whole-stage "
+    "codegen, zero shuffle; unparseable inputs canonicalize to NULL "
+    "for dead-letter routing. Inputs are deterministic messy URLs "
+    "derived in-query from (doc_id, source) covering every "
+    "normalization path; the oracle re-derives and re-normalizes with "
+    "the identical regex grammar.",
+)
+def url_canonicalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("https"))
+        .when(d % 3 == 1, F.lit("HTTP"))
+        .otherwise(F.lit("http"))
+    )
+    www = (
+        F.when(d % 4 == 0, F.lit("WWW."))
+        .when(d % 4 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(d % 5 == 0, F.lit(".co.uk"))
+        .when(d % 5 == 1, F.lit(".com"))
+        .when(d % 5 == 2, F.lit(".github.io"))
+        .when(d % 5 == 3, F.lit(".org"))
+        .otherwise(F.lit(".blogspot.com"))
+    )
+    port = (
+        F.when(d % 7 == 0, F.lit(":443"))
+        .when(d % 7 == 1, F.lit(":80"))
+        .when(d % 7 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 2 == 1, F.concat(F.lit("/docs/"), ds)).otherwise(F.lit(""))
+    q = (
+        F.when(d % 6 == 1, F.lit("?utm_source=feed"))
+        .when(d % 6 == 2, F.concat(F.lit("?id="), ds))
+        .when(d % 6 == 3, F.concat(F.lit("?utm_campaign=x&id="), ds))
+        .when(d % 6 == 4, F.concat(F.lit("?id="), ds, F.lit("&utm_medium=m")))
+        .when(d % 6 == 5, F.lit("?fbclid=abc&ref=hp"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 8 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.when(d % 9 == 0, F.concat(F.lit("not a url "), ds)).otherwise(
+        F.concat(
+            scheme, F.lit("://"), www, F.col("source"), tld, port, path, q, frag
+        )
+    )
+    canon = normalize_url(F.col("url"))
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            canon.alias("canon_url"),
+            registered_domain(url_host(F.col("url"))).alias("reg_domain"),
+            canon.isNull().alias("is_dead_letter"),
+        )
+    )
+
+
+@query(
+    "kmeans_corpus_clusters",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           8 AS k, 4 AS iters,
+           TRUE AS inertia_nonincreasing,
+           TRUE AS assignment_is_nearest,
+           TRUE AS mean_update_improves
+    FROM embeddings
+    """,
+    "Distributed Lloyd k-means over the FULL embedding corpus with "
+    "k-means|| seeding (Bahmani et al. VLDB 2012) — the cluster stage "
+    "SemDeDup-style curation runs before per-cell pairwise cosine. "
+    "Per iteration ONE map-side-combined pass: each partition reduces "
+    "to k x dim sufficient-statistic rows inside mapInPandas (BLAS "
+    "assignment), so the shuffle is independent of corpus size. "
+    "SELF-CERTIFYING (centroids have no SQL analog; invariants ride "
+    "TRUE-columns, each computed by an INDEPENDENT arithmetic path): "
+    "inertia_nonincreasing (the Lloyd descent history), "
+    "assignment_is_nearest (numpy argmin cell re-checked against a "
+    "JVM zip_with distance fold to every centroid, tol 1e-9), "
+    "mean_update_improves (one more mean-update computed wholly "
+    "in-plan — posexplode avg per cell — must not increase the "
+    "assigned-distance total: Lloyd's descent property verified on "
+    "DataFrame arithmetic, not the fit's own accumulators).",
+)
+def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=4, salt="kmq")
+    cents = fit["centroids"]
+    hist = fit["inertia"]
+    mono = all(b <= a + 1e-6 for a, b in zip(hist, hist[1:]))
+
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    assigned = kmeans_assign(v, cents, "id", "v").localCheckpoint(eager=False)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "ccell INT, cv ARRAY<DOUBLE>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per = (
+        assigned.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .groupBy("id", "cell")
+        .agg(
+            F.min("d2").alias("best"),
+            F.min(F.when(F.col("ccell") == F.col("cell"), F.col("d2"))).alias(
+                "own"
+            ),
+        )
+    )
+    nearest_cur = per.agg(
+        F.bool_and(F.col("own") <= F.col("best") + F.lit(1e-9)).alias(
+            "assignment_is_nearest"
+        ),
+        F.sum("own").alias("__cur_total"),
+    )
+    means = (
+        assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mv")
+        )
+    )
+    nd2 = F.aggregate(
+        F.zip_with("v", "mv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    next_total = (
+        assigned.join(F.broadcast(means), "cell")
+        .withColumn("nd2", nd2)
+        .agg(F.sum("nd2").alias("__next_total"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(nearest_cur)
+        .crossJoin(next_total)
+        .select(
+            "n_vectors",
+            F.lit(8).alias("k"),
+            F.lit(4).alias("iters"),
+            F.lit(bool(mono)).alias("inertia_nonincreasing"),
+            "assignment_is_nearest",
+            (F.col("__next_total") <= F.col("__cur_total") + F.lit(1e-6)).alias(
+                "mean_update_improves"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -111,3 +111,74 @@ def test_cluster_best_representatives_unscored_and_duplicates(spark):
     }
     assert out[1] == ("b", 0.7, 3)  # dup rows collapsed, n_members intact
     assert out[2] == ("x", None, 2)  # all-unscored cluster survives
+
+
+def test_kmeans_fit_recovers_planted_blobs(spark):
+    """Three well-separated 2-D blobs: 4 Lloyd iterations must reach
+    blob-pure cells, non-increasing inertia, and the hash-deterministic
+    init must be reproducible from the data alone."""
+    from dog_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    rows = [
+        (b * 50 + i, [cx + (i % 7) * 0.5, cy + (i % 5) * 0.5])
+        for b, (cx, cy) in enumerate(centers)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vid INT, v ARRAY<DOUBLE>")
+    fit = kmeans_fit(df, "vid", "v", k=3, iters=4, salt="t")
+    assert fit["init"] == kmeans_parallel_init(df, "vid", "v", 3, salt="t")
+    hist = fit["inertia"]
+    assert len(hist) == 4
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    out = kmeans_assign(df, fit["centroids"], "vid", "v").collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vid"] // 50, set()).add(r["cell"])
+    # every blob lands in exactly one cell, and the cells are distinct
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({c for s in by_blob.values() for c in s}) == 3
+
+
+def test_kmeans_fit_empty_cell_keeps_previous_centroid(spark):
+    """k=3 over two distinct points: one cell can never win a member;
+    its centroid must stay at its init vector instead of going NaN."""
+    from dog_data_pipeline_spark.operators.clustering import kmeans_fit
+
+    rows = [(i, [0.0, 0.0] if i % 2 else [10.0, 10.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vid INT, v ARRAY<DOUBLE>")
+    fit = kmeans_fit(df, "vid", "v", k=3, iters=3, salt="t", init="hash")
+    assert len(fit["centroids"]) == 3
+    flat = [x for c in fit["centroids"] for x in c]
+    assert all(x == x for x in flat)  # no NaN
+    # at least one final centroid is an init vector carried through
+    assert any(c in fit["init"] for c in fit["centroids"])
+
+
+def test_kmeans_fit_invariant_under_repartition(spark):
+    """Assignment cells (the discrete output) must not depend on the
+    physical partitioning; float sums may differ in ulps but the
+    planted margins here are huge."""
+    from dog_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [(i, [float(i % 4) * 50.0, 0.0]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vid INT, v ARRAY<DOUBLE>")
+    a = kmeans_fit(df, "vid", "v", k=4, iters=3, salt="t")
+    b = kmeans_fit(df.repartition(7), "vid", "v", k=4, iters=3, salt="t")
+    assert a["init"] == b["init"]
+    cells_a = sorted(
+        (r["vid"], r["cell"])
+        for r in kmeans_assign(df, a["centroids"], "vid", "v").collect()
+    )
+    cells_b = sorted(
+        (r["vid"], r["cell"])
+        for r in kmeans_assign(df, b["centroids"], "vid", "v").collect()
+    )
+    assert cells_a == cells_b
