@@ -150,3 +150,100 @@ def pii_detection_report(
     for name in pats:
         aggs.append(F.sum(f"{name}_hits").cast("long").alias(f"{name}_hits"))
     return exploded.groupBy(*key_names).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Differentially private aggregate release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+def _keyed_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1) from md5(key:salt) — the
+    repo-wide seeded-sampling idiom (32 hash bits, +0.5 centering keeps
+    the value strictly inside the open interval)."""
+    hx = F.substring(F.md5(F.concat_ws(":", key, F.lit(salt))), 1, 8)
+    return (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def laplace_noise(key: Column, scale: float, salt: str) -> Column:
+    """Laplace(0, scale) noise by inverse-CDF transform of the keyed
+    uniform: -scale * sign(u - 1/2) * ln(1 - 2|u - 1/2|).
+
+    The noise is a pure function of (key, salt) — the keyed-noise
+    variant of the mechanism used for CONSISTENT releases (re-running
+    the release must not hand an attacker fresh noise draws to average
+    away; cf. the reproducible-noise requirement of census-style
+    publication systems). Swap the salt per release epoch to
+    re-randomize; swap ``_keyed_uniform`` for a CSPRNG stream where
+    consistency is not wanted.
+    """
+    u = _keyed_uniform(key, salt) - F.lit(0.5)
+    return (
+        F.lit(-float(scale))
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+
+
+def dp_release_counts(
+    df,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    round_to: int = 4,
+):
+    """epsilon-DP per-group count release via the Laplace mechanism:
+    a unit-count query has L1 sensitivity 1 (one individual changes one
+    group's count by 1), so noise is Laplace(1/epsilon) keyed on the
+    group value. Emits (group_cols..., noisy_count) — the true count
+    never leaves the aggregation.
+
+    Plan shape: one partial-aggregated groupBy + map-only noise
+    arithmetic on the (tiny) group domain — the corpus-sized work is
+    the count itself. The privacy guarantee is per-release; publishing
+    k disjoint group-bys costs k*epsilon under basic composition
+    (callers budget accordingly).
+    """
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            *group_cols,
+            F.round(
+                F.col("__n") + laplace_noise(key, 1.0 / epsilon, salt),
+                round_to,
+            ).alias("noisy_count"),
+        )
+    )
+
+
+def dp_release_sums(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    clip: float,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    round_to: int = 4,
+):
+    """epsilon-DP per-group sum release: each contribution is clipped
+    to [0, clip] (bounding L1 sensitivity at ``clip``), then
+    Laplace(clip/epsilon) noise is added per group. Clipping before
+    aggregation is what makes the sensitivity claim true — a single
+    unbounded value would otherwise carry unbounded influence."""
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(float(clip)),
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.sum(clipped).alias("__s"))
+        .select(
+            *group_cols,
+            F.round(
+                F.col("__s") + laplace_noise(key, float(clip) / epsilon, salt),
+                round_to,
+            ).alias("noisy_sum"),
+        )
+    )

@@ -28,6 +28,9 @@ broadcast range arrays); the only shuffle in the whole path is the
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,3 +140,113 @@ def quantization_error(
         ),
         within.alias("within_half_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (covariance accumulation + driver eigendecomposition)
+# ---------------------------------------------------------------------------
+
+def _moment_partials():
+    """mapInPandas generator reducing a partition of vectors to second-
+    moment sufficient statistics: count, per-dimension sums, and the
+    full dim x dim Gram matrix X^T X — emitted pre-exploded as
+    (i, j, v) rows (count rides at (-1, -1), sums at (i, -1)) so the
+    combine is ONE tiny groupBy, never an array collect."""
+
+    def gen(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            n += len(v)
+            s = v.sum(axis=0) if s is None else s + v.sum(axis=0)
+            g = v.T @ v if g is None else g + v.T @ v
+        if n == 0:
+            return
+        dim = len(s)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([[-1], np.arange(dim), ii.ravel()]).astype(
+                    "int32"
+                ),
+                "j": np.concatenate(
+                    [[-1], np.full(dim, -1), jj.ravel()]
+                ).astype("int32"),
+                "v": np.concatenate([[float(n)], s, g.ravel()]),
+            }
+        )
+
+    return gen
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Distributed PCA over an embedding column: ONE map-side-combined
+    pass accumulates (n, sum, X^T X) per partition (a dim^2-sized
+    partial, independent of row count — the classic scalable-PCA shape;
+    at dim=1024 the partial is 8 MB, fine per task), the driver forms
+    the population covariance (X^T X)/n - mu mu^T and eigendecomposes
+    it (symmetric eigh, O(dim^3) driver work — trivial up to dim of a
+    few thousand, which is where embedding PCA lives).
+
+    Sign convention: each component's largest-|.|-coordinate is made
+    positive (eigenvectors are sign-ambiguous; this pins a
+    deterministic representative). Returns {"mean", "components"
+    (k x dim, rows = top components), "eigenvalues" (all dim,
+    descending), "n"}.
+    """
+    src = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    parts = src.mapInPandas(_moment_partials(), "i int, j int, v double")
+    rows = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    n = 0.0
+    sums: dict = {}
+    gram: dict = {}
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["v"]
+        else:
+            gram[(r["i"], r["j"])] = r["v"]
+    dim = len(sums)
+    s = np.array([sums[i] for i in range(dim)])
+    g = np.array([[gram[(i, j)] for j in range(dim)] for i in range(dim)])
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals = np.maximum(vals[order], 0.0)
+    comps = vecs[:, order].T[:k]  # (k, dim)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return {
+        "mean": [float(x) for x in mu],
+        "components": [[float(x) for x in row] for row in comps],
+        "eigenvalues": [float(x) for x in vals],
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame, fit: dict, vec_col: str, out_col: str = "pca"
+) -> DataFrame:
+    """Input columns + ``out_col`` = (v - mean) @ components^T — the
+    k-dim projection. Map-only closure matmul per Arrow batch; at
+    100 TB this is the embedding-compression write path (store k dims,
+    keep the fit as metadata)."""
+    mu = np.asarray(fit["mean"], dtype=np.float64)
+    ct = np.asarray(fit["components"], dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        if v.size == 0:
+            return pd.Series([], dtype=object)
+        out = (v - mu) @ ct
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -8080,6 +8080,149 @@ def url_canonicalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dp_release_report",
+    r"""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(least(greatest(CAST(n_chars AS DOUBLE), 0.0), 200.0)) AS s
+      FROM documents GROUP BY 1, 2
+    ), keyed AS (
+      SELECT source, lang, n, s,
+             (('0x' || substring(md5(source || lang || ':dpc'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0 - 0.5 AS uc,
+             (('0x' || substring(md5(source || lang || ':dps'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0 - 0.5 AS us
+      FROM g
+    )
+    SELECT source, lang,
+           round(n + (-1.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 4)
+             AS noisy_count,
+           round(s + (-200.0) * sign(us) * ln(1.0 - 2.0 * abs(us)), 4)
+             AS noisy_chars_sum
+    FROM keyed
+    """,
+    "Differentially private per-(source, lang) release via the Laplace "
+    "mechanism: counts at sensitivity 1 (Laplace(1/eps)) and a "
+    "clip-bounded character-mass sum (contributions clipped to "
+    "[0, 200] BEFORE aggregation, so sensitivity is the clip bound — "
+    "Laplace(200/eps)); eps=1 each, 2*eps total under basic "
+    "composition, distinct salts so the two releases draw independent "
+    "noise. Noise is the keyed-hash inverse-CDF transform "
+    "(consistent-release variant: re-running cannot average noise "
+    "away), which also makes the mechanism an exact pure function the "
+    "oracle replays end-to-end — md5 uniform, sign/ln transform, "
+    "round(4). True counts never leave the aggregate. Corpus-sized "
+    "work is one partial-aggregated groupBy; noise arithmetic is "
+    "map-only on the tiny group domain.",
+)
+def dp_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.privacy import (
+        dp_release_counts,
+        dp_release_sums,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = dp_release_counts(docs, ["source", "lang"], epsilon=1.0, salt="dpc")
+    sums = dp_release_sums(
+        docs, ["source", "lang"], "n_chars", clip=200.0, epsilon=1.0, salt="dps"
+    ).withColumnRenamed("noisy_sum", "noisy_chars_sum")
+    return counts.join(sums, ["source", "lang"])
+
+
+@query(
+    "embedding_pca_report",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(len(embedding)) AS INT) AS dim,
+           8 AS k,
+           TRUE AS eigenvalues_nonincreasing,
+           TRUE AS components_orthonormal,
+           TRUE AS trace_matches_eigensum,
+           TRUE AS projection_variance_matches
+    FROM embeddings
+    """,
+    "Distributed PCA over the embedding corpus (the compression step "
+    "before ANN indexing / the whitening step before clustering): ONE "
+    "map-side-combined pass accumulates (n, sum, X^T X) sufficient "
+    "statistics per partition — a dim^2 partial independent of row "
+    "count — then a driver-side symmetric eigendecomposition. "
+    "SELF-CERTIFYING (eigenvectors have no SQL analog; each TRUE "
+    "column is an INDEPENDENT-path check): eigenvalues_nonincreasing "
+    "and components_orthonormal audit the spectral output; "
+    "trace_matches_eigensum recomputes total variance IN-PLAN "
+    "(posexplode + var_pop per dimension, never touching the fit's "
+    "accumulators) and matches it to the eigenvalue sum; "
+    "projection_variance_matches projects every vector (map-only "
+    "closure matmul) and matches each projected coordinate's "
+    "population variance to its eigenvalue — the defining property "
+    "of PCA, verified on DataFrame arithmetic end-to-end.",
+)
+def embedding_pca_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quantize import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb, "embedding", k=8)
+    ev = fit["eigenvalues"]
+    import numpy as _np
+
+    c = _np.asarray(fit["components"])
+    mono = all(b <= a + 1e-12 for a, b in zip(ev, ev[1:]))
+    ortho = bool(_np.allclose(c @ c.T, _np.eye(len(c)), atol=1e-8))
+    eigsum = float(sum(ev))
+
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    total_var = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop("x").alias("vv"))
+        .agg(F.sum("vv").alias("tv"))
+        .select(
+            (
+                F.abs(F.col("tv") - F.lit(eigsum))
+                <= F.lit(1e-6) * (F.lit(1.0) + F.lit(eigsum))
+            ).alias("trace_matches_eigensum")
+        )
+    )
+    evdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(ev[: len(c)])], "pos INT, ev DOUBLE"
+    )
+    proj_match = (
+        pca_project(v, fit, "v")
+        .select(F.posexplode("pca").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_pop("x").alias("pv"))
+        .join(F.broadcast(evdf), "pos")
+        .agg(
+            F.bool_and(
+                F.abs(F.col("pv") - F.col("ev"))
+                <= F.lit(1e-6) * (F.lit(1.0) + F.col("ev"))
+            ).alias("projection_variance_matches")
+        )
+    )
+    return (
+        emb.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.max(F.size("embedding")).cast("int").alias("dim"),
+        )
+        .crossJoin(total_var)
+        .crossJoin(proj_match)
+        .select(
+            "n_vectors",
+            "dim",
+            F.lit(8).alias("k"),
+            F.lit(bool(mono)).alias("eigenvalues_nonincreasing"),
+            F.lit(ortho).alias("components_orthonormal"),
+            "trace_matches_eigensum",
+            "projection_variance_matches",
+        )
+    )
+
+
+@query(
     "kmeans_corpus_clusters",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -395,3 +395,54 @@ def test_semantic_contamination_distinct_datasets_sharing_id_space(spark):
     }
     assert not out2[0]["is_contaminated"]
     assert out2[0]["max_benchmark_cos"] is None
+
+
+def test_laplace_noise_is_keyed_and_distributed_right(spark):
+    """Inverse-CDF Laplace: deterministic per (key, salt), re-salted
+    draws differ, and over many keys the empirical mean-|noise|
+    approaches the scale b (E|Laplace(b)| = b)."""
+    from dog_data_pipeline_spark.operators.privacy import laplace_noise
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    out = df.select(
+        "k",
+        laplace_noise(F.col("k"), 2.0, "s1").alias("n1"),
+        laplace_noise(F.col("k"), 2.0, "s1").alias("n1b"),
+        laplace_noise(F.col("k"), 2.0, "s2").alias("n2"),
+    ).collect()
+    assert all(r["n1"] == r["n1b"] for r in out)
+    assert any(r["n1"] != r["n2"] for r in out)
+    mean_abs = sum(abs(r["n1"]) for r in out) / len(out)
+    assert 1.6 < mean_abs < 2.4
+    signs = sum(1 for r in out if r["n1"] > 0)
+    assert 800 < signs < 1200
+
+
+def test_dp_release_counts_hides_exact_counts_deterministically(spark):
+    from dog_data_pipeline_spark.operators.privacy import dp_release_counts
+
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id INT, g STRING")
+    a = {r["g"]: r["noisy_count"] for r in dp_release_counts(df, ["g"], 1.0).collect()}
+    b = {
+        r["g"]: r["noisy_count"]
+        for r in dp_release_counts(df.repartition(7), ["g"], 1.0).collect()
+    }
+    assert a == b
+    # noise is bounded in practice: ln(2^-32) scale max ~22 nats
+    assert all(abs(v - 30.0) < 25 for v in a.values())
+    # true count never appears in the schema
+    assert set(dp_release_counts(df, ["g"]).columns) == {"g", "noisy_count"}
+
+
+def test_dp_release_sums_clips_outlier_influence(spark):
+    from dog_data_pipeline_spark.operators.privacy import dp_release_sums
+
+    base = [(i, "g", 1.0) for i in range(50)]
+    big = base + [(99, "g", 1e9)]
+    df_a = spark.createDataFrame(base, "id INT, g STRING, v DOUBLE")
+    df_b = spark.createDataFrame(big, "id INT, g STRING, v DOUBLE")
+    sa = dp_release_sums(df_a, ["g"], "v", clip=2.0, epsilon=1.0).collect()[0]
+    sb = dp_release_sums(df_b, ["g"], "v", clip=2.0, epsilon=1.0).collect()[0]
+    # the outlier contributes at most `clip`, not 1e9
+    assert abs(sb["noisy_sum"] - sa["noisy_sum"]) <= 2.0 + 1e-9

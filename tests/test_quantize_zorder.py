@@ -131,3 +131,61 @@ def test_write_zordered_shrinks_both_dim_spans(spark, tmp_path):
     # the z-curve bounds BOTH dimensions' average span well below that
     assert sum(x_spans) / len(x_spans) < 0.6 * 31
     assert sum(y_spans) / len(y_spans) < 0.6 * 31
+
+
+def test_pca_fit_recovers_planted_principal_axis(spark):
+    """Points spread along (1,1,0)/sqrt(2) with tiny noise on (0,0,1):
+    the top component must align with the planted axis and the
+    eigenvalues must be non-increasing with the planted gap."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.quantize import pca_fit
+
+    rows = []
+    for i in range(200):
+        t = (i - 100) / 10.0
+        eps = ((i % 7) - 3) / 30.0
+        rows.append((i, [t + 5.0, t + 5.0, eps]))
+    df = spark.createDataFrame(rows, "vid INT, v ARRAY<DOUBLE>")
+    fit = pca_fit(df, "v", k=2)
+    assert fit["n"] == 200
+    ev = fit["eigenvalues"]
+    assert all(b <= a + 1e-12 for a, b in zip(ev, ev[1:]))
+    c0 = np.asarray(fit["components"][0])
+    axis = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+    assert abs(abs(c0 @ axis) - 1.0) < 1e-6
+    # sign convention: the largest-|.| coordinate is positive
+    assert c0[np.abs(c0).argmax()] > 0
+    # mean recovered exactly: t averages -0.05 over i in [0, 200)
+    assert abs(fit["mean"][0] - 4.95) < 1e-9
+
+
+def test_pca_project_variance_matches_eigenvalues(spark):
+    """Population variance of each projected coordinate equals the
+    corresponding eigenvalue (the PCA defining property), and the fit
+    is invariant to physical partitioning."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.quantize import pca_fit, pca_project
+
+    rows = [
+        (i, [float((i * 7) % 23), float((i * 3) % 11), float(i % 5)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vid INT, v ARRAY<DOUBLE>")
+    fit = pca_fit(df, "v", k=3)
+    proj = np.asarray(
+        [
+            r["pca"]
+            for r in pca_project(df, fit, "v").orderBy("vid").collect()
+        ]
+    )
+    var = proj.var(axis=0)
+    for i in range(3):
+        assert abs(var[i] - fit["eigenvalues"][i]) < 1e-8
+    # components orthonormal
+    c = np.asarray(fit["components"])
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    fit2 = pca_fit(df.repartition(7), "v", k=3)
+    assert np.allclose(fit2["eigenvalues"], fit["eigenvalues"], atol=1e-9)
+    assert np.allclose(fit2["components"], fit["components"], atol=1e-8)
