@@ -70,6 +70,98 @@ def cosine_topk(
     )
 
 
+def contrastive_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 5,
+    margin: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    nearest SAME-label corpus vector (the positive) and the ``k_neg``
+    nearest DIFFERENT-label vectors (the hard negatives), with the
+    triplet margin ``pos_cos - neg_cos`` and a violation flag
+    (``margin_gap < margin`` — the pairs a triplet loss would actually
+    move; mining only these is the standard semi-hard curation step
+    for embedding-model training data).
+
+    Returns one row per (anchor, negative rank):
+    (anchor_id, anchor_label, pos_id, pos_cos, neg_rank, neg_id,
+    neg_cos, margin_gap, is_violation). Anchors with no same-label
+    neighbor in the corpus are dropped (a positive is required to form
+    a triplet). Ties break by ascending corpus id — deterministic.
+
+    Scale shape: anchors are broadcast (the mining batch is small by
+    construction; mine the full corpus in anchor-batches), the corpus
+    is never shuffled — cosines reduce map-side to (anchor, id, label,
+    cos) triples and the only exchanges are the two ranking windows on
+    anchor_id plus the tiny negs-x-positives join. For corpus-scale
+    anchor sets swap the scoring stage for ``cosine_topk_lsh`` /
+    ``cosine_topk_ivf`` candidates and keep the window/join tail as-is.
+    """
+    c = _with_norm(corpus, id_col, vec_col, "c").join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(label_col).alias("c_label")
+        ),
+        "c_id",
+    )
+    a = _with_norm(anchors, id_col, vec_col, "q").join(
+        anchors.select(
+            F.col(id_col).alias("q_id"), F.col(label_col).alias("q_label")
+        ),
+        "q_id",
+    )
+    dot = F.aggregate(
+        F.zip_with("q_v", "c_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", dot / (F.col("q_norm") * F.col("c_norm")))
+        .select("q_id", "q_label", "c_id", "c_label", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("c_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(
+            "q_id",
+            "neg_rank",
+            F.col("c_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    gap = F.col("pos_cos") - F.col("neg_cos")
+    return (
+        pos.join(neg, "q_id")
+        .select(
+            F.col("q_id").alias("anchor_id"),
+            F.col("q_label").alias("anchor_label"),
+            "pos_id",
+            "pos_cos",
+            "neg_rank",
+            "neg_id",
+            "neg_cos",
+            gap.alias("margin_gap"),
+            (gap < F.lit(float(margin))).alias("is_violation"),
+        )
+    )
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for RP-LSH signatures."""
     rng = np.random.default_rng(seed)

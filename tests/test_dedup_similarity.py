@@ -617,3 +617,39 @@ def test_ngram_novelty_short_doc_absent_and_append_stable(spark):
     r2 = {r["doc_id"]: r for r in ngram_novelty(appended, "doc_id").collect()}
     assert r2[1] == r1[1]          # old score unchanged
     assert r2[9]["n_novel"] == 0   # repeat owns nothing
+
+
+def test_contrastive_pairs_hand_fixture(spark):
+    """2-D fixture with hand-checkable cosines: positive is the nearest
+    same-label vector, negatives rank by cosine desc, margin gap and
+    the semi-hard violation flag follow the unrounded gap, and an
+    anchor whose label is unique in the corpus yields no triplet."""
+    from dog_data_pipeline_spark.operators.similarity import contrastive_pairs
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),   # cos vs anchor = 0.995037 -> the positive
+        (2, [0.9, 0.5], 1),   # cos = 0.874157 -> hard negative
+        (3, [0.0, 1.0], 1),   # cos = 0.0      -> easy negative
+        (4, [0.0, 1.0], 0),   # same label but farther than id 1
+        (5, [1.0, 0.0], 9),   # label unique in corpus
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = contrastive_pairs(
+        df, df.filter("vec_id IN (0, 5)"), k_neg=5, margin=0.2
+    ).collect()
+    assert {r["anchor_id"] for r in out} == {0}  # id 5 has no positive
+    by_rank = {r["neg_rank"]: r for r in out}
+    assert len(by_rank) == 3
+    assert all(r["pos_id"] == 1 for r in out)
+    assert abs(by_rank[1]["pos_cos"] - 0.995037) < 1e-5
+    # negatives for anchor 0: id 5 (label 9, cos 1.0), id 2, id 3
+    assert by_rank[1]["neg_id"] == 5 and by_rank[1]["neg_cos"] == 1.0
+    assert by_rank[2]["neg_id"] == 2 and by_rank[3]["neg_id"] == 3
+    assert abs(by_rank[2]["neg_cos"] - 0.874157) < 1e-5
+    assert abs(by_rank[2]["margin_gap"] - 0.120880) < 1e-5
+    assert by_rank[1]["is_violation"] is True    # gap -0.004963 < 0.2
+    assert by_rank[2]["is_violation"] is True    # 0.1209 < 0.2
+    assert by_rank[3]["is_violation"] is False   # 0.9950 >= 0.2
