@@ -8394,6 +8394,84 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pagerank_event_graph",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), e AS (
+      SELECT from_type, to_type, CAST(count(*) AS DOUBLE) AS w
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+      -- NOT "a UNION b": under WITH RECURSIVE, DuckDB treats any CTE
+      -- whose top-level set op is UNION as recursive-union machinery
+      -- and skips the dedup — DISTINCT over UNION ALL instead
+      SELECT DISTINCT node FROM (
+        SELECT from_type AS node FROM e UNION ALL SELECT to_type FROM e
+      )
+    ), outw AS (
+      SELECT from_type, sum(w) AS ow FROM e GROUP BY 1
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), e2 AS (
+      -- zero-weight self-loops keep every node present in each
+      -- recursive step (nodes with no real in-edges would otherwise
+      -- drop out of the working table and lose their out-contributions)
+      SELECT from_type, to_type, w FROM e
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ), pr AS (
+      SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, e2.to_type,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * sum(p.rank * e2.w / o.ow)
+      FROM pr p
+      JOIN e2 ON e2.from_type = p.node
+      JOIN outw o ON o.from_type = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter, e2.to_type
+    )
+    SELECT node, round(rank, 6) + 0.0 AS rank
+    FROM pr WHERE iter = 10
+    """,
+    "Weighted PageRank over the first-order event-transition graph "
+    "(graph centrality beside connected_components): 10 damped power "
+    "iterations (d=0.85) from the uniform start over lag-derived "
+    "(from_type -> to_type) transition-count edges. Fixed iteration "
+    "count makes the result a pure function of the graph; the oracle "
+    "replays the identical iteration as a recursive CTE (zero-weight "
+    "self-loops keep rank-0.15/N nodes in the working table). The "
+    "transition graph is dangling-free, so the Spark run stays fully "
+    "lazy: ten chained join/agg stages, one job, zero driver "
+    "round-trips.",
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.clustering import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    edges = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    pr = pagerank(
+        edges,
+        src="from_type",
+        dst="to_type",
+        weight_col="w",
+        iterations=10,
+        damping=0.85,
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -182,3 +182,94 @@ def test_kmeans_fit_invariant_under_repartition(spark):
         for r in kmeans_assign(df, b["centroids"], "vid", "v").collect()
     )
     assert cells_a == cells_b
+
+
+def _np_pagerank(edges, iterations=10, damping=0.85):
+    """Independent-path reference: dense power iteration with uniform
+    dangling-mass redistribution."""
+    import numpy as np
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+    ow = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dm = r[ow == 0].sum()
+        contrib = np.zeros(n)
+        src_mask = ow > 0
+        contrib = (r[src_mask, None] * w[src_mask] / ow[src_mask, None]).sum(
+            axis=0
+        )
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_ring_is_uniform(spark):
+    from dog_data_pipeline_spark.operators.clustering import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src STRING, dst STRING"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    from dog_data_pipeline_spark.operators.clustering import pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 2.0)]
+    e = spark.createDataFrame(edges, "src STRING, dst STRING, w DOUBLE")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight_col="w", iterations=7).collect()
+    }
+    ref = _np_pagerank(edges, iterations=7)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """b has no out-edges: its rank must be redistributed, keeping the
+    total at 1 every iteration (the non-stochastic variant would leak
+    mass)."""
+    from dog_data_pipeline_spark.operators.clustering import pagerank
+
+    edges = [("a", "b", 1.0), ("c", "b", 1.0), ("c", "a", 1.0)]
+    e = spark.createDataFrame(edges, "src STRING, dst STRING, w DOUBLE")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight_col="w", iterations=5).collect()
+    }
+    ref = _np_pagerank(edges, iterations=5)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, (v, got[v], ref[v])
+
+
+def test_pagerank_distributed_path_matches_driver_path(spark):
+    """small_threshold=0 forces the Pregel loop; it must agree with the
+    driver-side numpy path (including dangling handling) to 1e-9."""
+    from dog_data_pipeline_spark.operators.clustering import pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("c", "a", 2.0)]  # b dangles
+    e = spark.createDataFrame(edges, "src STRING, dst STRING, w DOUBLE")
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            e, weight_col="w", iterations=4, small_threshold=0
+        ).collect()
+    }
+    drv = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, weight_col="w", iterations=4).collect()
+    }
+    assert set(dist) == set(drv)
+    for v in drv:
+        assert abs(dist[v] - drv[v]) < 1e-9, (v, dist[v], drv[v])
