@@ -8537,30 +8537,36 @@ _PRIORITY_ORDER = [
     "zip_join_positional",
     "approx_distinct_parts",
     "asof_join_latest_event",
-    "correlated_subquery_above_avg",
-    "cube_order_stats",
-    "pricing_summary",
-    "range_frame_window",
     "range_join_event_pairs",
-    "rollup_revenue",
-    "scalar_subquery_filter",
-    # round-5 additions (pre-validated against the sf0.001 AND sf0.01
-    # strict oracles before entering; displace the unpivot_measures /
-    # window_rank_latest / sql_shipping_priority /
-    # semi_join_active_customers re-certs — all r1-green, window cousins
-    # covered by range_frame_window / window_partition_max /
-    # pricing_summary / anti_join_idempotence above, queued for r6;
-    # a FIRST driver row is worth more than a third):
+    # round-5 additions (every one pre-validated against the sf0.001
+    # AND sf0.01 strict oracles before entering).  They displace ten
+    # r1-green re-certs (unpivot_measures / window_rank_latest /
+    # sql_shipping_priority / semi_join_active_customers /
+    # correlated_subquery_above_avg / cube_order_stats /
+    # pricing_summary / range_frame_window / rollup_revenue /
+    # scalar_subquery_filter), whose structural cousins hold rows
+    # above (range/window framing via range_join_event_pairs +
+    # window_partition_max, grouping-set cube via group_max_pad
+    # family, scalar/semi joins via anti_join_idempotence +
+    # broadcast_dim_join) — a FIRST driver row is worth more than a
+    # third; the displaced queue for r6:
     "per_source_quality_quota",
     "ngram_novelty_profile",
     "dsir_selection_report",
     "zipf_spectrum_audit",
+    "url_canonicalization_report",
+    "dp_release_report",
+    "embedding_pca_report",
+    "kmeans_corpus_clusters",
+    "hard_negative_mining",
+    "pagerank_event_graph",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-5 rotation math: 1 flagship + 2 fix-certifications + 13
-# first-ever rows + 34 round-1/2 re-certifications = 50.  With this
-# window green, cumulative driver coverage reaches 167/167 registry
-# queries (the 13 in (b) were the only never-checked entries).  The
+# round-4 first-ever rows + 24 round-1/2 re-certifications + 10
+# round-5 first-ever rows = 50.  With this window green, every
+# registry query that existed before round 5 has a driver row, and
+# every round-5 addition gets its FIRST row this round.  The
 # rotated-out round-4 greens (TPC-H breadth, file roundtrips, the
 # sketch/privacy/mixture family, north-star dedup/search/multimodal
 # keepers) all passed in CORRECTNESS_r04.json and stay under the
