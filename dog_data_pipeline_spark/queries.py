@@ -8472,6 +8472,65 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+@query(
+    "market_basket_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM b
+    ), ic AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item
+    ), pr AS (
+      SELECT a.item AS item_a, c.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT item_a, item_b, ia.n_item AS n_a, ib.n_item AS n_b, n_ab,
+           round(n_ab / (SELECT n FROM nb), 6) AS support,
+           round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_to_b,
+           round(n_ab / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_to_a,
+           round(n_ab * (SELECT n FROM nb)
+                 / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+    FROM pr
+    JOIN ic ia ON ia.item = pr.item_a
+    JOIN ic ib ON ib.item = pr.item_b
+    ORDER BY lift DESC, item_a, item_b
+    """,
+    "Market-basket association rules (pairwise FP-growth core): brand "
+    "co-occurrence inside orders with support, directional confidence "
+    "and lift. The pair self-join keys both sides on the basket id "
+    "(co-partitioned shuffle, no cartesian); pair explosion is bounded "
+    "by per-basket distinct-brand count; the item-frequency table is "
+    "|vocabulary| rows and broadcasts. Ratios are computed bigint/"
+    "double in a fixed operation order so the DuckDB replay bit-matches "
+    "before round(6).",
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.association import association_rules
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    rules = association_rules(baskets, "basket", "item", min_pair_count=5)
+    return rules.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("conf_a_to_b", 6).alias("conf_a_to_b"),
+        F.round("conf_b_to_a", 6).alias("conf_b_to_a"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy(F.col("lift").desc(), "item_a", "item_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50
