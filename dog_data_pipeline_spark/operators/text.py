@@ -927,3 +927,84 @@ def zipf_spectrum(
             F.count(F.lit(1)).cast("double") / F.sum("__cnt"), 4
         ).alias("ttr"),
     ).withColumnRenamed("__g", group_col)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: adjacent
+    word pairs whose joint frequency beats the independence prediction
+    of their unigram frequencies (Church & Hanks 1990).
+
+        p(a,b) = n_ab / B      p(w) = n_w / T
+        ratio  = p(a,b) / (p(a) * p(b))        PMI = ln(ratio)
+
+    with B = total bigram tokens and T = total unigram tokens. High-
+    ratio pairs are multi-word units ("ipsum lorem"-style boilerplate,
+    named entities, idioms) — the units a tokenizer or a dedup
+    shingler should treat atomically.
+
+    Scale shape: two corpus passes, each one partial-aggregated groupBy
+    (unigram counts, bigram counts); both totals ride along as 1-row
+    broadcast joins, and the unigram table (vocabulary-sized, Heaps-law
+    sublinear) broadcasts onto the bigram counts. min_pair_count prunes
+    the singleton-bigram tail before any join; the top-k is a
+    TakeOrdered, never a full sort. The ratio is pure mul/div (IEEE
+    exact-rounded, bit-identical on any engine); the log is computed
+    last and only for display.
+    """
+    toks = tokens_alpha(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    t_total = uni.agg(F.sum("n_w").cast("double").alias("t_tokens"))
+    big = (
+        df.select(F.explode(word_ngrams(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(int(min_pair_count)))
+    )
+    b_total = (
+        df.select(
+            F.greatest(F.size(toks) - 1, F.lit(0)).alias("__nb")
+        ).agg(F.sum("__nb").cast("double").alias("b_bigrams"))
+    )
+    split = big.select(
+        "bigram",
+        "n_ab",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    ua = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")))
+    joined = (
+        split.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+    )
+    ratio = (F.col("n_ab") / F.col("b_bigrams")) / (
+        (F.col("n_a") / F.col("t_tokens")) * (F.col("n_b") / F.col("t_tokens"))
+    )
+    out = joined.select(
+        "w1",
+        "w2",
+        "n_a",
+        "n_b",
+        "n_ab",
+        ratio.alias("assoc_ratio"),
+        F.log(ratio).alias("pmi"),
+    )
+    return out.orderBy(F.col("assoc_ratio").desc(), "w1", "w2").limit(top_k)
+
+
+def tokens_alpha(text: Column) -> Column:
+    """Lowercase alphabetic-run tokens (the top_bigrams idiom): split
+    on non-[a-z] and drop empties. ASCII letter runs are engine-
+    portable — both Java and RE2-style regex agree on [^a-z]+."""
+    return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda x: x != "")

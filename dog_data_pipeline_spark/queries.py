@@ -8531,6 +8531,69 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("lift").desc(), "item_a", "item_b")
 
 
+@query(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT u.w AS w, CAST(count(*) AS BIGINT) AS n_w
+      FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+    ), tt AS (
+      SELECT CAST(sum(n_w) AS DOUBLE) AS t_tokens FROM uni
+    ), big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM toks, generate_series(1, 1024) AS g(i)
+      WHERE i <= len(t) - 1
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), bt AS (
+      SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS b_bigrams
+      FROM toks
+    ), scored AS (
+      SELECT w1, w2, ua.n_w AS n_a, ub.n_w AS n_b, n_ab,
+             (n_ab / (SELECT b_bigrams FROM bt))
+             / ((ua.n_w / (SELECT t_tokens FROM tt))
+                * (ub.n_w / (SELECT t_tokens FROM tt))) AS ratio
+      FROM big
+      JOIN uni ua ON ua.w = big.w1
+      JOIN uni ub ON ub.w = big.w2
+    )
+    SELECT w1, w2, n_a, n_b, n_ab,
+           round(ratio, 6) AS assoc_ratio,
+           round(ln(ratio), 4) AS pmi
+    FROM scored
+    ORDER BY ratio DESC, w1, w2
+    LIMIT 25
+    """,
+    "Collocation extraction by pointwise mutual information (Church & "
+    "Hanks 1990): top-25 adjacent word pairs whose joint frequency "
+    "beats the unigram-independence prediction — the multi-word units "
+    "a tokenizer or dedup shingler should treat atomically. Two "
+    "partial-aggregated corpus passes (unigram + bigram counts); the "
+    "vocabulary-sized unigram table broadcasts onto the pruned bigram "
+    "counts; totals ride as 1-row broadcasts; top-k is TakeOrdered. "
+    "Ordering and the hash-compared ratio are pure mul/div (bit-"
+    "identical cross-engine); ln is display-only at round(4).",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.text import pmi_collocations as _pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = _pmi(docs, "text", min_pair_count=5, top_k=25)
+    return out.select(
+        "w1",
+        "w2",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round("assoc_ratio", 6).alias("assoc_ratio"),
+        F.round("pmi", 4).alias("pmi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -602,3 +602,36 @@ def test_zipf_spectrum_rank_ties_break_on_token(spark):
     assert a == b
     # all-equal frequencies: regression on a flat line -> slope 0
     assert a["zipf_slope"] == 0.0
+
+
+def test_pmi_collocations_hand_checked(spark):
+    import math
+
+    from dog_data_pipeline_spark.operators.text import pmi_collocations
+
+    # "x y" always adjacent (perfect collocation); "a b" sometimes
+    rows = [(1, "x y a b"), (2, "x y b a"), (3, "x y a b"), (4, "x y")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, "text", min_pair_count=2, top_k=10).collect()
+    }
+    xy = got[("x", "y")]
+    # T = 14 unigrams, B = 10 bigram slots, n_xy = 4, n_x = n_y = 4
+    assert (xy["n_a"], xy["n_b"], xy["n_ab"]) == (4, 4, 4)
+    expected = (4 / 10) / ((4 / 14) * (4 / 14))
+    assert math.isclose(xy["assoc_ratio"], expected)
+    assert math.isclose(xy["pmi"], math.log(expected))
+    ab = got[("a", "b")]
+    assert ab["n_ab"] == 2
+    # the perfect collocation must outrank the sometimes-pair
+    assert xy["assoc_ratio"] > ab["assoc_ratio"]
+
+
+def test_pmi_collocations_min_count_and_topk(spark):
+    from dog_data_pipeline_spark.operators.text import pmi_collocations
+
+    rows = [(1, "p q"), (2, "p q"), (3, "r s")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = pmi_collocations(df, "text", min_pair_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("p", "q")]
