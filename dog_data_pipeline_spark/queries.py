@@ -8594,6 +8594,64 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_event_type_history",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events WHERE user_id < 100
+    ), flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS v
+      FROM flagged
+    ), versions AS (
+      SELECT user_id, v, event_type, min(ts) AS vf,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, v, event_type
+    )
+    SELECT user_id, CAST(v AS INT) AS version, event_type,
+           CAST(floor(epoch(vf)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(vf) OVER wv)) AS BIGINT) AS valid_to,
+           n_events,
+           (lead(vf) OVER wv) IS NULL AS is_current
+    FROM versions WINDOW wv AS (PARTITION BY user_id ORDER BY v)
+    """,
+    "SCD type-2 dimension build (Kimball): collapse each user's event "
+    "stream into half-open validity intervals of the active event_type "
+    "— gaps-and-islands run-length encoding, the warehouse op that "
+    "turns a change log into a point-in-time-joinable dimension. ONE "
+    "exchange total: the change-flag window partitions on user_id, the "
+    "version groupBy keys on (user_id, version) which "
+    "HashPartitioning(user_id) already clusters, and the valid_to lead "
+    "window rides the same partitioning. Epochs floor()ed in the "
+    "oracle (DuckDB epoch is fractional, Spark unix_timestamp "
+    "truncates).",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.versioning import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    hist = scd2_intervals(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=("event_id",)
+    )
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
+        "n_events",
+        "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

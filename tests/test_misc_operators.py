@@ -260,3 +260,56 @@ def test_filter_agreement_chance_level_is_zero_kappa(spark):
     df = spark.createDataFrame(rows, "a BOOLEAN, b BOOLEAN")
     r = filter_agreement_report(df, F.col("a"), F.col("b")).collect()[0]
     assert r["kappa"] == 0.0
+
+
+def test_scd2_intervals_hand_checked(spark):
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.versioning import scd2_intervals
+
+    t = lambda s: datetime(2024, 1, s)  # noqa: E731
+    rows = [
+        # user 1: A A B A  -> three versions (A, B, A)
+        (1, "A", t(1), 10),
+        (1, "A", t(2), 11),
+        (1, "B", t(3), 12),
+        (1, "A", t(4), 13),
+        # user 2: single event -> one current version
+        (2, "C", t(5), 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT"
+    )
+    out = scd2_intervals(df, "user_id", "event_type", "ts", ("event_id",))
+    got = {(r["user_id"], r["version"]): r for r in out.collect()}
+    assert len(got) == 4
+    v1 = got[(1, 1)]
+    assert (v1["event_type"], v1["n_events"], v1["is_current"]) == ("A", 2, False)
+    assert v1["valid_from"] == t(1) and v1["valid_to"] == t(3)
+    v2 = got[(1, 2)]
+    assert (v2["event_type"], v2["valid_to"]) == ("B", t(4))
+    v3 = got[(1, 3)]
+    assert v3["valid_to"] is None and v3["is_current"]
+    assert got[(2, 1)]["is_current"]
+
+
+def test_scd2_null_attr_runs_merge_and_single_exchange(spark):
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.versioning import scd2_intervals
+
+    t = lambda s: datetime(2024, 2, s)  # noqa: E731
+    rows = [(1, None, t(1), 1), (1, None, t(2), 2), (1, "X", t(3), 3)]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT"
+    )
+    out = scd2_intervals(df, "user_id", "event_type", "ts", ("event_id",))
+    rows_out = sorted(out.collect(), key=lambda r: r["version"])
+    # NULL == NULL null-safe: one version for the null run, not two
+    assert [r["event_type"] for r in rows_out] == [None, "X"]
+    assert rows_out[0]["n_events"] == 2
+    # the whole history build costs exactly one shuffle (AQE toString
+    # appends the pre-execution "Initial Plan" — count the final only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
