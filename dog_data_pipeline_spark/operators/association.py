@@ -50,6 +50,7 @@ def association_rules(
     item_col: str,
     min_pair_count: int = 2,
     cap_items: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise association rules over (basket_col, item_col) rows.
 
@@ -72,6 +73,17 @@ def association_rules(
         b = (
             b.join(sizes.filter(F.col("__k") <= cap_items), "basket", "left_semi")
         )
+    # b feeds FOUR scans (basket total, item counts, both pair-join
+    # sides); Spark cannot share a subtree across DAG branches, so
+    # without materialization the upstream dedup pipeline re-executes
+    # per scan (measured ~4x the distinct cost on the brand-basket
+    # query). The materialized table is the DEDUPED (basket, item)
+    # projection — two narrow columns, far smaller than the fact table
+    # that produced it — the standard persist() point of any multi-use
+    # rule-mining pipeline. materialize=False keeps lineage for plan
+    # tests.
+    if materialize:
+        b = b.localCheckpoint(eager=True)
     # one scalar: total baskets. Kept in-plan as a broadcast 1-row join
     # (no .collect() — the rule table stays a single lazy plan).
     n_baskets = b.select("basket").distinct().agg(

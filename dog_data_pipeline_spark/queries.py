@@ -8652,6 +8652,80 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "copurchase_triangle_stats",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM b
+    ), ic AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item
+    ), pr AS (
+      SELECT a.item AS ia, c.item AS ib, CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), e AS (
+      SELECT ia AS a, ib AS bb FROM pr
+      JOIN ic x ON x.item = pr.ia JOIN ic y ON y.item = pr.ib
+      WHERE n_ab * (SELECT n FROM nb)
+            / (x.n_item * CAST(y.n_item AS DOUBLE)) > 1.0
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT bb FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.a AS ta, e1.bb AS tb, e2.bb AS tc
+      FROM e e1 JOIN e e2 ON e2.a = e1.bb
+      JOIN e e3 ON e3.a = e1.a AND e3.bb = e2.bb
+    ), pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT ta AS node FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0 ELSE round(
+             2.0 * coalesce(pn.n_triangles, 0)
+             / (d.degree * CAST(d.degree - 1 AS DOUBLE)), 6) END
+             AS clustering_coeff
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """,
+    "Per-node triangle count and local clustering coefficient over the "
+    "brand co-purchase graph (edges = positively associated pairs, "
+    "lift > 1 from the association-rule table): the canonical "
+    "distributed triangle algorithm — orient edges low->high, wedge "
+    "join E on the middle node, semi-join the closing edge (Cohen "
+    "2009). Orientation makes each triangle count once (no 6-way "
+    "dedup); wedge fan-out is the degree-ordering-minimized quantity; "
+    "per-node counts explode 3 members into a partial agg. The lift "
+    "cutoff reuses the bit-identical rule arithmetic, so both engines "
+    "select the same edge set.",
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.association import association_rules
+    from dog_data_pipeline_spark.operators.clustering import triangle_stats
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    rules = association_rules(baskets, "basket", "item", min_pair_count=5)
+    edges = rules.filter(F.col("lift") > 1.0).select("item_a", "item_b")
+    stats = triangle_stats(edges, "item_a", "item_b")
+    return stats.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round("clustering_coeff", 6).alias("clustering_coeff"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -273,3 +273,31 @@ def test_pagerank_distributed_path_matches_driver_path(spark):
     assert set(dist) == set(drv)
     for v in drv:
         assert abs(dist[v] - drv[v]) < 1e-9, (v, dist[v], drv[v])
+
+
+def test_triangle_stats_hand_checked(spark):
+    from dog_data_pipeline_spark.operators.clustering import triangle_stats
+
+    # K3 on {1,2,3} plus a pendant 3-4 and an isolated edge 5-6
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert got[1]["n_triangles"] == 1 and got[1]["degree"] == 2
+    assert got[1]["clustering_coeff"] == 1.0
+    assert got[3]["degree"] == 3 and got[3]["n_triangles"] == 1
+    assert abs(got[3]["clustering_coeff"] - 2 / 6) < 1e-12
+    # degree-1 nodes present with coeff 0, no division blow-up
+    assert got[4]["n_triangles"] == 0 and got[4]["clustering_coeff"] == 0.0
+    assert got[5]["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_orientation_and_dupes(spark):
+    from dog_data_pipeline_spark.operators.clustering import triangle_stats
+
+    # same triangle given with mixed orientation, duplicates, self-loop
+    edges = [(2, 1), (1, 2), (3, 2), (1, 3), (7, 7)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(r["n_triangles"] == 1 for r in got.values())
+    assert all(r["degree"] == 2 for r in got.values())
