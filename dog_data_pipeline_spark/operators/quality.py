@@ -287,3 +287,70 @@ def filter_agreement_report(
         F.round(po, 4).alias("agreement_rate"),
         F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 4).alias("kappa"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram bins + expected-calibration-error terms for
+    a [0,1] classifier score against a boolean outcome (Guo et al.
+    2017, "On Calibration of Modern Neural Networks") — the audit that
+    says whether a quality/toxicity filter's score can be read as a
+    probability before it picks a corpus threshold.
+
+    Per equal-width bin b over the score:
+
+        n, n_pos, mean_score, frac_pos,
+        abs_gap     = |frac_pos - mean_score|
+        ece_contrib = abs_gap * n / N        (sum over bins = ECE)
+
+    Determinism: double summation is ORDER-DEPENDENT, so a naive
+    avg(score) varies with partitioning. Scores are summed as
+    round(score * score_scale) integers instead — exact, associative,
+    partition-order-free — and divided back out once per bin. Any
+    engine replaying the same integer arithmetic bit-matches; the audit
+    is reproducible run to run. (score_scale=1e6 holds ~9e12 rows per
+    bin before BIGINT overflow.)
+
+    Scale shape: one partial-aggregated groupBy over n_bins groups —
+    the shuffle carries n_bins rows per task; the row-count total rides
+    as a 1-row broadcast. Map-only otherwise.
+    """
+    s = F.col(score_col)
+    micros = F.round(s * F.lit(float(score_scale))).cast("bigint")
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(s * F.lit(float(n_bins))).cast("int")
+    )
+    binned = df.select(
+        b.alias("bin"),
+        micros.alias("__m"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum("__m").alias("__sm"),
+    )
+    total = binned.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    mean_score = (
+        F.col("__sm").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(float(score_scale))
+    )
+    frac_pos = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    out = agg.crossJoin(F.broadcast(total))
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.abs(frac_pos - mean_score).alias("abs_gap"),
+        (F.abs(frac_pos - mean_score) * F.col("n") / F.col("__N")).alias(
+            "ece_contrib"
+        ),
+    )

@@ -8726,6 +8726,83 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "classifier_calibration_bins",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars,
+             floor(list_reduce(
+                     list_prepend(0.0, list_transform(toks, t -> {_qc_weight_sql('t')})),
+                     (acc, x) -> acc + x) / len(toks) * 1000000.0 + 0.5) AS mean_w_u,
+             floor(CAST(len(list_filter(toks,
+                    t -> list_contains(['the','a','of','and','to','in','is','for'], t)))
+                  AS DOUBLE) / len(toks) / 2 * 1000000.0 + 0.5) AS half_sr_u
+      FROM d
+    ), scored AS (
+      SELECT greatest(0, least(1000000, 500000 + mean_w_u + half_sr_u))
+               / 1000000.0 AS clf,
+             (n_chars >= 300) AS y
+      FROM s
+    ), binned AS (
+      SELECT CAST(least(9, CAST(floor(clf * 10.0) AS INT)) AS INT) AS bin,
+             CAST(round(clf * 1000000.0) AS BIGINT) AS sm,
+             CAST(y AS INT) AS yi
+      FROM scored
+    ), agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yi) AS BIGINT) AS n_pos,
+             CAST(sum(sm) AS BIGINT) AS ssm
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nn FROM binned
+    )
+    SELECT bin, n, n_pos,
+           round(CAST(ssm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+             AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ssm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0), 6)
+             AS abs_gap,
+           round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ssm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                 * n / (SELECT nn FROM tot), 6) AS ece_contrib
+    FROM agg
+    """,
+    "Reliability-diagram calibration audit (Guo et al. 2017) of the "
+    "quality-classifier score against a length-derived outcome proxy: "
+    "per equal-width score bin, count, empirical positive rate, mean "
+    "score, |gap| and the ECE term. Scores are summed as exact "
+    "round(score*1e6) BIGINTs — double summation is partition-order-"
+    "dependent, integer summation is associative — so the audit is "
+    "bit-reproducible across runs, partitionings and engines. One "
+    "partial-aggregated groupBy over <=10 bins; the total rides as a "
+    "1-row broadcast; otherwise map-only over the scoring exprs.",
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import calibration_bins
+    from dog_data_pipeline_spark.operators.text import with_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_classifier_score(docs, "text").select(
+        F.col("clf_score").alias("score"),
+        (F.col("n_chars") >= 300).alias("label"),
+    )
+    bins = calibration_bins(scored, "score", "label", n_bins=10)
+    return bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+        F.round("ece_contrib", 6).alias("ece_contrib"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

@@ -313,3 +313,40 @@ def test_scd2_null_attr_runs_merge_and_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
+
+
+def test_calibration_bins_hand_checked(spark):
+    import math
+
+    from dog_data_pipeline_spark.operators.quality import calibration_bins
+
+    rows = [
+        # bin 1 (scores .10-.19): 4 rows, 1 positive -> frac .25
+        (0.10, False), (0.12, False), (0.15, True), (0.18, False),
+        # bin 9 catches score 1.0 (least clamp), 2 rows, both positive
+        (1.0, True), (0.95, True),
+    ]
+    df = spark.createDataFrame(rows, "score DOUBLE, label BOOLEAN")
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(got) == {1, 9}
+    b1 = got[1]
+    assert (b1["n"], b1["n_pos"]) == (4, 1)
+    assert math.isclose(b1["mean_score"], (0.10 + 0.12 + 0.15 + 0.18) / 4, abs_tol=1e-6)
+    assert math.isclose(b1["frac_pos"], 0.25)
+    assert math.isclose(b1["ece_contrib"], b1["abs_gap"] * 4 / 6)
+    b9 = got[9]
+    assert (b9["n"], b9["n_pos"]) == (2, 2)
+    # ECE sums to a weighted mean of gaps; all terms nonnegative
+    assert all(r["abs_gap"] >= 0 for r in got.values())
+
+
+def test_calibration_bins_partition_invariant(spark):
+    """Integer-micros summation must make the result identical under
+    any partitioning (double sums would drift in the last ulp)."""
+    from dog_data_pipeline_spark.operators.quality import calibration_bins
+
+    rows = [((i % 97) / 100.0 + 0.001, i % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "score DOUBLE, label BOOLEAN")
+    a = sorted(calibration_bins(df, "score", "label").collect())
+    b = sorted(calibration_bins(df.repartition(17), "score", "label").collect())
+    assert a == b
