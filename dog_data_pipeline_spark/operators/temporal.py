@@ -332,3 +332,114 @@ def decayed_engagement(
     if top_k is not None:
         out = out.orderBy(F.col("engagement_c").desc(), user_col).limit(top_k)
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Duration-weighted mean of a step-function metric per key — the
+    TWAP shape (a reading holds its value until the next reading, so a
+    plain avg over-weights bursts of closely-spaced events):
+
+        twap(k) = sum_i v_i * (t_{i+1} - t_i) / (t_last - t_first)
+
+    The last event of each key carries no duration and drops out;
+    keys with fewer than 2 events (zero total span) are omitted —
+    there is no interval to average over.
+
+    Returns (key, n_events, span_seconds, twap, plain_avg) so the
+    caller sees both the duration-weighted and naive means (their gap
+    is the burstiness signal).
+
+    Scale shape: one shuffle (window partition on the key), then the
+    groupBy on the same key rides the existing HashPartitioning —
+    Catalyst inserts no second exchange. Durations are integer epoch
+    seconds; the weighted sum is double and carries the usual ulp-
+    order noise, which sits far below any reporting precision.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    dur = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col(ts_col))).alias(
+        "__dur"
+    )
+    steps = df.select(
+        F.col(key_col),
+        F.col(value_col).alias("__v"),
+        dur,
+    ).filter(F.col("__dur").isNotNull())
+    agg = steps.groupBy(key_col).agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("n_events"),
+        F.sum("__dur").alias("span_seconds"),
+        F.sum(F.col("__v") * F.col("__dur")).alias("__wsum"),
+        F.avg("__v").alias("__pavg"),
+    )
+    return agg.filter(F.col("span_seconds") > 0).select(
+        key_col,
+        "n_events",
+        "span_seconds",
+        F.try_divide(F.col("__wsum"), F.col("span_seconds").cast("double")).alias(
+            "twap"
+        ),
+        F.col("__pavg").alias("plain_avg"),
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    tiebreak_cols: Sequence[str] = (),
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: credit each conversion's value
+    to the nearest PRECEDING non-conversion event of the same user
+    (the touchpoint "channel"); conversions with no preceding
+    touchpoint fall to ``direct_label``.
+
+    Returns one row per channel: n_conversions, attributed_value and
+    conversion_share — the standard marketing/product-analytics
+    rollup, and the same carry-forward window shape as gap-filling
+    (last_value IGNORE NULLS over an unbounded-preceding frame).
+
+    Scale shape: one shuffle on the user key for the carry-forward
+    window; the channel rollup then shuffles |channels| partial rows
+    per task (channel cardinality is the event-type vocabulary, tiny);
+    the share denominator rides as a 1-row broadcast.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != F.lit(conversion_type), F.col(type_col)
+    )
+    channel = F.last(touch, ignorenulls=True).over(w)
+    conv = (
+        df.withColumn("__ch", channel)
+        .filter(F.col(type_col) == F.lit(conversion_type))
+        .select(
+            F.coalesce(F.col("__ch"), F.lit(direct_label)).alias("channel"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    total = conv.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    agg = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("__v").alias("attributed_value"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_conversions",
+        "attributed_value",
+        (F.col("n_conversions") / F.col("__n")).alias("conversion_share"),
+    )

@@ -8803,6 +8803,103 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "time_weighted_value_avg",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS BIGINT)
+               AS dur
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+      SELECT * FROM s WHERE dur IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(dur) AS BIGINT) AS span_seconds,
+           round(sum(value * dur) / CAST(sum(dur) AS DOUBLE), 4) AS twap,
+           round(avg(value), 4) AS plain_avg
+    FROM f GROUP BY user_id HAVING sum(dur) > 0
+    """,
+    "Time-weighted average (TWAP) of each user's value signal: a "
+    "reading holds until the next event, so bursts of closely-spaced "
+    "events must not over-weight a plain mean — the step-function "
+    "integral divided by the active span, beside the naive mean whose "
+    "gap is the burstiness signal. One shuffle total: the lead() "
+    "window partitions on user_id and the groupBy rides the same "
+    "HashPartitioning. Durations are integer epoch seconds (floor on "
+    "both engines).",
+)
+def time_weighted_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(
+        ev, "user_id", "ts", "value", tiebreak_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "span_seconds",
+        F.round("twap", 4).alias("twap"),
+        F.round("plain_avg", 4).alias("plain_avg"),
+    )
+
+
+@query(
+    "last_touch_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    ), c AS (
+      SELECT coalesce(channel, 'direct') AS channel, value
+      FROM t WHERE event_type = 'purchase'
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM c
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value), 2) AS attributed_value,
+           round(count(*) / (SELECT n FROM tot), 4) AS conversion_share
+    FROM c GROUP BY channel
+    """,
+    "Last-touch conversion attribution: each purchase's value credited "
+    "to the user's nearest preceding non-purchase event (the "
+    "touchpoint channel), purchases with no prior touchpoint to "
+    "'direct' — the carry-forward last_value IGNORE NULLS window over "
+    "an unbounded-preceding frame. One shuffle on user_id for the "
+    "window; the channel rollup is a partial agg over the tiny "
+    "event-type vocabulary; the share denominator rides as a 1-row "
+    "broadcast.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import (
+        last_touch_attribution as _lta,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = _lta(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        conversion_type="purchase",
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "channel",
+        "n_conversions",
+        F.round("attributed_value", 2).alias("attributed_value"),
+        F.round("conversion_share", 4).alias("conversion_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

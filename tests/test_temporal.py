@@ -234,3 +234,68 @@ def test_decayed_engagement_floor_division_and_cap(spark):
     assert out[2] == 5
     assert out[1] == 2   # floor(5 / 2)
     assert out[3] == 0   # shifted to nothing, no overflow/crash
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    import math
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.temporal import time_weighted_avg
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: v=10 for 60s, v=30 for 180s -> twap = (600+5400)/240 = 25
+        (1, t(0), 10.0, 1),
+        (1, t(1), 30.0, 2),
+        (1, t(4), 99.0, 3),   # last reading carries no duration
+        # user 2: single event -> dropped (no interval)
+        (2, t(0), 7.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE, event_id BIGINT"
+    )
+    out = time_weighted_avg(df, "user_id", "ts", "value", ("event_id",))
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_events"] == 3 and r["span_seconds"] == 240
+    assert math.isclose(r["twap"], 25.0)
+    assert math.isclose(r["plain_avg"], 20.0)  # naive mean of the held values
+    # burstiness: naive mean underweights the long-held 30
+    assert r["twap"] > r["plain_avg"]
+
+
+def test_last_touch_attribution_hand_checked(spark):
+    import math
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.temporal import last_touch_attribution
+
+    t = lambda m: datetime(2024, 3, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: click -> buy(100), view -> buy(50)
+        (1, t(0), "click", 0.0, 1),
+        (1, t(1), "buy", 100.0, 2),
+        (1, t(2), "view", 0.0, 3),
+        (1, t(3), "buy", 50.0, 4),
+        # user 2: buy with no touchpoint -> direct
+        (2, t(0), "buy", 25.0, 5),
+        # user 2's later click must NOT attribute the earlier buy
+        (2, t(1), "click", 0.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, "
+        "event_id BIGINT",
+    )
+    out = last_touch_attribution(
+        df, "user_id", "ts", "event_type", "value", "buy", ("event_id",)
+    )
+    got = {r["channel"]: r for r in out.collect()}
+    assert set(got) == {"click", "view", "direct"}
+    assert got["click"]["attributed_value"] == 100.0
+    assert got["view"]["attributed_value"] == 50.0
+    assert got["direct"]["attributed_value"] == 25.0
+    assert math.isclose(got["click"]["conversion_share"], 1 / 3)
+    # a buy between two touchpoints credits the LAST one only
+    assert got["view"]["n_conversions"] == 1
