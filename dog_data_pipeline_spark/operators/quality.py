@@ -354,3 +354,58 @@ def calibration_bins(
             "ece_contrib"
         ),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-pass per-column profile — the data-card / ingest-audit op:
+
+        (column, dtype, n_rows, n_null, n_distinct, min_value,
+         max_value)
+
+    with min/max rendered as strings so heterogeneous column types fit
+    one long-format report. n_distinct excludes NULLs (SQL COUNT
+    DISTINCT semantics).
+
+    Scale shape: every statistic folds into a SINGLE aggregate over
+    one scan — no per-column jobs, no driver loop; the 1-row result is
+    exploded into the long format driver-side-free. By default
+    distinct counts use approx_count_distinct (HLL, rsd=0.02): exact
+    multi-column COUNT DISTINCT forces an Expand that multiplies the
+    scan |cols|-fold — at audit scale that's the right trade, and
+    exact_distinct=True turns it back on for small/verification runs.
+    """
+    if cols is None:
+        cols = list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
+        )
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"__nd_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("p")).select("p.*")

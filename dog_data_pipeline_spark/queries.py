@@ -8900,6 +8900,66 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_profile_orders",
+    """
+    SELECT 'o_orderkey' AS column, 'bigint' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', 'timestamp_ntz', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    "One-pass table profiler (data-card / ingest audit): per-column "
+    "row count, null count, distinct count and stringified min/max in "
+    "long format. All statistics fold into a SINGLE aggregate over one "
+    "scan — no per-column jobs, no driver loop — and the 1-row result "
+    "explodes into the report. exact_distinct=True here so the DuckDB "
+    "replay matches bit-for-bit; the 100-TB default is "
+    "approx_count_distinct, because exact multi-column COUNT DISTINCT "
+    "expands the scan |cols|-fold. Doubles are profiled too but "
+    "excluded from this oracle (engine float-to-string rendering "
+    "differs).",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    return profile_table(o, cols, exact_distinct=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

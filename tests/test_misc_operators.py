@@ -350,3 +350,31 @@ def test_calibration_bins_partition_invariant(spark):
     a = sorted(calibration_bins(df, "score", "label").collect())
     b = sorted(calibration_bins(df.repartition(17), "score", "label").collect())
     assert a == b
+
+
+def test_profile_table_counts_and_single_scan(spark):
+    from dog_data_pipeline_spark.operators.quality import profile_table
+
+    rows = [(1, "a", 1.5), (2, None, 2.5), (2, "b", None), (None, "b", 4.5)]
+    df = spark.createDataFrame(rows, "k BIGINT, s STRING, v DOUBLE")
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(got) == {"k", "s", "v"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_value"], k["max_value"]) == ("1", "2")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["dtype"] == "string"
+    # all statistics from ONE scan of the input
+    plan = profile_table(df, exact_distinct=True)._jdf.queryExecution()
+    final = plan.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_profile_table_approx_default_close(spark):
+    from dog_data_pipeline_spark.operators.quality import profile_table
+
+    df = spark.range(0, 5000).selectExpr("id AS k", "CAST(id % 137 AS STRING) AS s")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    # HLL at default rsd: within a few percent
+    assert abs(got["k"]["n_distinct"] - 5000) / 5000 < 0.05
+    assert abs(got["s"]["n_distinct"] - 137) / 137 < 0.05
