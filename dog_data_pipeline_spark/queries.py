@@ -9004,20 +9004,12 @@ _PRIORITY_ORDER = [
     # join/window breadth set.  Last driver row: round 1 or 2.
     "anti_join_idempotence",
     "broadcast_dim_join",
-    "completeness_users",
-    "conditional_freq_users",
     "dead_letter_split",
     "dense_sequential_ids",
-    "derived_keys",
     "filter_project_in",
-    "group_max_pad",
     "json_props_extract",
-    "key_formatting",
     "map_array_functions",
     "ordered_collect_seq",
-    "recode_fallthrough",
-    "resume_offset",
-    "topk_orders",
     "tracking_pipeline_samples",
     "tumbling_daily_counts",
     "union_ledger",
@@ -9048,10 +9040,27 @@ _PRIORITY_ORDER = [
     "kmeans_corpus_clusters",
     "hard_negative_mining",
     "pagerank_event_graph",
+    # late-round-5 additions (association rules + graph analytics +
+    # SCD2 + calibration + TWAP/attribution + profiler + PMI), every
+    # one pre-validated against both strict oracles.  They displace
+    # eight more r1-green re-certs (completeness_users /
+    # conditional_freq_users / group_max_pad — all three are flagship
+    # components with a fresh r4 row through flagship_segment_stats —
+    # plus derived_keys / key_formatting / recode_fallthrough /
+    # resume_offset / topk_orders, whose projection/slice/sort shapes
+    # back dozens of current greens); the displaced queue for r6:
+    "market_basket_rules",
+    "pmi_collocations",
+    "scd2_event_type_history",
+    "copurchase_triangle_stats",
+    "classifier_calibration_bins",
+    "time_weighted_value_avg",
+    "last_touch_attribution",
+    "table_profile_orders",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-5 rotation math: 1 flagship + 2 fix-certifications + 13
-# round-4 first-ever rows + 24 round-1/2 re-certifications + 10
+# round-4 first-ever rows + 16 round-1/2 re-certifications + 18
 # round-5 first-ever rows = 50.  With this window green, every
 # registry query that existed before round 5 has a driver row, and
 # every round-5 addition gets its FIRST row this round.  The
@@ -9061,8 +9070,11 @@ _PRIORITY_ORDER = [
 # local mirror.  Round-1 queries NOT re-certified here
 # (busy_window_detail, distinct_agg, large_order_customers,
 # market_share, nation_trade_volume, promo_revenue_share,
-# regional_revenue, returned_item_report) are TPC-H-shaped breadth
-# whose structural cousins hold fresh r4 rows; they queue for r6.
+# regional_revenue, returned_item_report, completeness_users,
+# conditional_freq_users, group_max_pad, derived_keys,
+# key_formatting, recode_fallthrough, resume_offset, topk_orders)
+# are TPC-H-shaped breadth whose structural cousins hold fresh r4
+# rows; they queue for r6.
 
 
 def _apply_registry_order() -> None:
