@@ -409,3 +409,55 @@ def profile_table(
         ]
     )
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the screening audit for
+    "is this metadata field actually informative about that one"
+    (label leakage checks, stratification design, feature pruning).
+
+        chi2 = sum_cells (observed - expected)^2 / expected,
+        expected_ij = row_total_i * col_total_j / N
+        V = sqrt(chi2 / (N * (min(R, C) - 1)))
+
+    Returns one row: (col_a, col_b, n_rows, n_cells, dof, chi2,
+    cramers_v). NULL categories count as a regular level (they carry
+    signal); dof = (R-1)(C-1).
+
+    Scale shape: ONE corpus pass — the contingency table is a partial-
+    aggregated groupBy over the (a, b) level pairs; everything after
+    (marginals, expected counts, the chi2 fold) runs on vocabulary-
+    sized tables that broadcast. No second scan, no collect.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    row_tot = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_tot = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    n = cells.agg(
+        F.sum("__o").cast("double").alias("__n"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_tot), "__a")
+        .join(F.broadcast(col_tot), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = F.col("__ra") * F.col("__cb") / F.col("__n")
+    term = (F.col("__o") - expected) * (F.col("__o") - expected) / expected
+    return joined.agg(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.first("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.first("__r") - 1) * (F.first("__c") - 1)).alias("dof"),
+        F.sum(term).alias("chi2"),
+        F.sqrt(
+            F.sum(term)
+            / (F.first("__n") * (F.least(F.first("__r"), F.first("__c")) - 1))
+        ).alias("cramers_v"),
+    )

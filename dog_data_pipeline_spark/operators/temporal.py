@@ -443,3 +443,159 @@ def last_touch_attribution(
         "attributed_value",
         (F.col("n_conversions") / F.col("__n")).alias("conversion_share"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+    extra_condition=None,
+) -> DataFrame:
+    """Overlap join between two interval tables WITHOUT a cartesian
+    product: pair every (left, right) row whose half-open intervals
+    intersect (``l_start < r_end AND r_start < l_end``), start/end
+    given as integer epoch seconds.
+
+    A naive inequality join is O(|L|·|R|); the scale path is the
+    standard coarse-bucket decomposition: each interval explodes into
+    the fixed-width time buckets it covers, candidates equi-join on
+    the bucket id (a plain hash shuffle), and the exact overlap
+    predicate filters the survivors. A pair that shares several
+    buckets would match several times, so the join keeps only the
+    FIRST shared bucket — ``bucket == greatest(floor(l_start/B),
+    floor(r_start/B))`` — which makes every overlapping pair appear
+    exactly once with NO distinct/dedup shuffle afterwards.
+
+    ``bucket_seconds`` trades fan-out for candidate precision: size it
+    near the typical interval length (an interval explodes into
+    ~len/B + 1 rows). ``extra_condition`` (a Column) is applied after
+    the bucket join — e.g. ``F.col("user_a") < F.col("user_b")``.
+
+    Returns all left columns + all right columns plus
+    ``overlap_seconds`` (integer, exact).
+    """
+    B = int(bucket_seconds)
+
+    def buckets(s: str, e: str):
+        lo = F.floor(F.col(s) / B)
+        # half-open end: an interval ending exactly on a boundary does
+        # not reach into the next bucket (guard degenerate s >= e too —
+        # sequence() would DESCEND and fabricate buckets)
+        hi = F.greatest(F.floor((F.col(e) - 1) / B), lo)
+        return F.explode(F.sequence(lo, hi))
+
+    lb = left.withColumn("__bucket", buckets(l_start, l_end))
+    rb = right.withColumn("__bucket", buckets(r_start, r_end))
+    joined = lb.join(rb, "__bucket")
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / B), F.floor(F.col(r_start) / B)
+    )
+    out = joined.filter(
+        (F.col("__bucket") == first_shared)
+        & (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        # a zero-length interval is the empty set: it intersects
+        # nothing, even when its point lies inside the other interval
+        & (F.col(l_start) < F.col(l_end))
+        & (F.col(r_start) < F.col(r_end))
+    )
+    if extra_condition is not None:
+        out = out.filter(extra_condition)
+    overlap = F.least(F.col(l_end), F.col(r_end)) - F.greatest(
+        F.col(l_start), F.col(r_start)
+    )
+    return out.drop("__bucket").withColumn("overlap_seconds", overlap)
+
+
+def funnel_step_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    checkpoint_states: bool = True,
+) -> DataFrame:
+    """Step-to-step conversion latency for an ordered funnel: for every
+    adjacent step pair (k-1 -> k), the distribution of seconds users
+    took to advance — the "where does the funnel stall" companion to
+    funnel_steps' "where does it leak".
+
+    Returns one row per transition: (transition, n_users, min_sec,
+    median_sec, p90_sec, max_sec). Percentiles are EXACT discrete
+    order statistics (median = element at ceil(n/2), p90 at
+    ceil(0.9n), computed with integer-only rank positions — never
+    float-scaled, so ceil(0.9*10) can't round to 10 via 9.000000...2),
+    deterministic under ties (secondary order: user id).
+
+    Scale shape: the same relational min-chain as funnel_steps (each
+    step joins its event subset against the |users|-row running state
+    — no per-user collect, no power-user hot key). The rank selection
+    sorts each transition's latencies in that transition's window
+    partition: bounded by CONVERTED users of that step, a set that is
+    usually orders of magnitude smaller than the event table. For
+    funnels converting 10^9+ users swap the exact selection for a
+    quantile sketch (quantile_sketch_bounds family).
+    """
+    if len(steps) < 2:
+        raise ValueError("step latency needs at least two steps")
+    ts = F.unix_timestamp(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), ts.alias("t")
+    )
+    state = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t_cur"))
+    )
+    lat = None
+    for k, step in enumerate(steps[1:], start=2):
+        st = state.select(
+            F.col("u").alias("__su"), F.col("t_cur").alias("__tp")
+        )
+        ev_k = base.filter(F.col("et") == step)
+        state = (
+            ev_k.join(
+                st,
+                (F.col("u") == F.col("__su")) & (F.col("t") > F.col("__tp")),
+            )
+            .groupBy("u")
+            .agg(F.min("t").alias("t_cur"), F.min("__tp").alias("t_prev"))
+        )
+        if checkpoint_states:
+            # each state feeds the next join AND its latency branch —
+            # same O(K^2) re-execution hazard as funnel_steps
+            state = state.localCheckpoint(eager=False)
+        name = f"{k - 1}_{steps[k - 2]}->{k}_{step}"
+        deltas = state.select(
+            F.lit(name).alias("transition"),
+            F.col("u"),
+            (F.col("t_cur") - F.col("t_prev")).alias("delta"),
+        )
+        lat = deltas if lat is None else lat.unionByName(deltas)
+        state = state.drop("t_prev")
+    w = Window.partitionBy("transition").orderBy("delta", "u")
+    wn = Window.partitionBy("transition")
+    ranked = lat.select(
+        "transition",
+        "delta",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    median_pos = F.floor((F.col("__n") + 1) / 2)
+    p90_pos = F.floor((F.col("__n") * 9 + 9) / 10)
+    return ranked.groupBy("transition").agg(
+        F.max("__n").alias("n_users"),
+        F.min("delta").alias("min_sec"),
+        F.max(F.when(F.col("__r") == median_pos, F.col("delta"))).alias(
+            "median_sec"
+        ),
+        F.max(F.when(F.col("__r") == p90_pos, F.col("delta"))).alias(
+            "p90_sec"
+        ),
+        F.max("delta").alias("max_sec"),
+    )

@@ -8960,6 +8960,182 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(o, cols, exact_distinct=True)
 
 
+@query(
+    "concurrent_user_overlaps",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) + 1800 AS BIGINT) AS e
+      FROM events WHERE user_id < 40
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+             AS total_overlap_seconds
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+    GROUP BY 1, 2
+    """,
+    "Interval-overlap join without a cartesian: every pair of distinct "
+    "users whose 30-minute activity intervals intersect, with exact "
+    "integer overlap seconds. The operator decomposes intervals into "
+    "coarse time buckets (1h), equi-joins on the bucket id (a plain "
+    "hash shuffle — never |L|x|R|), keeps only the FIRST shared bucket "
+    "(greatest of the two start buckets) so each pair lands exactly "
+    "once with no dedup shuffle, then applies the exact half-open "
+    "predicate. The oracle replays the O(n^2) inequality join "
+    "directly, so candidate completeness is PROVEN, not trusted. "
+    "All-integer arithmetic: bit-exact on any engine.",
+)
+def concurrent_user_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    iv = ev.select(
+        F.col("user_id"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.lit(1800)).alias("e"),
+    )
+    left = iv.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    right = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        "s_a",
+        "e_a",
+        "s_b",
+        "e_b",
+        bucket_seconds=3600,
+        extra_condition=F.col("user_a") < F.col("user_b"),
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_seconds").alias("total_overlap_seconds"),
+    )
+
+
+@query(
+    "priority_status_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a
+    ), ct AS (
+      SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b
+    ), n AS (
+      SELECT CAST(sum(o) AS DOUBLE) AS nn,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c
+      FROM cells
+    )
+    SELECT 'o_orderpriority' AS col_a, 'o_orderstatus' AS col_b,
+           CAST((SELECT nn FROM n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(((SELECT r FROM n) - 1) * ((SELECT c FROM n) - 1) AS BIGINT)
+             AS dof,
+           round(sum((o - ra * cb / (SELECT nn FROM n))
+                     * (o - ra * cb / (SELECT nn FROM n))
+                     / (ra * cb / (SELECT nn FROM n))), 4) AS chi2,
+           round(sqrt(sum((o - ra * cb / (SELECT nn FROM n))
+                          * (o - ra * cb / (SELECT nn FROM n))
+                          / (ra * cb / (SELECT nn FROM n)))
+                      / ((SELECT nn FROM n)
+                         * (least((SELECT r FROM n), (SELECT c FROM n)) - 1))),
+                 4) AS cramers_v
+    FROM cells JOIN rt USING (a) JOIN ct USING (b)
+    """,
+    "Pearson chi-square independence test + Cramer's V between order "
+    "priority and order status — the screening audit for whether one "
+    "metadata field is informative about another (label-leakage and "
+    "stratification checks). ONE corpus pass: the contingency table is "
+    "a partial-aggregated groupBy over level pairs; marginals and the "
+    "chi2 fold run on vocabulary-sized broadcasts. IEEE sqrt is "
+    "exact-rounded, so both engines agree bit-for-bit before the "
+    "display round(4).",
+)
+def priority_status_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.quality import chi_square_independence
+
+    o = _t(spark, sf_dir, "orders")
+    out = chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        "col_a",
+        "col_b",
+        "n_rows",
+        "n_cells",
+        "dof",
+        F.round("chi2", 4).alias("chi2"),
+        F.round("cramers_v", 4).alias("cramers_v"),
+    )
+
+
+@query(
+    "funnel_step_latency",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2, min(s1.t1) AS t1
+      FROM events e JOIN s1
+        ON s1.u = e.user_id AND CAST(floor(epoch(e.ts)) AS BIGINT) > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u,
+             min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3, min(s2.t2) AS t2
+      FROM events e JOIN s2
+        ON s2.u = e.user_id AND CAST(floor(epoch(e.ts)) AS BIGINT) > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), lat AS (
+      SELECT '1_signup->2_click' AS transition, u, t2 - t1 AS delta FROM s2
+      UNION ALL
+      SELECT '2_click->3_purchase', u, t3 - t2 FROM s3
+    ), ranked AS (
+      SELECT transition, delta,
+             row_number() OVER (PARTITION BY transition
+                                ORDER BY delta, u) AS r,
+             count(*) OVER (PARTITION BY transition) AS n
+      FROM lat
+    )
+    SELECT transition, CAST(max(n) AS BIGINT) AS n_users,
+           CAST(min(delta) AS BIGINT) AS min_sec,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN delta END) AS BIGINT)
+             AS median_sec,
+           CAST(max(CASE WHEN r = (n * 9 + 9) // 10 THEN delta END) AS BIGINT)
+             AS p90_sec,
+           CAST(max(delta) AS BIGINT) AS max_sec
+    FROM ranked GROUP BY transition
+    """,
+    "Funnel step-to-step latency (signup -> click -> purchase): per "
+    "transition the exact min / median / p90 / max seconds users took "
+    "to advance — funnel_steps tells you where the funnel leaks, this "
+    "tells you where it stalls. Same relational min-chain (event "
+    "subset joined against the |users|-row running state, no per-user "
+    "collect); percentiles are exact discrete order statistics with "
+    "INTEGER-ONLY rank positions (median at ceil(n/2), p90 at "
+    "ceil(0.9n) computed as (9n+9)//10 — a float 0.9*n would ceil to "
+    "n+1 on ties), deterministic under ties via the user-id secondary "
+    "order. All-integer output: bit-exact cross-engine.",
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.temporal import funnel_step_latency as _fsl
+
+    ev = _t(spark, sf_dir, "events")
+    return _fsl(ev, ["signup", "click", "purchase"])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver verifies queries in dict order and may cap
 # how many it checks per round (round 1 covered exactly the first 50

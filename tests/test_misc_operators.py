@@ -378,3 +378,31 @@ def test_profile_table_approx_default_close(spark):
     # HLL at default rsd: within a few percent
     assert abs(got["k"]["n_distinct"] - 5000) / 5000 < 0.05
     assert abs(got["s"]["n_distinct"] - 137) / 137 < 0.05
+
+
+def test_chi_square_independence_hand_checked(spark):
+    import math
+
+    from dog_data_pipeline_spark.operators.quality import chi_square_independence
+
+    # classic 2x2: o = [[10, 20], [20, 10]], N=60
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert (r["n_rows"], r["n_cells"], r["dof"]) == (60, 4, 1)
+    # expected all 15 -> chi2 = 4 * (5^2/15) = 20/3
+    assert math.isclose(r["chi2"], 20 / 3, rel_tol=1e-12)
+    assert math.isclose(r["cramers_v"], math.sqrt((20 / 3) / 60), rel_tol=1e-12)
+
+
+def test_chi_square_independent_columns_near_zero(spark):
+    from dog_data_pipeline_spark.operators.quality import chi_square_independence
+
+    # perfectly independent layout: every (a, b) cell equal
+    rows = [(str(i % 3), str(j % 4)) for i in range(3) for j in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert abs(r["chi2"]) < 1e-9 and abs(r["cramers_v"]) < 1e-6
+    assert r["dof"] == 6

@@ -299,3 +299,95 @@ def test_last_touch_attribution_hand_checked(spark):
     assert math.isclose(got["click"]["conversion_share"], 1 / 3)
     # a buy between two touchpoints credits the LAST one only
     assert got["view"]["n_conversions"] == 1
+
+
+def test_interval_overlap_join_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 600)], "lid BIGINT, s_a BIGINT, e_a BIGINT"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 50, 150),    # overlaps lid 1 by 50s
+            (11, 100, 200),   # touches lid 1 end exactly -> NO overlap (half-open)
+            (12, 590, 9999),  # overlaps lid 2 by 10s, spans many buckets
+        ],
+        "rid BIGINT, s_b BIGINT, e_b BIGINT",
+    )
+    out = interval_overlap_join(
+        left, right, "s_a", "e_a", "s_b", "e_b", bucket_seconds=100
+    )
+    got = {(r["lid"], r["rid"]): r["overlap_seconds"] for r in out.collect()}
+    assert got == {(1, 10): 50, (2, 12): 10}
+
+
+def test_interval_overlap_join_multi_bucket_pair_counted_once(spark):
+    from dog_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    # both intervals span the same 5 buckets -> the bucket join matches
+    # 5 times; the first-shared-bucket filter must keep exactly one
+    left = spark.createDataFrame([(1, 0, 500)], "lid BIGINT, s_a BIGINT, e_a BIGINT")
+    right = spark.createDataFrame([(2, 0, 500)], "rid BIGINT, s_b BIGINT, e_b BIGINT")
+    out = interval_overlap_join(
+        left, right, "s_a", "e_a", "s_b", "e_b", bucket_seconds=100
+    ).collect()
+    assert len(out) == 1 and out[0]["overlap_seconds"] == 500
+
+
+def test_interval_overlap_join_degenerate_interval_no_crash(spark):
+    from dog_data_pipeline_spark.operators.temporal import interval_overlap_join
+
+    # zero-length interval: sequence() must not descend/fabricate rows
+    left = spark.createDataFrame([(1, 100, 100)], "lid BIGINT, s_a BIGINT, e_a BIGINT")
+    right = spark.createDataFrame([(2, 0, 1000)], "rid BIGINT, s_b BIGINT, e_b BIGINT")
+    out = interval_overlap_join(
+        left, right, "s_a", "e_a", "s_b", "e_b", bucket_seconds=100
+    ).collect()
+    assert out == []  # empty interval overlaps nothing under half-open
+
+
+def test_funnel_step_latency_hand_checked(spark):
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.temporal import funnel_step_latency
+
+    t = lambda m: datetime(2024, 5, 1, 0, 0, m)  # noqa: E731
+    rows = [
+        # user 1: A@0 -> B@10 (delta 10)
+        (1, "A", t(0)), (1, "B", t(10)),
+        # user 2: A@0 -> B@30 (delta 30); B@5 BEFORE A must not count...
+        (2, "B", t(5)),  # wait: B@5 is before A@0? no, A is at t(0)
+        (2, "A", t(0)), (2, "B", t(30)),
+        # user 3: A@0 -> B@20 (delta 20)
+        (3, "A", t(0)), (3, "B", t(20)),
+        # user 4: only A -> no transition row
+        (4, "A", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP")
+    out = {r["transition"]: r for r in funnel_step_latency(df, ["A", "B"]).collect()}
+    r = out["1_A->2_B"]
+    # user 2's first B after A@0 is B@5 -> delta 5; deltas = [5, 10, 20]
+    assert r["n_users"] == 3
+    assert (r["min_sec"], r["max_sec"]) == (5, 20)
+    # n=3: median pos (3+1)//2 = 2 -> 10; p90 pos (27+9)//10 = 3 -> 20
+    assert r["median_sec"] == 10
+    assert r["p90_sec"] == 20
+
+
+def test_funnel_step_latency_strictly_after_previous_step(spark):
+    from datetime import datetime
+
+    from dog_data_pipeline_spark.operators.temporal import funnel_step_latency
+
+    t = lambda s: datetime(2024, 6, 1, 0, 0, s)  # noqa: E731
+    # B fires only BEFORE A: no conversion; B at the same second as A
+    # is not "after" (strict)
+    rows = [(1, "B", t(0)), (1, "A", t(5)), (1, "B", t(5)),
+            (2, "A", t(0)), (2, "B", t(1))]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP")
+    out = {r["transition"]: r for r in funnel_step_latency(df, ["A", "B"]).collect()}
+    r = out["1_A->2_B"]
+    assert r["n_users"] == 1 and r["min_sec"] == 1  # only user 2
