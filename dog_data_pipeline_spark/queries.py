@@ -2750,6 +2750,65 @@ def binary_listing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_file_join",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_catalog_rows,
+           CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE (doc_id % 40) < 30
+    GROUP BY lang
+    """,
+    "Catalog<->files key join certificate (SURVEY J4): the catalog side "
+    "is `documents` keyed by file_idx = doc_id % 40 (the reference keys "
+    "its labels.csv catalog to on-disk '%06d.mp4' files, "
+    "preprocessed_to_raw.py:40, then joins catalog rows to the files it "
+    "reads back, raw_to_samples.py:312,322-328); the files side is a "
+    "REAL on-disk layout — only file_idx 0..29 are materialized (one "
+    "parquet file per file_idx=NN dir via coalesce(1)+partitionBy), "
+    "listed back through binaryFile + a *.parquet glob, with the join "
+    "key RECOVERED FROM THE PATH via regexp_extract. The inner join "
+    "keeps exactly the catalog rows whose file exists; the oracle "
+    "recomputes that set relationally (doc_id % 40 < 30), so a glob "
+    "miss, a lost partition dir, a path-parse bug, or a duplicated "
+    "listing row each change the counts and fail the hash. The listing "
+    "side (<= 30 rows) is broadcast — at 100 TB the catalog never "
+    "shuffles for this lookup.",
+)
+def catalog_file_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.sources.files import list_binary_files
+
+    docs = _t(spark, sf_dir, "documents")
+    catalog = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 40).alias("file_idx"),
+        "lang",
+        "n_chars",
+    )
+    path = _roundtrip_dir("catfiles")
+    (
+        docs.filter((F.col("doc_id") % 40) < 30)
+        .select((F.col("doc_id") % 40).alias("file_idx"), "text")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("file_idx")
+        .parquet(path)
+    )
+    listing = list_binary_files(spark, path, glob="*.parquet").select(
+        F.regexp_extract(F.col("path"), r"file_idx=(\d+)/", 1)
+        .cast("bigint")
+        .alias("file_idx"),
+    )
+    joined = catalog.join(F.broadcast(listing), "file_idx")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_catalog_rows"),
+        F.countDistinct("file_idx").cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "sharded_export_roundtrip",
     """
     SELECT CAST(count(*) AS BIGINT) AS total_rows,
@@ -8208,8 +8267,8 @@ def embedding_pca_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.max(F.size("embedding")).cast("int").alias("dim"),
         )
-        .crossJoin(total_var)
-        .crossJoin(proj_match)
+        .crossJoin(F.broadcast(total_var))
+        .crossJoin(F.broadcast(proj_match))
         .select(
             "n_vectors",
             "dim",
@@ -8314,8 +8373,8 @@ def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .crossJoin(nearest_cur)
-        .crossJoin(next_total)
+        .crossJoin(F.broadcast(nearest_cur))
+        .crossJoin(F.broadcast(next_total))
         .select(
             "n_vectors",
             F.lit(8).alias("k"),
@@ -9149,108 +9208,82 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # ---- round-5 rotation policy: (a) the two round-4 hash-red queries
-    # stay in so the driver certifies their oracle fixes; (b) all 13
-    # round-4 additions that have never had a driver row enter; (c) the
-    # remaining slots re-certify the OLDEST rotated-out greens (the
-    # round-1 relational/§2 set — last driver row two windows ago).
-    # Everything rotated out stays under the identical local sf0.001
-    # oracle mirror (tests/test_queries_oracle.py), which since round 5
-    # is driver-strict (type-tagged, sign-bit-preserving compare).
-    # (a) round-4 hash-reds, oracles fixed this round (BIGINT cast /
-    # -0.0 normalisation — values were already identical cross-engine):
-    "shipmode_priority_counts",
-    "semantic_contamination",
-    # (b) never-driver-checked round-4 additions:
-    "event_funnel",
-    "cohort_retention",
-    "event_transitions",
-    "decayed_engagement",
-    "robust_outlier_report",
-    "filter_agreement_audit",
-    "bigram_lm_scores",
-    "incoherent_span_stats",
-    "vocab_oov_report",
-    "length_bucket_padding",
-    "split_leakage_audit",
-    "embedding_space_audit",
-    "schema_evolution_roundtrip",
-    # (c) round-1 re-certification: §2-operator-backed queries first
-    # (each is the driver evidence for a SURVEY §2 row), then the
-    # join/window breadth set.  Last driver row: round 1 or 2.
-    "anti_join_idempotence",
-    "broadcast_dim_join",
-    "dead_letter_split",
-    "dense_sequential_ids",
-    "filter_project_in",
-    "json_props_extract",
-    "map_array_functions",
-    "ordered_collect_seq",
-    "tracking_pipeline_samples",
-    "tumbling_daily_counts",
-    "union_ledger",
-    "window_partition_max",
-    "zip_join_positional",
-    "approx_distinct_parts",
-    "asof_join_latest_event",
-    "range_join_event_pairs",
-    # round-5 additions (every one pre-validated against the sf0.001
-    # AND sf0.01 strict oracles before entering).  They displace ten
-    # r1-green re-certs (unpivot_measures / window_rank_latest /
-    # sql_shipping_priority / semi_join_active_customers /
-    # correlated_subquery_above_avg / cube_order_stats /
-    # pricing_summary / range_frame_window / rollup_revenue /
-    # scalar_subquery_filter), whose structural cousins hold rows
-    # above (range/window framing via range_join_event_pairs +
-    # window_partition_max, grouping-set cube via group_max_pad
-    # family, scalar/semi joins via anti_join_idempotence +
-    # broadcast_dim_join) — a FIRST driver row is worth more than a
-    # third; the displaced queue for r6:
-    "per_source_quality_quota",
-    "ngram_novelty_profile",
-    "dsir_selection_report",
-    "zipf_spectrum_audit",
-    "url_canonicalization_report",
-    "dp_release_report",
-    "embedding_pca_report",
-    "kmeans_corpus_clusters",
-    "hard_negative_mining",
-    "pagerank_event_graph",
-    # late-round-5 additions (association rules + graph analytics +
-    # SCD2 + calibration + TWAP/attribution + profiler + PMI), every
-    # one pre-validated against both strict oracles.  They displace
-    # eight more r1-green re-certs (completeness_users /
-    # conditional_freq_users / group_max_pad — all three are flagship
-    # components with a fresh r4 row through flagship_segment_stats —
-    # plus derived_keys / key_formatting / recode_fallthrough /
-    # resume_offset / topk_orders, whose projection/slice/sort shapes
-    # back dozens of current greens); the displaced queue for r6:
-    "market_basket_rules",
-    "pmi_collocations",
-    "scd2_event_type_history",
-    "copurchase_triangle_stats",
-    "classifier_calibration_bins",
-    "time_weighted_value_avg",
-    "last_touch_attribution",
-    "table_profile_orders",
+    # ---- round-6 rotation policy: with rounds 1-5 cumulatively green
+    # (every query's LATEST driver row is a pass), this window clears
+    # the remaining evidence debt: (a) the 3 round-5 additions that
+    # landed after the r5 window froze and have never had a driver row,
+    # plus the one new r6 query (catalog_file_join — first driver
+    # evidence for SURVEY J4, previously pytest-only); (b) every query
+    # whose latest driver row is round 1 or round 2 (26 names — the 16
+    # the r5 verdict queued plus the other 10 r1/r2 stragglers); (c)
+    # the 3 OLDEST round-3 greens.  With this window green, cumulative
+    # driver coverage is 189/189 and no query's latest row predates
+    # round 3.  Everything rotated out stays under the driver-strict
+    # local sf0.001 oracle mirror (tests/test_queries_oracle.py).
+    # (a) never-driver-checked (3 post-freeze r5 additions + 1 new r6):
+    "concurrent_user_overlaps",
+    "funnel_step_latency",
+    "priority_status_independence",
+    "catalog_file_join",
+    # (b) latest-row-is-round-1 re-certifications (17):
+    "busy_window_detail",
+    "correlated_subquery_above_avg",
+    "cube_order_stats",
+    "distinct_agg",
+    "large_order_customers",
+    "market_share",
+    "nation_trade_volume",
+    "pricing_summary",
+    "promo_revenue_share",
+    "range_frame_window",
+    "regional_revenue",
+    "returned_item_report",
+    "rollup_revenue",
+    "semi_join_active_customers",
+    "sql_shipping_priority",
+    "unpivot_measures",
+    "window_rank_latest",
+    # (b) latest-row-is-round-2 re-certifications (25):
+    "audio_feature_summary",
+    "benchmark_contamination",
+    "bpe_token_counts",
+    "completeness_users",
+    "conditional_freq_users",
+    "corpus_curation",
+    "derived_keys",
+    "doc_fingerprint",
+    "embedding_near_dups",
+    "exact_dedup_groups",
+    "group_max_pad",
+    "image_resize_stats",
+    "key_formatting",
+    "knn_cosine_topk",
+    "lang_id_heuristic",
+    "min_cost_supplier",
+    "ngram_jaccard_dedup",
+    "ngram_jaccard_dedup_capped",
+    "ntile_value_quartiles",
+    "recode_fallthrough",
+    "repetition_quality_filter",
+    "resume_offset",
+    "scalar_subquery_filter",
+    "text_quality_profile",
+    "topk_orders",
+    # (c) oldest round-3 greens (3):
+    "csv_catalog_roundtrip",
+    "json_map_roundtrip",
+    "binary_listing_stats",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-5 rotation math: 1 flagship + 2 fix-certifications + 13
-# round-4 first-ever rows + 16 round-1/2 re-certifications + 18
-# round-5 first-ever rows = 50.  With this window green, every
-# registry query that existed before round 5 has a driver row, and
-# every round-5 addition gets its FIRST row this round.  The
-# rotated-out round-4 greens (TPC-H breadth, file roundtrips, the
-# sketch/privacy/mixture family, north-star dedup/search/multimodal
-# keepers) all passed in CORRECTNESS_r04.json and stay under the
-# local mirror.  Round-1 queries NOT re-certified here
-# (busy_window_detail, distinct_agg, large_order_customers,
-# market_share, nation_trade_volume, promo_revenue_share,
-# regional_revenue, returned_item_report, completeness_users,
-# conditional_freq_users, group_max_pad, derived_keys,
-# key_formatting, recode_fallthrough, resume_offset, topk_orders)
-# are TPC-H-shaped breadth whose structural cousins hold fresh r4
-# rows; they queue for r6.
+# Round-6 rotation math: 1 flagship + 4 first-ever rows (3 post-freeze
+# r5 additions + catalog_file_join) + 17 round-1 + 25 round-2
+# re-certifications + 3 oldest round-3 greens = 50.  Freeze-then-build
+# discipline (r5 verdict ask #2): catalog_file_join entered the window
+# in the SAME commit that added it, pre-validated against the sf0.001
+# and sf0.01 strict oracles, so nothing ships uncertified.  The
+# rotated-out round-4/5 greens (the north-star dedup/similarity/text/
+# temporal/graph families) all passed in CORRECTNESS_r04/r05.json and
+# stay under the local mirror.
 
 
 def _apply_registry_order() -> None:
