@@ -174,6 +174,40 @@ def dhash_images(
     return binary_df.select(image_id_col, content_col).mapInPandas(_dhash, schema)
 
 
+def write_image_dirs(
+    df: DataFrame,
+    root: str,
+    key_col: str = "subject_id",
+    idx_col: str = "frame_idx",
+    content_col: str = "content",
+    ext: str = "png",
+    pad: int = 5,
+) -> None:
+    """Partitioned image sink (SURVEY S10): one directory per key, one
+    file per frame, zero-padded names — the reference's
+    ``frames/{sub_id}/frame-{i:05}.png`` layout (``raw_to_samples.py:
+    111-121,251-254``), which downstream stages re-key by PARSING THE
+    PATH. Executor-side ``foreachPartition`` writer: each task writes
+    its own rows straight to storage (no driver collect, no shuffle —
+    at 100 TB the write parallelism is the upstream partitioning);
+    ``makedirs`` is idempotent so concurrent tasks sharing a key dir
+    don't race.
+    """
+    import os
+
+    key_c, idx_c, content_c = key_col, idx_col, content_col
+
+    def _write(rows) -> None:
+        for row in rows:
+            d = os.path.join(root, str(row[key_c]))
+            os.makedirs(d, exist_ok=True)
+            name = f"frame-{int(row[idx_c]):0{pad}d}.{ext}"
+            with open(os.path.join(d, name), "wb") as fh:
+                fh.write(bytes(row[content_c]))
+
+    df.select(key_col, idx_col, content_col).foreachPartition(_write)
+
+
 def _require_image_codec():
     try:
         from PIL import Image  # noqa: F401

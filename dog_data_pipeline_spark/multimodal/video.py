@@ -53,9 +53,16 @@ def probe_metadata(binary_df: DataFrame, content_col: str = "content") -> DataFr
     ``raw_to_samples.py:328-329,349-353``); here the probe reads only
     the header bytes, vectorized over Arrow batches."""
 
+    # Bind the codec FUNCTIONS locally: a closure that captures the
+    # `codec` module object serializes as a worker-side subimport, which
+    # breaks when the driver's cwd isn't the repo root (the package may
+    # not be importable on python workers); captured functions serialize
+    # by value. Same pattern in every UDF-defining function below.
+    probe = codec.probe
+
     @F.pandas_udf(METADATA_SCHEMA)
     def _probe(content: pd.Series) -> pd.DataFrame:
-        rows = [codec.probe(c) for c in content]
+        rows = [probe(c) for c in content]
         return pd.DataFrame(rows, columns=["frame_count", "frame_height", "frame_width", "video_fps"])
 
     return binary_df.withColumn("meta", _probe(F.col(content_col))).select(
@@ -71,11 +78,13 @@ def decode_frames(
     """Frame-iterator scan (S7): 1 video row → N frame rows via
     mapInPandas (UDTF shape — output cardinality independent of input)."""
 
+    probe, decode_video = codec.probe, codec.decode_video
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for vid, content in zip(pdf[video_id_col], pdf[content_col]):
-                n, h, w, _fps = codec.probe(content)
-                _fps, frames = codec.decode_video(content)
+                n, h, w, _fps = probe(content)
+                _fps, frames = decode_video(content)
                 yield pd.DataFrame(
                     {
                         "video_id": [vid] * len(frames),
@@ -186,14 +195,16 @@ def track_videos(
         video_id_col,
     )
 
+    probe, decode_video = codec.probe, codec.decode_video
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = detector_factory()  # once per task
         for pdf in batches:
             out = {"video_id": [], "frame_idx": [], "subject_id": [], "bbox": [], "cls": []}
             for vid, content in zip(pdf[video_id_col], pdf[content_col]):
                 content = bytes(content)
-                _n, h, w, _fps = codec.probe(content)
-                _fps, frames = codec.decode_video(content)
+                _n, h, w, _fps = probe(content)
+                _fps, frames = decode_video(content)
                 for idx, frame in enumerate(frames):
                     for sub, bbox, cls in model(frame, w, h):
                         out["video_id"].append(vid)
@@ -228,14 +239,17 @@ def sample_tracks(
     makes with its two-pass read (``raw_to_samples.py:328-329,349-353``).
     """
 
+    probe, decode_video = codec.probe, codec.decode_video
+    crop_frame, encode_video = codec.crop_frame, codec.encode_video
+
     def _sample(videos_pdf: pd.DataFrame, tracks_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["video_id", "segment_id", "subject_id", "n_frames", "video"]
         if videos_pdf.empty or tracks_pdf.empty:
             return pd.DataFrame({c: [] for c in cols})
         content = bytes(videos_pdf[content_col].iloc[0])
         vid = videos_pdf[video_id_col].iloc[0]
-        _n, h, w, _fps = codec.probe(content)
-        _fps, frames = codec.decode_video(content)
+        _n, h, w, _fps = probe(content)
+        _fps, frames = decode_video(content)
         out = {c: [] for c in cols}
         for (seg, sub), g in tracks_pdf.groupby(["segment_id", "subject_id"]):
             g = g.sort_values("frame_idx")
@@ -243,7 +257,7 @@ def sample_tracks(
             crop_w = int(bbox0[2] - bbox0[0])
             crop_h = int(bbox0[3] - bbox0[1])
             crops = [
-                codec.crop_frame(
+                crop_frame(
                     frames[int(i)], w, tuple(int(v) for v in b)
                 )
                 for i, b in zip(g["frame_idx"], g["new_bbox"])
@@ -252,7 +266,7 @@ def sample_tracks(
             out["segment_id"].append(int(seg))
             out["subject_id"].append(int(sub))
             out["n_frames"].append(len(crops))
-            out["video"].append(codec.encode_video(fps, crop_w, crop_h, crops))
+            out["video"].append(encode_video(fps, crop_w, crop_h, crops))
         return pd.DataFrame(out)
 
     return (
@@ -268,11 +282,13 @@ def crop_tracks(frames_df: DataFrame, tracks_df: DataFrame) -> DataFrame:
     (video_id, frame_idx) co-locates each frame with its per-subject
     boxes; the crop itself is an Arrow-batched scalar UDF."""
 
+    crop_frame = codec.crop_frame
+
     @F.pandas_udf(BinaryType())
     def _crop(frame: pd.Series, width: pd.Series, bbox: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                codec.crop_frame(bytes(f), int(w), tuple(int(v) for v in b))
+                crop_frame(bytes(f), int(w), tuple(int(v) for v in b))
                 for f, w, b in zip(frame, width, bbox)
             ]
         )
@@ -308,12 +324,14 @@ def encode_tracks(
         else ["video_id", "subject_id"]
     )
 
+    encode_video = codec.encode_video
+
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_idx")
         frames = [bytes(c) for c in pdf["crop"]]
         w = int(pdf["crop_w"].iloc[0])
         h = int(pdf["crop_h"].iloc[0])
-        blob = codec.encode_video(fps, w, h, frames)
+        blob = encode_video(fps, w, h, frames)
         out = {
             "video_id": [pdf["video_id"].iloc[0]],
             "subject_id": [int(pdf["subject_id"].iloc[0])],
@@ -354,6 +372,9 @@ def transcode_videos(
     codec path. One mapInPandas pass — frames exist only inside the task.
     """
 
+    probe, decode_video = codec.probe, codec.decode_video
+    encode_video = codec.encode_video
+
     def _transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"video_id": [], "content": [], "ok": [], "error": []}
@@ -361,9 +382,9 @@ def transcode_videos(
                 content = bytes(content)
                 out["video_id"].append(vid)
                 try:
-                    n, h, w, src_fps = codec.probe(content)
-                    dec_fps, frames = codec.decode_video(content)
-                    blob = codec.encode_video(fps or dec_fps, w, h, frames)
+                    n, h, w, src_fps = probe(content)
+                    dec_fps, frames = decode_video(content)
+                    blob = encode_video(fps or dec_fps, w, h, frames)
                     out["content"].append(blob)
                     out["ok"].append(True)
                     out["error"].append(None)
@@ -401,11 +422,13 @@ def frame_mean_luma(
         ]
     )
 
+    decode_video = codec.decode_video
+
     def _mean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, means = [], [], []
             for vid, content in zip(pdf[video_id_col], pdf[content_col]):
-                _fps, frames = codec.decode_video(bytes(content))
+                _fps, frames = decode_video(bytes(content))
                 for i, f in enumerate(frames):
                     px = np.frombuffer(f, dtype=np.uint8)
                     ids.append(vid)

@@ -2809,6 +2809,237 @@ def catalog_file_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dir_sink_stats",
+    """
+    SELECT CAST(doc_id % 12 AS BIGINT) AS subject_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(doc_id // 12) AS BIGINT) AS max_frame_idx,
+           CAST(sum(10 + doc_id % 50) AS BIGINT) AS total_bytes
+    FROM documents
+    WHERE doc_id % 5 = 0
+    GROUP BY 1
+    """,
+    "Partitioned image sink certificate (SURVEY S10): deterministic "
+    "fake crops (subject_id = doc_id %% 12, frame_idx = doc_id // 12, "
+    "payload of 10 + doc_id %% 50 bytes) go out through "
+    "write_image_dirs — the reference's frames/{sub}/frame-{i:05}.png "
+    "one-file-per-frame layout (raw_to_samples.py:111-121,251-254), "
+    "written executor-side via foreachPartition — and come back through "
+    "a binaryFile *.png listing with subject and frame RE-PARSED FROM "
+    "THE PATH. The oracle recomputes counts, the max frame index (so "
+    "the zero-padded name survives a parse roundtrip), and the exact "
+    "byte totals (listing `length` vs generated payload sizes) from "
+    "`documents`; a lost file, a padding bug, a mis-keyed directory, or "
+    "a truncated write each change the hash.",
+)
+def image_dir_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.multimodal.image import write_image_dirs
+    from dog_data_pipeline_spark.sources.files import list_binary_files
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    crops = docs.select(
+        (F.col("doc_id") % 12).alias("subject_id"),
+        F.expr("div(doc_id, 12)").alias("frame_idx"),
+        F.repeat(F.lit("x"), (F.lit(10) + F.col("doc_id") % 50).cast("int"))
+        .cast("binary")
+        .alias("content"),
+    )
+    root = _roundtrip_dir("imagedirs")
+    write_image_dirs(crops, root, ext="png", pad=5)
+    files = list_binary_files(spark, root, glob="*.png")
+    return (
+        files.select(
+            F.regexp_extract("path", r"/(\d+)/frame-\d+\.png$", 1)
+            .cast("bigint")
+            .alias("subject_id"),
+            F.regexp_extract("path", r"frame-(\d+)\.png$", 1)
+            .cast("bigint")
+            .alias("frame_idx"),
+            "length",
+        )
+        .groupBy("subject_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("frame_idx").cast("long").alias("max_frame_idx"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "transcode_pipeline_report",
+    """
+    WITH v AS (
+      SELECT doc_id, lang,
+             4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h, 1 + doc_id % 7 AS n,
+             (doc_id % 11 = 0) AS corrupt
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE n END) AS BIGINT) AS total_frames,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 17 + n * w * h END) AS BIGINT)
+               AS total_out_bytes,
+           TRUE AS all_fps_24
+    FROM v GROUP BY lang
+    """,
+    "Format-conversion pipeline certificate (SURVEY S13/F2): one "
+    "deterministic FAKEVID blob per document (w = 4 + doc_id %% 3, "
+    "h = 3 + doc_id %% 2, n = 1 + doc_id %% 7 frames, source fps "
+    "10 + doc_id %% 5; every 11th blob corrupted) runs through "
+    "transcode_videos (decode -> re-encode at fps=24 with per-row "
+    "dead-letter routing — the reference's .mov->.mp4 try/except, "
+    "preprocess_dataset.py:55-70), and the outputs are RE-PROBED "
+    "(probe_metadata header read). The oracle recomputes per-lang "
+    "ok/err splits, the frame totals the re-probe must preserve, and "
+    "the EXACT output byte size (FAKEVID framing: 16-byte header + "
+    "newline + n*w*h payload = 17 + n*w*h — single-digit dims by "
+    "construction); all_fps_24 certifies the fps override reached "
+    "every re-encoded header. A swallowed decode error, a dropped "
+    "frame, or a mis-sized re-encode each change the hash.",
+)
+def transcode_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.multimodal.codec import make_fake_video
+    from dog_data_pipeline_spark.multimodal.video import (
+        probe_metadata,
+        transcode_videos,
+    )
+    from dog_data_pipeline_spark.session import ensure_package_on_executors
+
+    # The transcode/probe closures reference package functions; ship the
+    # package to python workers (a driver importing this repo from its
+    # own sys.path does not make it importable worker-side).
+    ensure_package_on_executors(spark)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n, fps = 4 + d % 3, 3 + d % 2, 1 + d % 7, 10 + d % 5
+                if d % 11 == 0:
+                    blobs.append(b"NOTAVID" + bytes(8))
+                else:
+                    frames = [bytes([(d + i) % 256]) * (w * h) for i in range(n)]
+                    blobs.append(make_fake_video(fps, w, h, frames))
+            yield pd.DataFrame(
+                {"video_id": pdf["doc_id"].astype(str), "content": blobs}
+            )
+
+    vids = docs.mapInPandas(_gen, "video_id STRING, content BINARY")
+    out = transcode_videos(vids, fps=24)
+    probed = probe_metadata(out.filter(F.col("ok")).select("video_id", "content"))
+    per_vid = probed.select(
+        "video_id",
+        F.col("frame_count").cast("long").alias("n_frames"),
+        F.octet_length("content").cast("long").alias("out_bytes"),
+        (F.col("video_fps") == 24).alias("fps_is_24"),
+    ).unionByName(
+        out.filter(~F.col("ok")).select(
+            "video_id",
+            F.lit(None).cast("long").alias("n_frames"),
+            F.lit(None).cast("long").alias("out_bytes"),
+            F.lit(None).cast("boolean").alias("fps_is_24"),
+        )
+    )
+    keyed = per_vid.join(
+        docs.select(F.col("doc_id").cast("string").alias("video_id"), "lang"),
+        "video_id",
+    )
+    return keyed.groupBy("lang").agg(
+        F.count("n_frames").cast("long").alias("n_ok"),
+        F.sum(F.col("n_frames").isNull().cast("int")).cast("long").alias("n_err"),
+        F.coalesce(F.sum("n_frames"), F.lit(0)).cast("long").alias("total_frames"),
+        F.coalesce(F.sum("out_bytes"), F.lit(0)).cast("long").alias("total_out_bytes"),
+        F.coalesce(F.bool_and("fps_is_24"), F.lit(True)).alias("all_fps_24"),
+    )
+
+
+@query(
+    "stateful_stream_tracks",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_id % 4) AS BIGINT) AS n_batches_seen,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS value_max
+    FROM events
+    GROUP BY user_id
+    """,
+    "Stateful per-key streaming certificate (SURVEY T3): `events` is "
+    "staged as 4 parquet files keyed by event_id %% 4, replayed as a "
+    "BOUNDED STREAM (maxFilesPerTrigger=1 + availableNow => 4 "
+    "micro-batches), and run through the real applyInPandasWithState "
+    "operator (running per-user count/max carried across batches — the "
+    "tracker-state shape, raw_to_samples.py:187 persist=True). The "
+    "update-mode emissions land in a memory sink; per user, the number "
+    "of emitted rows equals the number of micro-batches containing "
+    "that user (= count(DISTINCT event_id %% 4) — batch-ORDER-"
+    "independent, so the oracle holds under any file scheduling), and "
+    "the running aggregates' final values must equal plain SQL "
+    "aggregates — which they only do if state genuinely survives "
+    "across micro-batches. Dropped state, cross-key leakage, or a "
+    "re-emitted batch each change the hash.",
+)
+def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from dog_data_pipeline_spark.streaming.stateful import running_track_state
+
+    events = _t(spark, sf_dir, "events")
+    tmp = _roundtrip_dir("statestream")
+    src = os.path.join(tmp, "src")
+    for k in range(4):
+        (
+            events.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"sst_{uuid.uuid4().hex}"
+    # The state store materializes spark.sql.shuffle.partitions state
+    # partitions per micro-batch; for a bounded certification stream over
+    # <=1500 keys, 32 of them are pure fixed overhead (~2x wall time).
+    # Scope the setting to the stream's lifetime — the VALUE is a local
+    # test-scale choice; at 100 TB the same knob is sized to key
+    # cardinality, and state stays hash-partitioned either way.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            running_track_state(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches_seen"),
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+
+
+@query(
     "sharded_export_roundtrip",
     """
     SELECT CAST(count(*) AS BIGINT) AS total_rows,
@@ -9212,19 +9443,24 @@ _PRIORITY_ORDER = [
     # (every query's LATEST driver row is a pass), this window clears
     # the remaining evidence debt: (a) the 3 round-5 additions that
     # landed after the r5 window froze and have never had a driver row,
-    # plus the one new r6 query (catalog_file_join — first driver
-    # evidence for SURVEY J4, previously pytest-only); (b) every query
-    # whose latest driver row is round 1 or round 2 (26 names — the 16
-    # the r5 verdict queued plus the other 10 r1/r2 stragglers); (c)
-    # the 3 OLDEST round-3 greens.  With this window green, cumulative
-    # driver coverage is 189/189 and no query's latest row predates
-    # round 3.  Everything rotated out stays under the driver-strict
-    # local sf0.001 oracle mirror (tests/test_queries_oracle.py).
-    # (a) never-driver-checked (3 post-freeze r5 additions + 1 new r6):
+    # plus the four new r6 queries — each the FIRST driver (SQL-oracle)
+    # evidence for a SURVEY §2 row that was previously pytest-only
+    # (catalog_file_join -> J4, image_dir_sink_stats -> S10,
+    # transcode_pipeline_report -> S13/F2, stateful_stream_tracks ->
+    # T3); (b) every query whose latest driver row is round 1 or round
+    # 2 (42 names — the 16 the r5 verdict queued plus the other 26
+    # r1/r2 stragglers).  With this window green, cumulative driver
+    # coverage is 192/192 and no query's latest row predates round 3.
+    # Everything rotated out stays under the driver-strict local
+    # sf0.001 oracle mirror (tests/test_queries_oracle.py).
+    # (a) never-driver-checked (3 post-freeze r5 additions + 4 new r6):
     "concurrent_user_overlaps",
     "funnel_step_latency",
     "priority_status_independence",
     "catalog_file_join",
+    "image_dir_sink_stats",
+    "transcode_pipeline_report",
+    "stateful_stream_tracks",
     # (b) latest-row-is-round-1 re-certifications (17):
     "busy_window_detail",
     "correlated_subquery_above_avg",
@@ -9269,21 +9505,20 @@ _PRIORITY_ORDER = [
     "scalar_subquery_filter",
     "text_quality_profile",
     "topk_orders",
-    # (c) oldest round-3 greens (3):
-    "csv_catalog_roundtrip",
-    "json_map_roundtrip",
-    "binary_listing_stats",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-6 rotation math: 1 flagship + 4 first-ever rows (3 post-freeze
-# r5 additions + catalog_file_join) + 17 round-1 + 25 round-2
-# re-certifications + 3 oldest round-3 greens = 50.  Freeze-then-build
-# discipline (r5 verdict ask #2): catalog_file_join entered the window
-# in the SAME commit that added it, pre-validated against the sf0.001
-# and sf0.01 strict oracles, so nothing ships uncertified.  The
-# rotated-out round-4/5 greens (the north-star dedup/similarity/text/
-# temporal/graph families) all passed in CORRECTNESS_r04/r05.json and
-# stay under the local mirror.
+# Round-6 rotation math: 1 flagship + 7 first-ever rows (3 post-freeze
+# r5 additions + 4 new §2-certificate queries) + 17 round-1 + 25
+# round-2 re-certifications = 50.  Freeze-then-build discipline (r5
+# verdict ask #2): every new r6 query entered the window in the SAME
+# commit that added it, pre-validated against the sf0.001 and sf0.01
+# strict oracles, so nothing ships uncertified.  The three oldest
+# round-3 greens (csv_catalog_roundtrip, json_map_roundtrip,
+# binary_listing_stats) yielded their slots to the new §2 certificates
+# — they are already inside the nothing-older-than-r3 bar and queue
+# for r7.  The rotated-out round-4/5 greens (the north-star dedup/
+# similarity/text/temporal/graph families) all passed in
+# CORRECTNESS_r04/r05.json and stay under the local mirror.
 
 
 def _apply_registry_order() -> None:

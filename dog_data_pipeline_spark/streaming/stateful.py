@@ -45,31 +45,40 @@ TRACK_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _accumulate(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, vmax = state.get if state.exists else (0, float("-inf"))
-    batch_max_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        if len(pdf):
-            vmax = max(vmax, float(pdf["value"].max()))
-            ts = pdf["ts"].max()
-            batch_max_ts = ts if batch_max_ts is None else max(batch_max_ts, ts)
-    state.update((n, vmax))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "value_max": [vmax],
-            "batch_max_ts": [batch_max_ts],
-        }
-    )
-
-
 def running_track_state(events: DataFrame) -> DataFrame:
-    """Per-user running (count, max) maintained across micro-batches."""
+    """Per-user running (count, max) maintained across micro-batches.
+
+    The accumulator is a NESTED function on purpose: a module-level
+    function handed to ``applyInPandasWithState`` serializes by
+    reference, so python workers must be able to import this package —
+    which breaks under a driver whose cwd isn't the repo root. A nested
+    function serializes by value and runs anywhere.
+    """
+
+    def _accumulate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        batch_max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+                ts = pdf["ts"].max()
+                batch_max_ts = (
+                    ts if batch_max_ts is None else max(batch_max_ts, ts)
+                )
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_max": [vmax],
+                "batch_max_ts": [batch_max_ts],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
         _accumulate,
         outputStructType=TRACK_OUTPUT_SCHEMA,

@@ -341,3 +341,31 @@ def test_audio_active_segments_split_on_planted_silence(spark):
         for r in detect_active_segments(energy, threshold=0).collect()
     }
     assert segs == {0: (0, 2, 3), 1: (5, 7, 3)}
+
+
+def test_write_image_dirs_layout_and_bytes(spark, tmp_path):
+    from dog_data_pipeline_spark.multimodal.image import write_image_dirs
+
+    rows = [
+        (3, 0, b"aaa"),
+        (3, 12, b"bbbb"),
+        (7, 1, b"c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id LONG, frame_idx LONG, content BINARY"
+    ).repartition(2)
+    root = str(tmp_path / "frames")
+    write_image_dirs(df, root, ext="png", pad=5)
+
+    import os
+
+    found = {}
+    for sub in os.listdir(root):
+        for name in os.listdir(os.path.join(root, sub)):
+            with open(os.path.join(root, sub, name), "rb") as fh:
+                found[(sub, name)] = fh.read()
+    assert found == {
+        ("3", "frame-00000.png"): b"aaa",
+        ("3", "frame-00012.png"): b"bbbb",
+        ("7", "frame-00001.png"): b"c",
+    }

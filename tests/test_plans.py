@@ -561,3 +561,21 @@ def test_robust_outliers_broadcast_medians_partial_aggs(spark):
     assert "SortMergeJoin" not in plan  # |groups|-row stats broadcast
     assert "CartesianProduct" not in plan
     assert "partial_percentile" in plan or "partial_" in plan
+
+
+def test_catalog_file_join_broadcasts_listing(spark):
+    # J4: the file listing (<= 30 rows) must broadcast; the catalog side
+    # must never shuffle for the lookup, and nothing goes cartesian.
+    plan = plan_of(spark, "catalog_file_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transcode_report_single_python_pass_per_stage(spark):
+    # S13/F2: blob generation, transcode, and re-probe are Arrow-batched
+    # python stages (mapInPandas / pandas_udf) — no row-at-a-time
+    # BatchEvalPython, no cartesian join back to the lang key.
+    plan = plan_of(spark, "transcode_pipeline_report")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -822,3 +822,59 @@ def test_streaming_distinct_state_recovers_from_crash_window(spark, tmp_path):
     # recovered backup + both batches (replay is idempotent) == exact
     assert got == exact
     assert all(got[k] >= before[k] for k in before)
+
+
+def test_streaming_stateful_state_survives_restart(spark, tmp_path):
+    """T3+T4 composed: applyInPandasWithState state is RESTORED from the
+    state store on a checkpointed restart. Wave 1 (2 files) runs to
+    completion and the query STOPS; wave 2 (2 more files) is processed
+    by a brand-new query over the same checkpoint — its emitted running
+    counters must continue from wave 1's totals (state recovered), not
+    restart from zero (state lost)."""
+    events = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_track_state(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for k in (0, 1):
+        events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run_once()
+    for k in (2, 3):
+        events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run_once()  # same checkpoint: only the new files, resumed state
+
+    final: dict = {}
+    for r in collected:  # running counters: the max emission is the latest
+        cur = final.get(r["user_id"], (0, float("-inf")))
+        final[r["user_id"]] = (
+            max(cur[0], r["n_events"]),
+            max(cur[1], r["value_max"]),
+        )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("m")
+    )
+    expected = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
+    assert final == expected
