@@ -456,6 +456,116 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Build and PERSIST an IVF index: train-once / query-many.
+
+    ``cosine_topk_ivf`` retrains its coarse quantizer and re-assigns the
+    whole corpus on every call — right for a one-shot query, wrong for a
+    serving corpus. This variant assigns each vector to its nearest
+    quantizer cell and writes the index as parquet PARTITIONED BY cell
+    (``{path}/index/cell=N/``), with the trained centroids in a JSON
+    sidecar (``{path}/ivf_meta.json``). ``query_ivf_index`` then scans
+    ONLY its probed cells via partition pruning — at 100 TB each query
+    batch reads ~n_probe/n_lists of the corpus at the FILE level (the
+    pruning happens at planning, before any I/O), instead of filtering
+    after a full scan. The index carries precomputed norms so queries
+    never touch unnormalized math, and it is immutable: rebuilds write a
+    fresh path (the reference's stage-then-swap CSV convention,
+    ``preprocessed_to_raw.py:48-52``, applied to an index).
+
+    The sidecar is written driver-side (local/posix here; a real
+    deployment writes it through the same object-store client as the
+    parquet)."""
+    import json
+    import os
+
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    centroids = _train_centroids(c, n_lists, seed)
+    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
+    (
+        assigned.select(
+            F.col("c_id").alias(id_col),
+            F.col("c_v").alias(vec_col),
+            F.col("c_norm").alias("norm"),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "index"))
+    )
+    meta = {
+        "n_lists": n_lists,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": centroids,
+    }
+    with open(os.path.join(path, "ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k cosine against a persisted ``build_ivf_index`` layout.
+
+    Probed cells are computed query-side (<= n_lists ids, one bounded
+    collect), and the index scan carries ``cell IN (probed)`` on the
+    PARTITION column — Catalyst prunes the unprobed cell directories
+    before any file is opened (verify with ``df.inputFiles()``). Scoring
+    and ranking match ``cosine_topk_ivf`` exactly: same quantizer
+    training, same tie-breaks, so results are bit-identical to the
+    in-memory path on the same corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centroids = meta["centroids"]
+
+    q = _with_norm(queries, id_col, vec_col, "q")
+    q_cells = q.withColumn(
+        "cell", F.explode(_nearest_cells(centroids, "q_v", n_probe))
+    )
+    probed = sorted(r["cell"] for r in q_cells.select("cell").distinct().collect())
+    idx = spark.read.parquet(os.path.join(path, "index")).filter(
+        F.col("cell").isin(probed)
+    )
+    dot = F.aggregate(
+        F.zip_with("q_v", vec_col, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = idx.join(F.broadcast(q_cells), "cell").withColumn(
+        "cosine", dot / (F.col("q_norm") * F.col("norm"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    scored = scored.select("q_id", id_col, "cosine").dropDuplicates(
+        ["q_id", id_col]
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), id_col, "rank", "cosine")
+    )
+
+
 def _train_pq_codebooks(
     vectors: "np.ndarray", m_sub: int, ksub: int, seed: int
 ) -> list["np.ndarray"]:

@@ -9519,6 +9519,10 @@ _PRIORITY_ORDER = [
 # for r7.  The rotated-out round-4/5 greens (the north-star dedup/
 # similarity/text/temporal/graph families) all passed in
 # CORRECTNESS_r04/r05.json and stay under the local mirror.
+# r7 queue: a certificate query for the persisted IVF index
+# (operators/similarity.py build_ivf_index/query_ivf_index — landed in
+# r6 with pytest equality-and-pruning coverage, held OUT of the
+# registry so no query ever ships without a same-round window slot).
 
 
 def _apply_registry_order() -> None:

@@ -653,3 +653,50 @@ def test_contrastive_pairs_hand_fixture(spark):
     assert by_rank[1]["is_violation"] is True    # gap -0.004963 < 0.2
     assert by_rank[2]["is_violation"] is True    # 0.1209 < 0.2
     assert by_rank[3]["is_violation"] is False   # 0.9950 >= 0.2
+
+
+def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, tmp_path):
+    """build_ivf_index + query_ivf_index: (a) results are bit-identical
+    to the in-memory cosine_topk_ivf on the same corpus (same quantizer
+    training, same tie-breaks); (b) the query scan is PARTITION-PRUNED —
+    only the probed cell directories contribute input files; (c) the
+    sidecar records the trained quantizer."""
+    import json
+    import os
+    import re
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, root, n_lists=8, seed=42)
+    assert len(meta["centroids"]) == 8
+    assert json.load(open(os.path.join(root, "ivf_meta.json")))["n_lists"] == 8
+
+    got = query_ivf_index(spark, root, queries, k=10, n_probe=3)
+    want = cosine_topk_ivf(emb, queries, k=10, n_lists=8, n_probe=3)
+    g = {(r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+         for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+         for r in want.collect()}
+    assert g == w
+
+    # pruning: the probed-cell predicate must land in the scan's
+    # PartitionFilters (pruned at planning, before any file is opened) —
+    # NOT in a post-scan data filter. (inputFiles() can't show this: it
+    # lists the relation's files ignoring filters.)
+    one = query_ivf_index(
+        spark, root, emb.filter(F.col("vec_id") == 0), k=5, n_probe=2
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"no partition filter on cell:\n{m}"
+    probed_n = len(re.findall(r"\d+", m.group(1).split("IN")[-1]))
+    assert probed_n <= 2, m.group(1)
