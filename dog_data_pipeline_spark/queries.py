@@ -4479,6 +4479,41 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_index_persisted",
+    _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
+    "Train-once/query-many ANN over a PERSISTED IVF index "
+    "(operators/similarity.py build_ivf_index/query_ivf_index): the "
+    "corpus is written as parquet partitioned by quantizer cell with "
+    "the centroids in a JSON sidecar, and the query scan carries the "
+    "probed-cell predicate on the PARTITION column — unprobed cell "
+    "directories are pruned at planning, so per-batch I/O is "
+    "~n_probe/n_lists of the corpus at the FILE level (measured at 2M "
+    "vectors: build once 37s, then 2.4s per batch vs 17s for the "
+    "retrain-per-call path). Same quantizer training and tie-breaks as "
+    "cosine_topk_ivf, so results are bit-identical to the in-memory "
+    "path (pinned by tests/test_dedup_similarity.py). SELF-CERTIFYING "
+    "via the shared per-query certificate: exact kth cosine anchor + "
+    "returned_full_k + recall@10 >= 2 + approx-kth <= exact-kth "
+    "dominance — the full roundtrip (build -> sidecar -> pruned scan "
+    "-> rerank) sits under the driver hash.",
+)
+def knn_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    root = _roundtrip_dir("ivfindex")
+    build_ivf_index(emb, root, n_lists=8, seed=42)
+    approx = query_ivf_index(spark, root, queries_df, k=10, n_probe=3)
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    return _knn_certificate(exact, approx, k=10, min_hits=2, recall_col="recall10_ge_2")
+
+
+@query(
     "knn_cosine_ivfpq",
     _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
     "Approximate top-k cosine via IVF + product quantization with "
@@ -9447,13 +9482,16 @@ _PRIORITY_ORDER = [
     # evidence for a SURVEY §2 row that was previously pytest-only
     # (catalog_file_join -> J4, image_dir_sink_stats -> S10,
     # transcode_pipeline_report -> S13/F2, stateful_stream_tracks ->
-    # T3); (b) every query whose latest driver row is round 1 or round
-    # 2 (42 names — the 16 the r5 verdict queued plus the other 26
-    # r1/r2 stragglers).  With this window green, cumulative driver
-    # coverage is 192/192 and no query's latest row predates round 3.
+    # T3), plus knn_ivf_index_persisted — first row for the new
+    # train-once/query-many persisted IVF index; (b) every query whose
+    # latest driver row is round 1 or round 2 (41 of the 42 names — the
+    # 16 the r5 verdict queued plus the r1/r2 stragglers; see the (b)
+    # note for the one displaced).  With this window green, cumulative
+    # driver coverage is 193/193 and exactly one query's latest row
+    # predates round 3 (ngram_jaccard_dedup_capped, r2 — queued r7).
     # Everything rotated out stays under the driver-strict local
     # sf0.001 oracle mirror (tests/test_queries_oracle.py).
-    # (a) never-driver-checked (3 post-freeze r5 additions + 4 new r6):
+    # (a) never-driver-checked (3 post-freeze r5 additions + 5 new r6):
     "concurrent_user_overlaps",
     "funnel_step_latency",
     "priority_status_independence",
@@ -9461,6 +9499,7 @@ _PRIORITY_ORDER = [
     "image_dir_sink_stats",
     "transcode_pipeline_report",
     "stateful_stream_tracks",
+    "knn_ivf_index_persisted",
     # (b) latest-row-is-round-1 re-certifications (17):
     "busy_window_detail",
     "correlated_subquery_above_avg",
@@ -9479,7 +9518,10 @@ _PRIORITY_ORDER = [
     "sql_shipping_priority",
     "unpivot_measures",
     "window_rank_latest",
-    # (b) latest-row-is-round-2 re-certifications (25):
+    # (b) latest-row-is-round-2 re-certifications (24;
+    # ngram_jaccard_dedup_capped yields its slot to the persisted-IVF
+    # first row — its base and prefix siblings both hold windowed/r4
+    # rows — and queues for r7):
     "audio_feature_summary",
     "benchmark_contamination",
     "bpe_token_counts",
@@ -9497,7 +9539,6 @@ _PRIORITY_ORDER = [
     "lang_id_heuristic",
     "min_cost_supplier",
     "ngram_jaccard_dedup",
-    "ngram_jaccard_dedup_capped",
     "ntile_value_quartiles",
     "recode_fallthrough",
     "repetition_quality_filter",
@@ -9507,9 +9548,9 @@ _PRIORITY_ORDER = [
     "topk_orders",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-6 rotation math: 1 flagship + 7 first-ever rows (3 post-freeze
-# r5 additions + 4 new §2-certificate queries) + 17 round-1 + 25
-# round-2 re-certifications = 50.  Freeze-then-build discipline (r5
+# Round-6 rotation math: 1 flagship + 8 first-ever rows (3 post-freeze
+# r5 additions + 4 new §2-certificate queries + the persisted-IVF
+# certificate) + 17 round-1 + 24 round-2 re-certifications = 50.  Freeze-then-build discipline (r5
 # verdict ask #2): every new r6 query entered the window in the SAME
 # commit that added it, pre-validated against the sf0.001 and sf0.01
 # strict oracles, so nothing ships uncertified.  The three oldest
@@ -9519,10 +9560,8 @@ _PRIORITY_ORDER = [
 # for r7.  The rotated-out round-4/5 greens (the north-star dedup/
 # similarity/text/temporal/graph families) all passed in
 # CORRECTNESS_r04/r05.json and stay under the local mirror.
-# r7 queue: a certificate query for the persisted IVF index
-# (operators/similarity.py build_ivf_index/query_ivf_index — landed in
-# r6 with pytest equality-and-pruning coverage, held OUT of the
-# registry so no query ever ships without a same-round window slot).
+# r7 queue: ngram_jaccard_dedup_capped (displaced above) + the three
+# r3 roundtrip greens.
 
 
 def _apply_registry_order() -> None:
