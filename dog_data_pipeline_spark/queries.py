@@ -3008,13 +3008,17 @@ def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sst_{uuid.uuid4().hex}"
     # The state store materializes spark.sql.shuffle.partitions state
-    # partitions per micro-batch; for a bounded certification stream over
-    # <=1500 keys, 32 of them are pure fixed overhead (~2x wall time).
-    # Scope the setting to the stream's lifetime — the VALUE is a local
-    # test-scale choice; at 100 TB the same knob is sized to key
-    # cardinality, and state stays hash-partitioned either way.
+    # partitions per micro-batch, and applyInPandasWithState's cost is
+    # dominated by per-KEY-GROUP python round-trips — so state
+    # parallelism must track the core count, never a small constant
+    # (a hardcoded 4 measured 57s vs ~13s at 10x events / 15k keys:
+    # groups drained through 4 tasks on a 32-core box). Scope the
+    # setting to the stream's lifetime and size it to the cluster.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     try:
         q = (
             running_track_state(stream)
