@@ -190,10 +190,14 @@ def write_image_dirs(
     PATH. Executor-side ``foreachPartition`` writer: each task writes
     its own rows straight to storage (no driver collect, no shuffle —
     at 100 TB the write parallelism is the upstream partitioning);
-    ``makedirs`` is idempotent so concurrent tasks sharing a key dir
-    don't race.
+    ``makedirs`` is idempotent and each file is written to a temp name
+    then ``os.rename``d into place (atomic on posix — the local/posix
+    assumption, same as build_ivf_index's sidecar), so a speculative
+    duplicate attempt or a mid-job reader never sees a torn file: both
+    attempts write identical bytes and the last rename wins whole.
     """
     import os
+    import uuid
 
     key_c, idx_c, content_c = key_col, idx_col, content_col
 
@@ -202,8 +206,10 @@ def write_image_dirs(
             d = os.path.join(root, str(row[key_c]))
             os.makedirs(d, exist_ok=True)
             name = f"frame-{int(row[idx_c]):0{pad}d}.{ext}"
-            with open(os.path.join(d, name), "wb") as fh:
+            tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
                 fh.write(bytes(row[content_c]))
+            os.rename(tmp, os.path.join(d, name))
 
     df.select(key_col, idx_col, content_col).foreachPartition(_write)
 

@@ -53,11 +53,14 @@ def probe_metadata(binary_df: DataFrame, content_col: str = "content") -> DataFr
     ``raw_to_samples.py:328-329,349-353``); here the probe reads only
     the header bytes, vectorized over Arrow batches."""
 
-    # Bind the codec FUNCTIONS locally: a closure that captures the
-    # `codec` module object serializes as a worker-side subimport, which
-    # breaks when the driver's cwd isn't the repo root (the package may
-    # not be importable on python workers); captured functions serialize
-    # by value. Same pattern in every UDF-defining function below.
+    # Bind the codec FUNCTIONS locally. NOTE this is stylistic, not the
+    # importability mechanism: cloudpickle pickles module-level functions
+    # BY REFERENCE whether captured in a closure cell or reached through
+    # the module object, so python workers still need the package
+    # importable — `session.ensure_package_on_executors(spark)` (addPyFile
+    # zip) is what actually guarantees that when the driver's cwd isn't
+    # the repo root. (Nested `def`s are the exception: those do pickle by
+    # value — see streaming/stateful.py.)
     probe = codec.probe
 
     @F.pandas_udf(METADATA_SCHEMA)

@@ -463,6 +463,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -480,14 +481,20 @@ def build_ivf_index(
     fresh path (the reference's stage-then-swap CSV convention,
     ``preprocessed_to_raw.py:48-52``, applied to an index).
 
+    Pass ``centroids=`` to skip quantizer training and bulk-assign
+    against a GIVEN quantizer — the batch twin of ``ivf_append`` (used
+    by its equivalence certificate: append-then-query must match
+    bulk-build-with-the-same-centroids-then-query exactly).
+
     The sidecar is written driver-side (local/posix here; a real
     deployment writes it through the same object-store client as the
-    parquet)."""
-    import json
+    parquet). It also carries per-cell row counts so ``ivf_append`` can
+    run its drift guard without ever re-scanning the index."""
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
-    centroids = _train_centroids(c, n_lists, seed)
+    if centroids is None:
+        centroids = _train_centroids(c, n_lists, seed)
     assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
     (
         assigned.select(
@@ -500,15 +507,114 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, "index"))
     )
+    # bounded collect: <= n_lists (cell, count) rows
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     meta = {
         "n_lists": n_lists,
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": centroids,
+        "cell_counts": {str(k): v for k, v in sorted(counts.items())},
     }
-    with open(os.path.join(path, "ivf_meta.json"), "w") as fh:
+    _write_ivf_meta(path, meta)
+    return meta
+
+
+def _write_ivf_meta(path: str, meta: dict) -> None:
+    """Atomic sidecar write (temp + rename, posix): a reader racing an
+    append sees either the old or the new sidecar, never a torn one."""
+    import json
+    import os
+
+    final = os.path.join(path, "ivf_meta.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    os.rename(tmp, final)
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    skew_bound: float = 4.0,
+) -> dict:
+    """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
+    operation a serving corpus needs — assign ONLY the new batch against
+    the EXISTING sidecar centroids (no retrain, no corpus rewrite) and
+    append its rows into the ``cell=N/`` directories. Per-batch cost is
+    O(batch), while a rebuild re-reads and rewrites the whole corpus —
+    at 100 TB the difference is the whole game (same append-only
+    contract as the reference's catalog, ``preprocessed_to_raw.py:
+    48-52``, and the minhash signature index, ``dedup.py``
+    minhash_lsh_pairs_incremental).
+
+    Drift guard: appending forever against frozen centroids degrades
+    probe pruning as the data distribution moves — hot cells fatten and
+    a fixed n_probe scans an ever-larger corpus fraction. The sidecar
+    carries cumulative per-cell counts (updated here from a bounded
+    <= n_lists aggregate of the BATCH only — the index is never
+    re-scanned); when max_cell/mean_cell exceeds ``skew_bound`` the
+    returned stats set ``rebuild_recommended`` so the caller schedules a
+    retrain (``build_ivf_index`` fresh). Appends remain correct either
+    way — queries scan whatever the probed cells hold; skew costs time,
+    not results.
+
+    Returns the updated meta plus ``{"appended": n, "max_mean_skew": s,
+    "rebuild_recommended": bool}``. Parquet append of new files into
+    existing partition dirs never touches prior files, so concurrent
+    readers see a consistent (old or old+new) index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    c = _with_norm(new_vectors, id_col, vec_col, "c")
+    assigned = c.withColumn(
+        "cell", _nearest_cells(meta["centroids"], "c_v", 1)[0]
+    ).select(
+        F.col("c_id").alias(id_col),
+        F.col("c_v").alias(vec_col),
+        F.col("c_norm").alias("norm"),
+        "cell",
+    )
+    # One pass over the batch: cache so the write and the <= n_lists
+    # count aggregate don't recompute the assignment.
+    assigned = assigned.persist()
+    try:
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "index")
+        )
+        batch_counts = {
+            int(r["cell"]): int(r["n"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        assigned.unpersist()
+
+    counts = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
+    appended = 0
+    for cell, n in batch_counts.items():
+        counts[cell] = counts.get(cell, 0) + n
+        appended += n
+    mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
+    skew = (max(counts.values()) / mean) if counts and mean else 0.0
+    meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
+    _write_ivf_meta(path, meta)
+    meta.update(
+        {
+            "appended": appended,
+            "max_mean_skew": round(skew, 4),
+            "rebuild_recommended": skew > skew_bound,
+        }
+    )
     return meta
 
 
