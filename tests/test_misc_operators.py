@@ -406,3 +406,41 @@ def test_chi_square_independent_columns_near_zero(spark):
     r = chi_square_independence(df, "a", "b").collect()[0]
     assert abs(r["chi2"]) < 1e-9 and abs(r["cramers_v"]) < 1e-6
     assert r["dof"] == 6
+
+
+def test_window_rotation_planner_invariants():
+    """tools/window_rotation.py: the planner must (a) put the flagship
+    first, (b) include every never-driver-checked registry query, (c)
+    fill remaining slots with the stalest certified queries oldest
+    round first, (d) emit exactly the 50-slot window."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "window_rotation",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "window_rotation.py"),
+    )
+    wr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wr)
+
+    latest = wr.latest_green_round()
+    assert latest, "no CORRECTNESS artifacts found"
+
+    from dog_data_pipeline_spark.queries import REGISTRY, _PRIORITY_ORDER
+
+    names = list(REGISTRY)
+    window, deferred = wr.plan(names, "flagship_segment_stats")
+    assert window[0] == "flagship_segment_stats"
+    assert len(window) == wr.WINDOW == 50
+    assert len(set(window)) == 50
+    never = {n for n in names if n not in latest}
+    assert never - {"flagship_segment_stats"} <= set(window)
+    # the stale tail is oldest-first: rounds are non-decreasing
+    tail_rounds = [latest[n] for n in window if n in latest and n != "flagship_segment_stats"]
+    assert tail_rounds == sorted(tail_rounds)
+    # nothing deferred is older than anything included from the tail
+    if deferred and tail_rounds:
+        assert min(latest[n] for n in deferred) >= tail_rounds[-1]
+    # the committed _PRIORITY_ORDER satisfies the freeze-then-build rule:
+    # every never-checked query holds a slot
+    assert never <= set(_PRIORITY_ORDER) | set(latest)
