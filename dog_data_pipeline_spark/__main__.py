@@ -126,6 +126,65 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ivf_build(args: argparse.Namespace) -> int:
+    """Train + persist an IVF ANN index (train-once/query-many)."""
+    from dog_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    spark = _spark("cli-ivf-build")
+    corpus = spark.read.parquet(args.input)
+    meta = build_ivf_index(
+        corpus,
+        args.index,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_lists=args.n_lists,
+        seed=args.seed,
+    )
+    counts = meta["cell_counts"]
+    print(
+        f"ivf-build: {sum(counts.values())} vectors in {len(counts)} cells "
+        f"-> {args.index}"
+    )
+    return 0
+
+
+def cmd_ivf_append(args: argparse.Namespace) -> int:
+    """Append a new vector batch to a persisted IVF index (no retrain);
+    exits 3 when the drift guard recommends a rebuild so schedulers can
+    branch on it."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_append
+
+    spark = _spark("cli-ivf-append")
+    batch = spark.read.parquet(args.input)
+    stats = ivf_append(batch, args.index, skew_bound=args.skew_bound)
+    msg = (
+        f"ivf-append: +{stats['appended']} vectors -> {args.index}; "
+        f"max/mean cell skew {stats['max_mean_skew']}"
+    )
+    if stats["rebuild_recommended"]:
+        print(msg + " — REBUILD RECOMMENDED (run ivf-build on the full corpus)")
+        return 3
+    print(msg)
+    return 0
+
+
+def cmd_ivf_query(args: argparse.Namespace) -> int:
+    """Top-k cosine neighbors from a persisted IVF index."""
+    from dog_data_pipeline_spark.operators.similarity import query_ivf_index
+
+    spark = _spark("cli-ivf-query")
+    queries = spark.read.parquet(args.queries)
+    out = query_ivf_index(
+        spark, args.index, queries, k=args.k, n_probe=args.n_probe
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"ivf-query: {out.count()} result rows -> {args.output}")
+    else:
+        out.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run a registry query by name and show the head of the result."""
     from dog_data_pipeline_spark.queries import REGISTRY
@@ -190,6 +249,34 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--pack-budget", type=int, default=256)
     sc.add_argument("--num-shards", type=int, default=16)
     sc.set_defaults(fn=cmd_curate)
+
+    sb = sub.add_parser("ivf-build", help="train + persist an IVF ANN index")
+    sb.add_argument("--input", required=True, help="corpus parquet (id + vector)")
+    sb.add_argument("--index", required=True, help="index output dir")
+    sb.add_argument("--id-col", default="vec_id")
+    sb.add_argument("--vec-col", default="embedding")
+    sb.add_argument("--n-lists", type=int, default=16)
+    sb.add_argument("--seed", type=int, default=42)
+    sb.set_defaults(fn=cmd_ivf_build)
+
+    sa = sub.add_parser(
+        "ivf-append",
+        help="append a vector batch to a persisted index (no retrain); "
+        "exit 3 = drift guard recommends rebuild",
+    )
+    sa.add_argument("--input", required=True, help="new-batch parquet")
+    sa.add_argument("--index", required=True, help="existing index dir")
+    sa.add_argument("--skew-bound", type=float, default=4.0)
+    sa.set_defaults(fn=cmd_ivf_append)
+
+    sv = sub.add_parser("ivf-query", help="top-k cosine from a persisted index")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--queries", required=True, help="query-vectors parquet")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--n-probe", type=int, default=3)
+    sv.add_argument("--output", default=None, help="write results parquet here")
+    sv.add_argument("--limit", type=int, default=20)
+    sv.set_defaults(fn=cmd_ivf_query)
 
     sq = sub.add_parser("query", help="run a registry query")
     sq.add_argument("name")

@@ -147,3 +147,50 @@ def test_curate_cli_full_stage_flags(spark, tmp_path):
     assert "curate: after_source_cap" in r.stdout
     assert "curate: after_segment_dedup" in r.stdout
     assert os.path.isdir(out)
+
+
+def test_cli_ivf_build_append_query_roundtrip(spark, tmp_path):
+    """The persisted-IVF serving path end-to-end through the CLI:
+    build on 80% of the corpus, append the remaining 20% (exit 0 —
+    no drift), query the appended index and get full-k rows; a
+    centroid-aimed hot batch then trips the drift guard (exit 3)."""
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus_p = str(tmp_path / "corpus")
+    batch_p = str(tmp_path / "batch")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(corpus_p)
+    emb.filter(F.col("vec_id") % 5 == 0).write.parquet(batch_p)
+    idx = str(tmp_path / "idx")
+
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "8"]) == 0
+    assert main(["ivf-append", "--input", batch_p, "--index", idx]) == 0
+
+    queries_p = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 3).write.parquet(queries_p)
+    out_p = str(tmp_path / "knn")
+    assert main(["ivf-query", "--index", idx, "--queries", queries_p,
+                 "--k", "5", "--output", out_p]) == 0
+    knn = spark.read.parquet(out_p)
+    assert knn.count() == 15  # 3 queries x full k=5
+    assert knn.groupBy("query_id").count().filter("count != 5").count() == 0
+
+    # drift guard through the CLI: a hot batch aimed at one centroid
+    import json
+    import os
+
+    hot = json.load(open(os.path.join(idx, "ivf_meta.json")))["centroids"][0]
+    n_total = emb.count()
+    hot_df = spark.range(3 * n_total).select(
+        (F.col("id") + 10**6).alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in hot]).alias("embedding"),
+    )
+    hot_p = str(tmp_path / "hot")
+    hot_df.write.parquet(hot_p)
+    assert main(["ivf-append", "--input", hot_p, "--index", idx,
+                 "--skew-bound", "2.0"]) == 3
