@@ -672,6 +672,45 @@ def query_ivf_index(
     )
 
 
+def ivf_verify(spark, path: str, repair: bool = False) -> dict:
+    """Audit (and optionally repair) a persisted IVF index's sidecar
+    bookkeeping against the index itself.
+
+    ``ivf_append`` writes the parquet batch first and the sidecar
+    second; a crash between the two leaves the index CORRECT (queries
+    scan whatever the cells hold) but the sidecar's cumulative cell
+    counts stale — the drift guard would then under-count skew. This
+    recomputes per-cell counts from the index with one groupBy over the
+    (cell) partition column (column-pruned: no vector bytes read),
+    reports the diff, and with ``repair=True`` rewrites the sidecar
+    atomically. Returns ``{"consistent": bool, "diff": {cell: (sidecar,
+    actual)}, "repaired": bool}``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    actual = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(os.path.join(path, "index"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    recorded = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
+    diff = {
+        cell: (recorded.get(cell, 0), actual.get(cell, 0))
+        for cell in set(recorded) | set(actual)
+        if recorded.get(cell, 0) != actual.get(cell, 0)
+    }
+    repaired = False
+    if diff and repair:
+        meta["cell_counts"] = {str(k): v for k, v in sorted(actual.items())}
+        _write_ivf_meta(path, meta)
+        repaired = True
+    return {"consistent": not diff, "diff": diff, "repaired": repaired}
+
+
 def _train_pq_codebooks(
     vectors: "np.ndarray", m_sub: int, ksub: int, seed: int
 ) -> list["np.ndarray"]:

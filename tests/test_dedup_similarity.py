@@ -772,3 +772,39 @@ def test_ivf_append_incremental_matches_bulk_and_guards_drift(spark, tmp_path):
     stats2 = ivf_append(hot_batch, inc_root, skew_bound=2.0)
     assert stats2["rebuild_recommended"]
     assert stats2["max_mean_skew"] > 2.0
+
+
+def test_ivf_verify_detects_and_repairs_stale_sidecar(spark, tmp_path):
+    """ivf_verify: consistent after build+append; a simulated crash
+    window (parquet appended, sidecar write lost) is detected as a
+    count diff and repair=True restores the sidecar from the index."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_verify,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    meta_path = os.path.join(root, "ivf_meta.json")
+    pre_append = json.load(open(meta_path))
+    ivf_append(emb.filter(F.col("vec_id") % 5 == 0), root)
+    assert ivf_verify(spark, root)["consistent"]
+
+    # simulate the crash window: roll the sidecar back to pre-append
+    with open(meta_path, "w") as fh:
+        json.dump(pre_append, fh)
+    audit = ivf_verify(spark, root)
+    assert not audit["consistent"]
+    assert sum(a - s for s, a in audit["diff"].values()) == emb.filter(
+        F.col("vec_id") % 5 == 0
+    ).count()
+
+    fixed = ivf_verify(spark, root, repair=True)
+    assert fixed["repaired"] and not fixed["consistent"]  # reports pre-repair state
+    assert ivf_verify(spark, root)["consistent"]
+    assert json.load(open(meta_path))["centroids"] == pre_append["centroids"]
