@@ -168,6 +168,27 @@ def cmd_ivf_append(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ivf_verify(args: argparse.Namespace) -> int:
+    """Audit a persisted index's sidecar counts against the index;
+    --repair rewrites the sidecar from the index. Exit 4 = inconsistent
+    (and not repaired)."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_verify
+
+    spark = _spark("cli-ivf-verify")
+    audit = ivf_verify(spark, args.index, repair=args.repair)
+    if audit["consistent"]:
+        print(f"ivf-verify: {args.index} sidecar consistent")
+        return 0
+    print(
+        f"ivf-verify: {len(audit['diff'])} cell(s) diverge "
+        f"(sidecar, actual): {audit['diff']}"
+    )
+    if audit["repaired"]:
+        print("ivf-verify: sidecar repaired from index")
+        return 0
+    return 4
+
+
 def cmd_ivf_query(args: argparse.Namespace) -> int:
     """Top-k cosine neighbors from a persisted IVF index."""
     from dog_data_pipeline_spark.operators.similarity import query_ivf_index
@@ -268,6 +289,14 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--index", required=True, help="existing index dir")
     sa.add_argument("--skew-bound", type=float, default=4.0)
     sa.set_defaults(fn=cmd_ivf_append)
+
+    sw = sub.add_parser(
+        "ivf-verify",
+        help="audit sidecar counts vs the index; exit 4 = inconsistent",
+    )
+    sw.add_argument("--index", required=True)
+    sw.add_argument("--repair", action="store_true")
+    sw.set_defaults(fn=cmd_ivf_verify)
 
     sv = sub.add_parser("ivf-query", help="top-k cosine from a persisted index")
     sv.add_argument("--index", required=True)

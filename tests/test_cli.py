@@ -194,3 +194,14 @@ def test_cli_ivf_build_append_query_roundtrip(spark, tmp_path):
     hot_df.write.parquet(hot_p)
     assert main(["ivf-append", "--input", hot_p, "--index", idx,
                  "--skew-bound", "2.0"]) == 3
+
+    # sidecar audit through the CLI: consistent now; a rolled-back
+    # sidecar is flagged (exit 4) and --repair restores it (exit 0)
+    meta_path = os.path.join(idx, "ivf_meta.json")
+    assert main(["ivf-verify", "--index", idx]) == 0
+    meta = json.load(open(meta_path))
+    meta["cell_counts"] = {k: 1 for k in meta["cell_counts"]}
+    json.dump(meta, open(meta_path, "w"))
+    assert main(["ivf-verify", "--index", idx]) == 4
+    assert main(["ivf-verify", "--index", idx, "--repair"]) == 0
+    assert main(["ivf-verify", "--index", idx]) == 0
