@@ -3297,6 +3297,71 @@ def stream_sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_file_sink_exactly_once",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    """
+    "GROUP BY event_type",
+    "EXACTLY-ONCE file sink certificate (streaming §2.9, the "
+    "transactional-sink face of the reference's stage-then-swap "
+    "convention): events replay as a bounded stream into a CHECKPOINTED "
+    "parquet file sink in two separate query runs — the first consumes "
+    "half the source files and terminates (the crash), the second "
+    "restarts from the same checkpoint, and the source offset log plus "
+    "the sink's _spark_metadata commit log must deliver every input "
+    "row exactly once across the restart boundary. The read-back "
+    "(metadata-log-filtered, so uncommitted files are invisible) is "
+    "aggregated per event_type and hashed against plain SQL over the "
+    "original table: a replayed batch doubles n_events vs "
+    "n_distinct_ids, a lost batch shrinks both, either flips the hash.",
+)
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    events = _t(spark, sf_dir, "events")
+    slim = events.select("event_id", "ts", "user_id", "event_type", "value")
+    tmp = _roundtrip_dir("xonce")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+
+    def _stage(ks) -> None:
+        for k in ks:
+            (
+                slim.filter(F.col("event_id") % 4 == k)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.schema(slim.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage((0, 1))
+    _drain()  # run 1: consumes files 0-1, then terminates ("crash")
+    _stage((2, 3))
+    _drain()  # run 2: same checkpoint — must pick up ONLY files 2-3
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct_ids"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@query(
     "sharded_export_roundtrip",
     """
     SELECT CAST(count(*) AS BIGINT) AS total_rows,
@@ -9800,21 +9865,28 @@ _PRIORITY_ORDER = [
     # (flagship + never-driver-checked + stalest certified tail) —
     # the r6 verdict's ask #7: computed from CORRECTNESS_r*.json
     # history, not hand-picked.
-    # (a) never-driver-checked — the three new r7 queries, each landed
-    # WITH this slot in the same commit (freeze-then-build), each the
+    # (a) never-driver-checked — the four new r7 queries, each landed
+    # WITH its slot in the same commit (freeze-then-build), each the
     # first driver evidence for a previously pytest-only surface:
     # stream-stream interval join (streaming/joins.py), streaming
-    # sliding+session windows (streaming/windows.py), and the
-    # incremental IVF append path (similarity.py ivf_append):
+    # sliding+session windows (streaming/windows.py), the incremental
+    # IVF append path (similarity.py ivf_append), and the exactly-once
+    # checkpointed file sink (kill-and-resume across two query runs).
+    # With these green, EVERY streaming shape this environment can run
+    # is driver-certified (transformWithStateInPandas needs protobuf,
+    # absent from this image — pytest-skipped, documented env gate):
     "stream_interval_join_pairs",
     "stream_sliding_session_windows",
     "knn_ivf_index_appended",
+    "stream_file_sink_exactly_once",
     # (b) the stale-certificate tail, oldest driver row first: the one
     # r2 row (displaced from the r6 window for the IVF first row) and
-    # 45 of the 46 r3 rows — after this window is green, every
+    # 44 of the 46 r3 rows — after this window is green, every
     # registry query's latest driver row is r4+ except
-    # zorder_locality_report (r3, the alphabetical tail of the r3
-    # family; queued first for r8):
+    # weighted_priority_sample and zorder_locality_report (r3, the
+    # alphabetical tail of the r3 family; both mirror-green AND green
+    # in this round's full hostile-TZ driver-sim at sf0.01; they lead
+    # the r8 queue):
     "ngram_jaccard_dedup_capped",
     "audio_fingerprint_dedup",
     "binary_listing_stats",
@@ -9860,17 +9932,17 @@ _PRIORITY_ORDER = [
     "stratified_lang_sample",
     "tfidf_cosine_pairs",
     "token_budget_by_source",
-    "weighted_priority_sample",
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-7 rotation math: 1 flagship + 3 never-checked (landed this
-# round) + 1 r2 + 45 r3 re-certifications = 50.  Generated by
-# `python tools/window_rotation.py`; the only certified query deferred
-# is zorder_locality_report (r3-green, self-certifying locality
-# invariants, covered by the local sf0.001 mirror) — it leads the r8
-# stale tail together with the 47 r4 rows.  Everything rotated out
-# (the r4/r5/r6 families) stays under the driver-strict local oracle
-# mirror (tests/test_queries_oracle.py).
+# Round-7 rotation math: 1 flagship + 4 never-checked (landed this
+# round) + 1 r2 + 44 r3 re-certifications = 50.  Generated by
+# `python tools/window_rotation.py`; the two certified queries deferred
+# are weighted_priority_sample and zorder_locality_report (r3-green,
+# covered by the local sf0.001 mirror and re-verified green this round
+# by the full 197-query hostile-TZ driver-sim at sf0.01) — they lead
+# the r8 stale tail together with the 47 r4 rows.  Everything rotated
+# out (the r4/r5/r6 families) stays under the driver-strict local
+# oracle mirror (tests/test_queries_oracle.py).
 
 
 def _apply_registry_order() -> None:
