@@ -151,12 +151,19 @@ def cmd_ivf_build(args: argparse.Namespace) -> int:
 def cmd_ivf_append(args: argparse.Namespace) -> int:
     """Append a new vector batch to a persisted IVF index (no retrain);
     exits 3 when the drift guard recommends a rebuild so schedulers can
-    branch on it."""
+    branch on it. Holds the index's exclusive appender lock for the
+    duration — one appender at a time per index (readers unaffected);
+    a second appender waits up to --lock-timeout-s then fails."""
     from dog_data_pipeline_spark.operators.similarity import ivf_append
 
     spark = _spark("cli-ivf-append")
     batch = spark.read.parquet(args.input)
-    stats = ivf_append(batch, args.index, skew_bound=args.skew_bound)
+    stats = ivf_append(
+        batch,
+        args.index,
+        skew_bound=args.skew_bound,
+        lock_timeout_s=args.lock_timeout_s,
+    )
     msg = (
         f"ivf-append: +{stats['appended']} vectors -> {args.index}; "
         f"max/mean cell skew {stats['max_mean_skew']}"
@@ -176,6 +183,11 @@ def cmd_ivf_verify(args: argparse.Namespace) -> int:
 
     spark = _spark("cli-ivf-verify")
     audit = ivf_verify(spark, args.index, repair=args.repair)
+    if audit["lock_held"] is not None:
+        print(
+            f"ivf-verify: append lock held by pid {audit['lock_held']} "
+            "(in-flight or crashed appender)"
+        )
     if audit["consistent"]:
         print(f"ivf-verify: {args.index} sidecar consistent")
         return 0
@@ -183,7 +195,7 @@ def cmd_ivf_verify(args: argparse.Namespace) -> int:
         f"ivf-verify: {len(audit['diff'])} cell(s) diverge "
         f"(sidecar, actual): {audit['diff']}"
     )
-    if audit["repaired"]:
+    if audit["consistent_after"]:
         print("ivf-verify: sidecar repaired from index")
         return 0
     return 4
@@ -200,7 +212,11 @@ def cmd_ivf_query(args: argparse.Namespace) -> int:
     )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-        print(f"ivf-query: {out.count()} result rows -> {args.output}")
+        # Count the WRITTEN parquet (footer metadata only) rather than
+        # out.count(), which would re-execute the whole query — probed-
+        # cells collect and index scan included — a second time.
+        n = spark.read.parquet(args.output).count()
+        print(f"ivf-query: {n} result rows -> {args.output}")
     else:
         out.show(args.limit, truncate=False)
     return 0
@@ -283,11 +299,19 @@ def build_parser() -> argparse.ArgumentParser:
     sa = sub.add_parser(
         "ivf-append",
         help="append a vector batch to a persisted index (no retrain); "
-        "exit 3 = drift guard recommends rebuild",
+        "exit 3 = drift guard recommends rebuild; takes the index's "
+        "exclusive appender lock — ONE appender at a time per index "
+        "(concurrent readers are unaffected)",
     )
     sa.add_argument("--input", required=True, help="new-batch parquet")
     sa.add_argument("--index", required=True, help="existing index dir")
     sa.add_argument("--skew-bound", type=float, default=4.0)
+    sa.add_argument(
+        "--lock-timeout-s",
+        type=float,
+        default=600.0,
+        help="seconds to wait for another appender's lock before failing",
+    )
     sa.set_defaults(fn=cmd_ivf_append)
 
     sw = sub.add_parser(

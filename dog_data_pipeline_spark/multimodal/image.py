@@ -195,7 +195,18 @@ def write_image_dirs(
     assumption, same as build_ivf_index's sidecar), so a speculative
     duplicate attempt or a mid-job reader never sees a torn file: both
     attempts write identical bytes and the last rename wins whole.
+
+    Temp hygiene: a failed write unlinks its own temp before the error
+    propagates, and a successful rename sweeps any ``.{name}.*.tmp``
+    predecessors for the SAME frame left by an attempt that was killed
+    between open and rename (they are dot-hidden from Spark listings
+    but would otherwise accumulate on storage). Sweeping is per-target
+    — a concurrent writer of a DIFFERENT frame is never touched; if a
+    sweep races a live duplicate attempt of the same frame, the loser's
+    rename sees ENOENT, finds the final file already in place (both
+    attempts write identical bytes by contract) and treats it as a win.
     """
+    import glob as _glob
     import os
     import uuid
 
@@ -206,10 +217,26 @@ def write_image_dirs(
             d = os.path.join(root, str(row[key_c]))
             os.makedirs(d, exist_ok=True)
             name = f"frame-{int(row[idx_c]):0{pad}d}.{ext}"
+            final = os.path.join(d, name)
             tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex}.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(bytes(row[content_c]))
-            os.rename(tmp, os.path.join(d, name))
+            try:
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(row[content_c]))
+                os.rename(tmp, final)
+            except OSError:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                if not os.path.exists(final):
+                    raise
+            for stale in _glob.glob(
+                os.path.join(d, f".{name}.*.tmp")
+            ):
+                try:
+                    os.unlink(stale)
+                except OSError:  # a live racer already renamed/removed it
+                    pass
 
     df.select(key_col, idx_col, content_col).foreachPartition(_write)
 

@@ -17,6 +17,8 @@ Two paths:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 
@@ -543,10 +545,88 @@ def _write_ivf_meta(path: str, meta: dict) -> None:
     os.rename(tmp, final)
 
 
+class IvfAppendLockTimeout(TimeoutError):
+    """Another writer holds the index's append lock (and is alive)."""
+
+
+@contextmanager
+def _ivf_append_lock(path: str, timeout_s: float):
+    """Exclusive APPENDER lock for a persisted IVF index.
+
+    ``ivf_append``'s sidecar update is a read-modify-write: without
+    mutual exclusion, two concurrent appenders both land their parquet
+    rows (parquet append never touches prior files) but one's cumulative
+    cell-count update is silently lost — the index stays CORRECT, the
+    drift guard just under-counts skew until ``ivf_verify --repair``.
+    Readers never take this lock (the sidecar rename keeps them
+    consistent); only appender-vs-appender needs it. Same hazard class
+    the engine already fixed for the catalog overwrite
+    (reference ``preprocessed_to_raw.py:52`` -> stage-then-swap in
+    ``sources/catalog.py``) — here the fix is a lockfile because the
+    sidecar is a counter, not a replaceable artifact.
+
+    Implementation: ``O_CREAT | O_EXCL`` on ``{path}/ivf_meta.lock``
+    (atomic on posix), body = JSON ``{"pid": ..., "acquired_unix": ...}``.
+    Contention retries every 0.25s up to ``timeout_s``, then raises
+    ``IvfAppendLockTimeout``. A lock whose pid is no longer alive (a
+    crashed appender on this host) is broken automatically; the
+    single-NODE liveness probe is the local/posix simplification — a
+    multi-host deployment swaps this for the object store's conditional
+    put (If-None-Match) or a lease service, the contract (one appender
+    at a time per index) is unchanged. ``ivf_verify`` reports a held
+    lock so operators can see contention/crashes."""
+    import json
+    import os
+    import time
+
+    lock = os.path.join(path, "ivf_meta.lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"pid": os.getpid(), "acquired_unix": time.time()}, fh)
+            break
+        except FileExistsError:
+            holder_pid = None
+            try:
+                with open(lock) as fh:
+                    holder_pid = int(json.load(fh).get("pid", -1))
+            except (OSError, ValueError):
+                pass  # torn/vanished lock: retry resolves either way
+            if holder_pid is not None and holder_pid > 0:
+                try:
+                    os.kill(holder_pid, 0)
+                except ProcessLookupError:
+                    # holder crashed without cleanup: break the stale lock
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # alive, owned by another user: treat as held
+            if time.monotonic() >= deadline:
+                raise IvfAppendLockTimeout(
+                    f"ivf_append: {lock} held by pid {holder_pid} past "
+                    f"{timeout_s}s — one appender at a time per index "
+                    "(readers are unaffected)"
+                )
+            time.sleep(0.25)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def ivf_append(
     new_vectors: DataFrame,
     path: str,
     skew_bound: float = 4.0,
+    lock_timeout_s: float = 600.0,
 ) -> dict:
     """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
     operation a serving corpus needs — assign ONLY the new batch against
@@ -573,51 +653,62 @@ def ivf_append(
     way — queries scan whatever the probed cells hold; skew costs time,
     not results.
 
+    Concurrency contract: ONE APPENDER AT A TIME per index, enforced by
+    an exclusive lockfile (``{path}/ivf_meta.lock``) held across the
+    whole read-sidecar -> write-parquet -> write-sidecar sequence — a
+    second appender waits (up to ``lock_timeout_s``, then
+    ``IvfAppendLockTimeout``) rather than silently losing its cell-count
+    update to a read-modify-write race. Readers never block: parquet
+    append of new files into existing partition dirs never touches prior
+    files, and the sidecar swap is atomic, so concurrent readers see a
+    consistent (old or old+new) index throughout. A lock left by a
+    crashed appender on this host is broken automatically (pid liveness
+    probe); ``ivf_verify`` reports a held lock either way.
+
     Returns the updated meta plus ``{"appended": n, "max_mean_skew": s,
-    "rebuild_recommended": bool}``. Parquet append of new files into
-    existing partition dirs never touches prior files, so concurrent
-    readers see a consistent (old or old+new) index."""
+    "rebuild_recommended": bool}``."""
     import json
     import os
 
-    with open(os.path.join(path, "ivf_meta.json")) as fh:
-        meta = json.load(fh)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    with _ivf_append_lock(path, lock_timeout_s):
+        with open(os.path.join(path, "ivf_meta.json")) as fh:
+            meta = json.load(fh)
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
 
-    c = _with_norm(new_vectors, id_col, vec_col, "c")
-    assigned = c.withColumn(
-        "cell", _nearest_cells(meta["centroids"], "c_v", 1)[0]
-    ).select(
-        F.col("c_id").alias(id_col),
-        F.col("c_v").alias(vec_col),
-        F.col("c_norm").alias("norm"),
-        "cell",
-    )
-    # One pass over the batch: cache so the write and the <= n_lists
-    # count aggregate don't recompute the assignment.
-    assigned = assigned.persist()
-    try:
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "index")
+        c = _with_norm(new_vectors, id_col, vec_col, "c")
+        assigned = c.withColumn(
+            "cell", _nearest_cells(meta["centroids"], "c_v", 1)[0]
+        ).select(
+            F.col("c_id").alias(id_col),
+            F.col("c_v").alias(vec_col),
+            F.col("c_norm").alias("norm"),
+            "cell",
         )
-        batch_counts = {
-            int(r["cell"]): int(r["n"])
-            for r in assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    finally:
-        assigned.unpersist()
+        # One pass over the batch: cache so the write and the <= n_lists
+        # count aggregate don't recompute the assignment.
+        assigned = assigned.persist()
+        try:
+            assigned.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "index")
+            )
+            batch_counts = {
+                int(r["cell"]): int(r["n"])
+                for r in assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            assigned.unpersist()
 
-    counts = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
-    appended = 0
-    for cell, n in batch_counts.items():
-        counts[cell] = counts.get(cell, 0) + n
-        appended += n
-    mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
-    skew = (max(counts.values()) / mean) if counts and mean else 0.0
-    meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
-    _write_ivf_meta(path, meta)
+        counts = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
+        appended = 0
+        for cell, n in batch_counts.items():
+            counts[cell] = counts.get(cell, 0) + n
+            appended += n
+        mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
+        skew = (max(counts.values()) / mean) if counts and mean else 0.0
+        meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
+        _write_ivf_meta(path, meta)
     meta.update(
         {
             "appended": appended,
@@ -693,13 +784,30 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     recomputes per-cell counts from the index with one groupBy over the
     (cell) partition column (column-pruned: no vector bytes read),
     reports the diff, and with ``repair=True`` rewrites the sidecar
-    atomically. Returns ``{"consistent": bool, "diff": {cell: (sidecar,
-    actual)}, "repaired": bool}``."""
+    atomically.
+
+    Returns ``{"consistent": bool, "consistent_after": bool, "diff":
+    {cell: (sidecar, actual)}, "repaired": bool, "lock_held": pid|None}``.
+    ``consistent`` is the PRE-repair state (what the audit found);
+    ``consistent_after`` is the post-call state — True whenever the
+    sidecar now matches the index, i.e. it was already consistent OR the
+    repair rewrote it. Callers gating on index health must check
+    ``consistent_after``; checking only ``consistent`` would treat a
+    successfully repaired index as broken. ``lock_held`` surfaces a
+    present ``ivf_meta.lock`` (an in-flight or crashed appender) so
+    operators can see contention — the audit itself never takes or
+    breaks the lock."""
     import json
     import os
 
     with open(os.path.join(path, "ivf_meta.json")) as fh:
         meta = json.load(fh)
+    lock_held = None
+    try:
+        with open(os.path.join(path, "ivf_meta.lock")) as fh:
+            lock_held = int(json.load(fh).get("pid", -1))
+    except (OSError, ValueError):
+        pass
     actual = {
         int(r["cell"]): int(r["n"])
         for r in spark.read.parquet(os.path.join(path, "index"))
@@ -718,7 +826,13 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
         meta["cell_counts"] = {str(k): v for k, v in sorted(actual.items())}
         _write_ivf_meta(path, meta)
         repaired = True
-    return {"consistent": not diff, "diff": diff, "repaired": repaired}
+    return {
+        "consistent": not diff,
+        "consistent_after": not diff or repaired,
+        "diff": diff,
+        "repaired": repaired,
+        "lock_held": lock_held,
+    }
 
 
 def _train_pq_codebooks(

@@ -9861,88 +9861,75 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # ---- round-7 rotation: GENERATED by tools/window_rotation.py
-    # (flagship + never-driver-checked + stalest certified tail) —
-    # the r6 verdict's ask #7: computed from CORRECTNESS_r*.json
-    # history, not hand-picked.
-    # (a) never-driver-checked — the four new r7 queries, each landed
-    # WITH its slot in the same commit (freeze-then-build), each the
-    # first driver evidence for a previously pytest-only surface:
-    # stream-stream interval join (streaming/joins.py), streaming
-    # sliding+session windows (streaming/windows.py), the incremental
-    # IVF append path (similarity.py ivf_append), and the exactly-once
-    # checkpointed file sink (kill-and-resume across two query runs).
-    # With these green, EVERY streaming shape this environment can run
-    # is driver-certified (transformWithStateInPandas needs protobuf,
-    # absent from this image — pytest-skipped, documented env gate):
-    "stream_interval_join_pairs",
-    "stream_sliding_session_windows",
-    "knn_ivf_index_appended",
-    "stream_file_sink_exactly_once",
-    # (b) the stale-certificate tail, oldest driver row first: the one
-    # r2 row (displaced from the r6 window for the IVF first row) and
-    # 44 of the 46 r3 rows — after this window is green, every
-    # registry query's latest driver row is r4+ except
-    # weighted_priority_sample and zorder_locality_report (r3, the
-    # alphabetical tail of the r3 family; both mirror-green AND green
-    # in this round's full hostile-TZ driver-sim at sf0.01; they lead
-    # the r8 queue):
-    "ngram_jaccard_dedup_capped",
-    "audio_fingerprint_dedup",
-    "binary_listing_stats",
-    "ccnet_quality_tiers",
-    "chunk_documents",
-    "corpus_datacard",
-    "corpus_snapshot_diff",
-    "csv_catalog_roundtrip",
-    "curriculum_order",
-    "dedup_clusters",
-    "deterministic_split_profile",
-    "dq_violation_report",
-    "duplicate_span_stats",
-    "embedding_quantization_audit",
-    "gap_filled_daily_counts",
-    "grouping_sets_lineitem",
-    "hybrid_rrf_search",
-    "incremental_dedup_newbatch",
-    "join_skew_report",
-    "json_map_roundtrip",
-    "knn_cosine_ivf",
-    "knn_cosine_ivfpq",
-    "knn_cosine_lsh",
-    "lm_perplexity_scores",
-    "mixture_weights_plan",
-    "multimodal_track_summary",
-    "packed_sequence_stats",
-    "percentile_quantities",
-    "pii_masked_customers",
-    "pivot_event_counts",
-    "prototype_pruning",
-    "quality_classifier_scores",
-    "rolling_fingerprint",
-    "salted_skew_join",
-    "segment_dedup_stats",
-    "semantic_dedup",
-    "sessionization",
-    "sharded_export_roundtrip",
-    "simhash_dedup",
-    "simhash_pigeonhole_dedup",
-    "source_cap_report",
-    "stats_aggregates",
-    "stratified_lang_sample",
-    "tfidf_cosine_pairs",
-    "token_budget_by_source",
+    # ---- round-8 rotation: GENERATED by tools/window_rotation.py
+    # (flagship + never-driver-checked + stalest certified tail).
+    # No new registry queries landed this round (the window was
+    # exactly saturated — r7 verdict ask #4), so the 49 slots all
+    # go to the stale tail: the 2 remaining r3 rows
+    # (weighted_priority_sample, zorder_locality_report — the last
+    # of the r3 family) and all 47 r4 rows. After this window is
+    # green, NO registry query's latest driver row is older than
+    # r5 — the rotation debt is fully paid and the steady-state
+    # cadence (~4 rounds for the 197-query registry at 50/round)
+    # is self-sustaining, enforced by window_rotation.py --check's
+    # cadence bound.
+    "weighted_priority_sample",  # r3
+    "zorder_locality_report",  # r3
+    "audio_active_segments",  # r4
+    "benchmark_span_scrub",  # r4
+    "blocklist_screening",  # r4
+    "bm25_keyword_search",  # r4
+    "char_entropy_profile",  # r4
+    "corpus_curation_v2",  # r4
+    "cross_source_overlap",  # r4
+    "customer_order_distribution",  # r4
+    "dedup_best_keeper",  # r4
+    "disjunctive_filter_revenue",  # r4
+    "duplicate_span_stats_rolling",  # r4
+    "edit_distance_pairs",  # r4
+    "except_all_lines",  # r4
+    "feature_drift_psi",  # r4
+    "file_compaction_plan",  # r4
+    "file_copy_pipeline",  # r4
+    "forecast_revenue_change",  # r4
+    "half_stock_suppliers",  # r4
+    "headerless_csv_roundtrip",  # r4
+    "heavy_hitters_cms",  # r4
+    "hll_distinct_rollup",  # r4
+    "idle_rich_customers",  # r4
+    "image_dhash_dedup",  # r4
+    "important_stock_parts",  # r4
+    "incremental_agg_state",  # r4
+    "intersect_statuses",  # r4
+    "jsonl_corpus_roundtrip",  # r4
+    "k_anonymity_report",  # r4
+    "lead_lag_order_gaps",  # r4
+    "minhash_lsh_dedup",  # r4
+    "mixture_sampled_tokens",  # r4
+    "mixture_upsampled_tokens",  # r4
+    "ngram_jaccard_dedup_prefix",  # r4
+    "orc_corpus_roundtrip",  # r4
+    "pii_detection_scan",  # r4
+    "priority_waiting_orders",  # r4
+    "product_type_profit",  # r4
+    "quantile_sketch_bounds",  # r4
+    "running_revenue",  # r4
+    "small_qty_order_revenue",  # r4
+    "sole_blame_supplier",  # r4
+    "supplier_count_by_part_attrs",  # r4
+    "top_bigrams",  # r4
+    "top_revenue_supplier",  # r4
+    "training_shuffle_order",  # r4
+    "video_scene_cuts",  # r4
+    "volume_shipping",  # r4
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-7 rotation math: 1 flagship + 4 never-checked (landed this
-# round) + 1 r2 + 44 r3 re-certifications = 50.  Generated by
-# `python tools/window_rotation.py`; the two certified queries deferred
-# are weighted_priority_sample and zorder_locality_report (r3-green,
-# covered by the local sf0.001 mirror and re-verified green this round
-# by the full 197-query hostile-TZ driver-sim at sf0.01) — they lead
-# the r8 stale tail together with the 47 r4 rows.  Everything rotated
-# out (the r4/r5/r6 families) stays under the driver-strict local
-# oracle mirror (tests/test_queries_oracle.py).
+# Round-8 rotation math: 1 flagship + 0 never-checked + 2 r3 + 47 r4
+# re-certifications = 50.  Generated by `python
+# tools/window_rotation.py`; zero free slots and zero deferrals from
+# the pre-r5 era — the 147 deferred names are all r5/r6/r7-green and
+# stay under the driver-strict local oracle mirror
+# (tests/test_queries_oracle.py) until their rotation slot comes up.
 
 
 def _apply_registry_order() -> None:

@@ -806,5 +806,183 @@ def test_ivf_verify_detects_and_repairs_stale_sidecar(spark, tmp_path):
 
     fixed = ivf_verify(spark, root, repair=True)
     assert fixed["repaired"] and not fixed["consistent"]  # reports pre-repair state
-    assert ivf_verify(spark, root)["consistent"]
+    assert fixed["consistent_after"]  # ...but the post-call state is healthy
+    clean = ivf_verify(spark, root)
+    assert clean["consistent"] and clean["consistent_after"]
+    assert clean["lock_held"] is None
     assert json.load(open(meta_path))["centroids"] == pre_append["centroids"]
+
+
+def test_ivf_append_lock_excludes_concurrent_appenders(spark, tmp_path):
+    """ivf_append's single-writer contract (r7 verdict ask #3): (a) a
+    held lock makes a second appender time out rather than silently
+    lose its sidecar update; (b) ivf_verify reports the held lock; (c)
+    a lock left by a CRASHED appender (dead pid) is broken
+    automatically; (d) the lost-update outcome the lock prevents — a
+    concurrent appender's counts overwritten, exactly what an unlocked
+    read-modify-write produced — is detected by ivf_verify and repaired
+    with consistent_after=True. Two genuinely interleaved appends are
+    simulated by replaying the unlocked schedule: both parquet writes
+    land, the first sidecar update is clobbered by the second writer's
+    stale read."""
+    import json
+    import os
+
+    import pytest
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        IvfAppendLockTimeout,
+        build_ivf_index,
+        ivf_append,
+        ivf_verify,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    lock = os.path.join(root, "ivf_meta.lock")
+    meta_path = os.path.join(root, "ivf_meta.json")
+    batch_a = emb.filter(F.col("vec_id") % 5 == 0)
+    batch_b = emb.filter(F.col("vec_id") % 7 == 3)
+
+    # (a)+(b): a live writer's lock excludes a second appender
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "acquired_unix": 0.0}, fh)
+    with pytest.raises(IvfAppendLockTimeout):
+        ivf_append(batch_a, root, lock_timeout_s=0.6)
+    assert ivf_verify(spark, root)["lock_held"] == os.getpid()
+
+    # (c): a crashed appender's lock (dead pid) is broken, append wins
+    pre_a = json.load(open(meta_path))  # corpus-only counts
+    with open(lock, "w") as fh:
+        json.dump({"pid": 2_000_000_000, "acquired_unix": 0.0}, fh)
+    stats = ivf_append(batch_a, root, lock_timeout_s=5.0)
+    assert stats["appended"] == batch_a.count()
+    assert not os.path.exists(lock)  # released after the append
+
+    # (d): replay the unlocked interleaving — writer B read the sidecar
+    # before writer A's update landed, then overwrote it (last-writer-
+    # wins). The parquet rows of BOTH appends survive; only A's counts
+    # are lost from the sidecar.
+    pre_b = json.load(open(meta_path))  # corpus + A counts
+    ivf_append(batch_b, root)
+    post_b = json.load(open(meta_path))  # corpus + A + B (the truth)
+    stale = dict(post_b)
+    # B's stale read saw pre_a; its write = pre_a + B's batch counts =
+    # truth minus A's batch counts (A = pre_b - pre_a, per cell).
+    a_counts = {
+        k: v - pre_a["cell_counts"].get(k, 0)
+        for k, v in pre_b["cell_counts"].items()
+    }
+    stale["cell_counts"] = {
+        k: v - a_counts.get(k, 0) for k, v in post_b["cell_counts"].items()
+    }
+    stale["cell_counts"] = {
+        k: v for k, v in stale["cell_counts"].items() if v > 0
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(stale, fh)
+    audit = ivf_verify(spark, root, repair=True)
+    assert not audit["consistent"] and audit["repaired"]
+    assert audit["consistent_after"]
+    assert json.load(open(meta_path))["cell_counts"] == post_b["cell_counts"]
+
+
+def test_ivf_drift_rebuild_restores_pruning_and_exactness(spark, tmp_path):
+    """The drift guard's REBUILD path end-to-end (r7 verdict ask #2):
+    append a hot out-of-distribution blob against frozen centroids until
+    ``rebuild_recommended`` flips, rebuild fresh (retrain on the current
+    corpus, read back from the index itself), then pin both halves of
+    the rebuild contract: (a) CORRECTNESS — full-probe queries
+    (n_probe = n_lists) against the drifted and the rebuilt index are
+    identical, because full probe is exact cosine top-k over the same
+    rows and a rebuild changes LAYOUT, never RESULTS; (b) PRUNING
+    RECOVERY — the retrained quantizer splits the blob across cells, so
+    max/mean skew falls back under the trigger bound and the corpus
+    fraction a fixed-n_probe query must scan at the hot spot drops."""
+    import os
+
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "drifted")
+    meta = build_ivf_index(emb, root, n_lists=8, seed=42)
+    hot = np.asarray(meta["centroids"][0], dtype=np.float64)
+    dim = len(hot)
+    n0 = sum(meta["cell_counts"].values())
+
+    # hot blob: centroid-0 neighborhood with deterministic per-row,
+    # per-dim jitter (a new region growing in the data distribution —
+    # NOT identical replicas, which no quantizer could ever split).
+    # Amplitude 0.15 sizes the blob against the corpus scale (unit-norm
+    # vectors, ~1.4 median pairwise distance): tight enough that the
+    # FROZEN quantizer funnels it into centroid 0's cell (that is the
+    # drift), broad+heavy enough (4 x corpus-size batches) that a
+    # RETRAIN provably prefers splitting it across cells.
+    stats = None
+    for b in range(4):
+        batch = spark.range(n0).select(
+            (F.col("id") + 1_000_000 + b * 10_000_000).alias("vec_id"),
+            F.array(
+                *[
+                    F.lit(float(hot[j]))
+                    + 0.15 * F.sin((F.col("id") + 1) * float(j + 1) + float(b))
+                    for j in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        stats = ivf_append(batch, root, skew_bound=3.0)
+    assert stats["rebuild_recommended"] and stats["max_mean_skew"] > 3.0
+    drifted_counts = {int(k): v for k, v in stats["cell_counts"].items()}
+
+    # rebuild = retrain on the CURRENT corpus (the index is the corpus
+    # of record), written to a fresh path — stage-then-swap, the
+    # immutability contract from build_ivf_index's docstring
+    current = spark.read.parquet(os.path.join(root, "index")).select(
+        "vec_id", "embedding"
+    )
+    root2 = str(tmp_path / "rebuilt")
+    meta2 = build_ivf_index(current, root2, n_lists=8, seed=42)
+    rebuilt_counts = {int(k): v for k, v in meta2["cell_counts"].items()}
+    assert sum(rebuilt_counts.values()) == sum(drifted_counts.values())
+    assert ivf_verify(spark, root2)["consistent_after"]
+
+    # (a) rebuild changes layout, not results: full probe is exact
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def full_probe(path):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in query_ivf_index(
+                spark, path, queries, k=10, n_probe=8
+            ).collect()
+        }
+
+    assert full_probe(root) == full_probe(root2)
+
+    # (b) pruning recovery: skew back under the trigger bound...
+    def skew(counts):
+        return max(counts.values()) / (sum(counts.values()) / 8)
+
+    assert skew(rebuilt_counts) < skew(drifted_counts)
+    assert skew(rebuilt_counts) <= 2.0
+    # ...and a fixed-n_probe query AT the hot spot scans a smaller
+    # corpus fraction (driver-side mirror of _nearest_cells: euclidean
+    # argsort over the sidecar centroids, then sum probed cell counts)
+    def scanned_fraction(centroids, counts, n_probe=2):
+        mat = np.asarray(centroids, dtype=np.float64)
+        probed = np.argsort(
+            ((mat - hot[None, :]) ** 2).sum(axis=1), kind="stable"
+        )[:n_probe]
+        return sum(counts.get(int(c), 0) for c in probed) / sum(counts.values())
+
+    f_drifted = scanned_fraction(meta["centroids"], drifted_counts)
+    f_rebuilt = scanned_fraction(meta2["centroids"], rebuilt_counts)
+    assert f_rebuilt < f_drifted

@@ -444,3 +444,14 @@ def test_window_rotation_planner_invariants():
     # the committed _PRIORITY_ORDER satisfies the freeze-then-build rule:
     # every never-checked query holds a slot
     assert never <= set(_PRIORITY_ORDER) | set(latest)
+    # r7 verdict ask #4: simulating the rotation forward from the
+    # committed window, no query may wait more than MAX_CADENCE rounds
+    # between driver certificates (window-saturation guard — fails when
+    # too many new queries land for the 50-slot window to keep every
+    # certificate fresh)
+    assert wr.cadence_violations(
+        names, "flagship_segment_stats", list(_PRIORITY_ORDER)
+    ) == []
+    # the bound itself is part of the contract (5 = natural 4-round
+    # cadence for 197 queries / 49 rotating slots + one round of slack)
+    assert wr.MAX_CADENCE == 5

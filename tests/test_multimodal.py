@@ -369,3 +369,20 @@ def test_write_image_dirs_layout_and_bytes(spark, tmp_path):
         ("3", "frame-00012.png"): b"bbbb",
         ("7", "frame-00001.png"): b"c",
     }
+
+    # temp hygiene: a predecessor attempt killed between open and rename
+    # left a dot-hidden .tmp behind — rewriting the frame sweeps it (and
+    # the rewrite itself stays temp-free on success)
+    stale = os.path.join(root, "3", ".frame-00000.png.deadbeef.tmp")
+    with open(stale, "wb") as fh:
+        fh.write(b"orphan")
+    write_image_dirs(df, root, ext="png", pad=5)
+    leftovers = [
+        n
+        for sub in os.listdir(root)
+        for n in os.listdir(os.path.join(root, sub))
+        if n.endswith(".tmp")
+    ]
+    assert leftovers == []
+    with open(os.path.join(root, "3", "frame-00000.png"), "rb") as fh:
+        assert fh.read() == b"aaa"

@@ -16,8 +16,14 @@ Usage:
   python tools/window_rotation.py --stale 20 # just the 20 stalest
   python tools/window_rotation.py --check    # verify _PRIORITY_ORDER
                                              #   covers all never-checked
+                                             #   AND the implied re-cert
+                                             #   cadence is <= MAX_CADENCE
 Exit status for --check: non-zero if a registry query has no driver
-row AND no slot in the current window (a freeze-then-build violation).
+row AND no slot in the current window (a freeze-then-build violation),
+OR if simulating the rotation forward shows any query would wait more
+than MAX_CADENCE rounds between driver certificates (window
+saturation: too many queries landed for the 50-slot window to keep
+every certificate fresh — stop landing queries or widen the window).
 """
 
 from __future__ import annotations
@@ -32,6 +38,11 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 WINDOW = 50
+# A registry query's driver certificate must be refreshed at least
+# every MAX_CADENCE rounds under the rotation (r7 verdict ask #4).
+# With 197 queries and 49 rotating slots the natural cadence is 4
+# rounds; 5 leaves one round of slack for a burst of new landings.
+MAX_CADENCE = 5
 
 
 def latest_green_round() -> dict[str, int]:
@@ -71,6 +82,51 @@ def plan(registry_names: list[str], flagship: str) -> tuple[list[str], list[str]
     return window + stale[:free], stale[free:]
 
 
+def cadence_violations(
+    registry_names: list[str],
+    flagship: str,
+    current_window: list[str],
+    max_cadence: int = MAX_CADENCE,
+) -> list[tuple[str, int]]:
+    """Simulate the rotation forward and return [(query, gap)] for
+    every query whose gap between consecutive driver certificates
+    would exceed `max_cadence` rounds.
+
+    Round R (the upcoming one) certifies `current_window` — the
+    committed `_PRIORITY_ORDER`, not a fresh plan, because that is
+    what the driver will actually run.  Rounds R+1.. are planned by
+    `plan()` (oldest-first stale tail) assuming no new queries land.
+    The simulation runs until every query has been re-certified at
+    least once past round R, which the oldest-first policy guarantees
+    within ceil(registry/window)+1 rounds.
+    """
+    latest = dict(latest_green_round())
+    current = (max(latest.values()) if latest else 0) + 1
+    gaps: dict[str, int] = {}
+    pending = set(registry_names)
+    window = list(current_window)
+    rnd = current
+    while pending and rnd <= current + len(registry_names) // (WINDOW - 1) + 2:
+        for q in window:
+            if q in latest:
+                gaps[q] = max(gaps.get(q, 0), rnd - latest[q])
+            latest[q] = rnd
+            pending.discard(q)
+        rnd += 1
+        # Next round's window under plan()'s policy, computed from the
+        # simulated `latest` rows (plan() itself reads the on-disk
+        # artifacts, which don't include the simulated rounds).
+        stale = sorted(
+            (n for n in registry_names if n != flagship),
+            key=lambda n: (latest.get(n, 0), n),
+        )
+        window = [flagship] + stale[: WINDOW - 1]
+    return sorted(
+        ((q, g) for q, g in gaps.items() if g > max_cadence),
+        key=lambda t: -t[1],
+    )
+
+
 def main() -> int:
     from dog_data_pipeline_spark.queries import REGISTRY, _PRIORITY_ORDER
 
@@ -90,9 +146,13 @@ def main() -> int:
         ]
         for q in missing:
             print(f"NEVER-CHECKED and NOT IN WINDOW: {q}")
+        slow = cadence_violations(names, "flagship_segment_stats", _PRIORITY_ORDER)
+        for q, gap in slow:
+            print(f"CADENCE EXCEEDED ({gap} > {MAX_CADENCE} rounds): {q}")
         print(f"registry={len(names)} window={len(_PRIORITY_ORDER)} "
-              f"never-checked-outside-window={len(missing)}")
-        return 1 if missing else 0
+              f"never-checked-outside-window={len(missing)} "
+              f"cadence-violations={len(slow)} (bound {MAX_CADENCE})")
+        return 1 if missing or slow else 0
 
     window, deferred = plan(names, "flagship_segment_stats")
     print("_PRIORITY_ORDER = [")
