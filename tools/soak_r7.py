@@ -158,18 +158,27 @@ def main() -> None:
         blown.write.mode("overwrite").parquet(ev_p)
     # embeddings table for the IVF-append cert (unchanged scale: that
     # cert's 10x axis is covered by the 2M soak above)
-    os.system(f"cp -r /root/testdata/sf0.1/embeddings.parquet {ev_dir}/ 2>/dev/null")
-    os.system(f"cp -r /root/testdata/sf0.1/documents.parquet {ev_dir}/ 2>/dev/null")
+    # Advisory r7 fix: a silent `cp -r ... 2>/dev/null` left the soak dir
+    # missing tables on copy failure and the run died with an unrelated-
+    # looking read error — copy with explicit errors instead.
+    import shutil
+
+    for tbl in ("embeddings.parquet", "documents.parquet"):
+        dst = os.path.join(ev_dir, tbl)
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join("/root/testdata/sf0.1", tbl), dst)
 
     rec2: dict = {}
     for qname in ("stream_interval_join_pairs", "stream_sliding_session_windows"):
         fn = REGISTRY[qname].fn
+        # Row count recorded once outside the timing loop (advisory r7:
+        # the old shape recorded only the last of the 3 runs' counts).
+        rec2[f"{qname}_1M_events_rows"] = fn(spark, ev_dir).count()
         runs = []
         for _ in range(3):
-            dt, n = t(lambda: fn(spark, ev_dir).count())
+            dt, _n = t(lambda: fn(spark, ev_dir).count())
             runs.append(dt)
         rec2[f"{qname}_1M_events_sec"] = min(runs)
-        rec2[f"{qname}_1M_events_rows"] = n
         rec2[f"{qname}_runs"] = runs
     rec2["note"] = (
         "New r7 streaming certificates on 1M events / 15k users (10x "
