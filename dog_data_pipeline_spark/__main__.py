@@ -139,6 +139,7 @@ def cmd_ivf_build(args: argparse.Namespace) -> int:
         vec_col=args.vec_col,
         n_lists=args.n_lists,
         seed=args.seed,
+        balance_bound=args.balance_bound,
     )
     counts = meta["cell_counts"]
     print(
@@ -169,7 +170,12 @@ def cmd_ivf_append(args: argparse.Namespace) -> int:
         f"max/mean cell skew {stats['max_mean_skew']}"
     )
     if stats["rebuild_recommended"]:
-        print(msg + " — REBUILD RECOMMENDED (run ivf-build on the full corpus)")
+        print(
+            msg
+            + " — REBUILD RECOMMENDED (run ivf-build on the full corpus "
+            "with --balance-bound; a plain retrain cannot split a dense "
+            "drift blob)"
+        )
         return 3
     print(msg)
     return 0
@@ -294,6 +300,14 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--vec-col", default="embedding")
     sb.add_argument("--n-lists", type=int, default=16)
     sb.add_argument("--seed", type=int, default=42)
+    sb.add_argument(
+        "--balance-bound",
+        type=float,
+        default=None,
+        help="mass-balance the quantizer: split training cells heavier "
+        "than BOUND x mean (use ivf-append's --skew-bound value when "
+        "rebuilding after drift; may grow cells past --n-lists, cap 4x)",
+    )
     sb.set_defaults(fn=cmd_ivf_build)
 
     sa = sub.add_parser(

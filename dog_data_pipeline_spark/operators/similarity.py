@@ -215,6 +215,42 @@ def _lloyd(vectors: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarra
     return centroids
 
 
+def _split_heavy_cells(
+    vectors: "np.ndarray",
+    centroids: "np.ndarray",
+    bound: float,
+    max_lists: int,
+    seed: int,
+) -> "np.ndarray":
+    """Mass-aware post-pass over a trained coarse quantizer: k-means
+    allocates centroids by VARIANCE (SSE), so a tight dense region —
+    exactly the shape drift-appended hot blobs take — can hold a large
+    corpus fraction in one cell while contributing negligible SSE, and a
+    plain retrain never splits it (measured at 2.2M/n_lists=64: a 200k
+    blob at 9% of the corpus kept max/mean skew at 5.96 straight through
+    a retrain — see BENCH_LOCAL_r08 `ivf_drift_rebuild_2m_r8`). IVF
+    pruning cost cares about cell MASS, not variance, so rebalancing
+    must too: repeatedly 2-means-split the heaviest training cell until
+    every cell holds <= bound x mean or the centroid budget (max_lists)
+    is spent. Driver-side over the bounded training sample only — the
+    corpus is never re-read."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    v_sq = (vectors**2).sum(axis=1)
+    while len(cents) < max_lists:
+        d = v_sq[:, None] - 2.0 * (vectors @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=len(cents))
+        heavy = int(counts.argmax())
+        if counts[heavy] <= bound * (len(vectors) / len(cents)):
+            break
+        members = vectors[assign == heavy]
+        two = _lloyd(members, 2, seed)
+        if len(two) < 2 or np.allclose(two[0], two[1]):
+            break  # identical replicas — no quantizer can separate them
+        cents = np.vstack([np.delete(cents, heavy, axis=0), two])
+    return cents
+
+
 def _nearest_cells(centroids: list[list[float]], vec_prefix: str, n: int):
     """The n nearest centroid ids for a vector column, as ONE
     Arrow-vectorized pandas UDF: the centroid matrix is captured in the
@@ -248,18 +284,32 @@ def _nearest_cells(centroids: list[list[float]], vec_prefix: str, n: int):
 
 
 def _train_centroids(
-    c: DataFrame, n_lists: int, seed: int, id_col: str = "c_id", vec_col: str = "c_v"
+    c: DataFrame,
+    n_lists: int,
+    seed: int,
+    id_col: str = "c_id",
+    vec_col: str = "c_v",
+    balance_bound: float | None = None,
+    max_lists: int | None = None,
 ) -> list[list[float]]:
     """IVF-style coarse quantizer on a bounded deterministic sample
     (~256 vectors per list, the FAISS convention): one TakeOrdered job,
     then numpy Lloyd's on the driver — quantizer quality needs a fixed
-    sample size regardless of corpus size."""
+    sample size regardless of corpus size. With ``balance_bound`` the
+    variance-seeking Lloyd's result gets the mass-aware
+    ``_split_heavy_cells`` post-pass (centroid budget defaults to
+    4 x n_lists)."""
     max_train = max(256 * n_lists, 2048)
     sample = (
         c.select(id_col, vec_col).orderBy(F.hash(id_col), id_col).limit(max_train)
     )
     vecs = np.asarray([r[vec_col] for r in sample.collect()], dtype=np.float64)
-    return [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
+    cents = _lloyd(vecs, n_lists, seed)
+    if balance_bound is not None:
+        cents = _split_heavy_cells(
+            vecs, cents, balance_bound, max_lists or 4 * n_lists, seed
+        )
+    return [list(map(float, ctr)) for ctr in cents]
 
 
 def with_prototypicality(
@@ -466,6 +516,7 @@ def build_ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    balance_bound: float | None = None,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -491,12 +542,25 @@ def build_ivf_index(
     The sidecar is written driver-side (local/posix here; a real
     deployment writes it through the same object-store client as the
     parquet). It also carries per-cell row counts so ``ivf_append`` can
-    run its drift guard without ever re-scanning the index."""
+    run its drift guard without ever re-scanning the index.
+
+    ``balance_bound`` (opt-in; pass the same value as ``ivf_append``'s
+    ``skew_bound``) makes the trained quantizer MASS-balanced, not just
+    variance-balanced: plain k-means never splits a tight dense region
+    (it contributes no SSE however many rows it holds), so a rebuild
+    triggered by ``rebuild_recommended`` after hot-blob drift would
+    otherwise reproduce the very skew it was meant to fix — measured at
+    2.2M/n_lists=64 (skew 5.96 before AND after a plain retrain;
+    balanced rebuild recovers, see ``_split_heavy_cells``). Balancing
+    may grow the centroid list past ``n_lists`` (capped at 4x); the
+    query path keys everything off ``len(centroids)``, so nothing else
+    changes. Default off: results are layout-independent either way,
+    this is purely a pruning-cost knob."""
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
     if centroids is None:
-        centroids = _train_centroids(c, n_lists, seed)
+        centroids = _train_centroids(c, n_lists, seed, balance_bound=balance_bound)
     assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
     (
         assigned.select(
@@ -522,6 +586,8 @@ def build_ivf_index(
     }
     meta = {
         "n_lists": n_lists,
+        "effective_lists": len(centroids),
+        "balance_bound": balance_bound,
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
@@ -649,9 +715,12 @@ def ivf_append(
     <= n_lists aggregate of the BATCH only — the index is never
     re-scanned); when max_cell/mean_cell exceeds ``skew_bound`` the
     returned stats set ``rebuild_recommended`` so the caller schedules a
-    retrain (``build_ivf_index`` fresh). Appends remain correct either
-    way — queries scan whatever the probed cells hold; skew costs time,
-    not results.
+    retrain (``build_ivf_index`` fresh, and pass
+    ``balance_bound=skew_bound``: drift blobs are typically DENSER than
+    the corpus, and a plain variance-seeking retrain provably fails to
+    split them — the balanced build is the one that actually restores
+    pruning). Appends remain correct either way — queries scan whatever
+    the probed cells hold; skew costs time, not results.
 
     Concurrency contract: ONE APPENDER AT A TIME per index, enforced by
     an exclusive lockfile (``{path}/ivf_meta.lock``) held across the

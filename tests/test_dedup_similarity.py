@@ -986,3 +986,148 @@ def test_ivf_drift_rebuild_restores_pruning_and_exactness(spark, tmp_path):
     f_drifted = scanned_fraction(meta["centroids"], drifted_counts)
     f_rebuilt = scanned_fraction(meta2["centroids"], rebuilt_counts)
     assert f_rebuilt < f_drifted
+
+
+
+def test_split_heavy_cells_unit_contract():
+    """Unit contract of the mass-aware quantizer post-pass: splits a
+    heavy tight cluster plain k-means leaves alone, respects the
+    centroid budget, and refuses to chase identical replicas (which no
+    quantizer can separate) instead of looping to the cap."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        _lloyd,
+        _split_heavy_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    spread = rng.standard_normal((900, 8)) * 3.0
+    blob = np.full((600, 8), 25.0) + 0.01 * np.sin(
+        np.outer(np.arange(1, 601), np.arange(1, 9))
+    )
+    vecs = np.vstack([spread, blob])
+    # start from the shape the 2M soak measured: blob in ONE cell
+    # (constructed directly — the collapse itself is pinned by the
+    # integration test below; this pins the post-pass contract)
+    cents = np.vstack(
+        [_lloyd(spread, 3, seed=42), blob.mean(axis=0, keepdims=True)]
+    )
+
+    def counts(c):
+        d = (
+            (vecs**2).sum(1)[:, None]
+            - 2.0 * (vecs @ c.T)
+            + (c**2).sum(1)[None, :]
+        )
+        return np.bincount(d.argmin(1), minlength=len(c))
+
+    assert counts(cents).max() >= 600  # the blob sits in one cell
+    bal = _split_heavy_cells(vecs, cents, bound=1.5, max_lists=16, seed=42)
+    got = counts(bal)
+    assert len(bal) > len(cents)
+    assert got.max() <= 1.5 * (len(vecs) / len(bal))
+    # budget respected
+    tight = _split_heavy_cells(vecs, cents, bound=1.01, max_lists=6, seed=42)
+    assert len(tight) <= 6
+    # identical replicas: unsplittable — returns instead of spinning
+    reps = np.vstack([spread, np.full((600, 8), 25.0)])
+    cents_r = np.vstack(
+        [_lloyd(spread, 3, seed=42), reps[900:901]]
+    )
+    same = _split_heavy_cells(reps, cents_r, 1.2, 64, 42)
+    d = (
+        (reps**2).sum(1)[:, None]
+        - 2.0 * (reps @ same.T)
+        + (same**2).sum(1)[None, :]
+    )
+    n = np.bincount(d.argmin(1), minlength=len(same))
+    assert n.max() >= 600  # replicas stay together, by design
+
+
+def test_balanced_build_splits_variance_starved_hot_cell(spark, tmp_path):
+    """The failure mode the 2M drift soak measured (r8, BENCH_LOCAL_r08
+    `ivf_drift_rebuild_2m_r8`): a drift blob that is DENSE but a modest
+    corpus fraction collapses to ONE cell under plain Lloyd's even when
+    mass-proportional init lands many centroids inside it — the mean
+    step contracts them to near-identical points, winner-take-all
+    assignment empties all but one, and reseeding moves the rest away.
+    A plain retrain therefore reproduces the very skew the drift guard
+    fired on. `balance_bound` fixes it mass-aware. Miniature of the
+    soak shape: 50 gaussian clusters (12k rows, spread 3.0, unit
+    noise) + a 2k blob jittered 0.15 around cluster-center 0."""
+    import os
+
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    dim = 64
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((50, dim)) * 3.0
+    which = rng.integers(0, 50, 12_000)
+    corpus_np = centers[which] + rng.standard_normal((12_000, dim))
+    ids = np.arange(2_000)
+    blob_np = centers[0][None, :] + 0.15 * np.sin(
+        np.outer(ids + 1, np.arange(1, dim + 1))
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(corpus_np)]
+    rows += [
+        (int(i) + 10**6, [float(x) for x in v]) for i, v in enumerate(blob_np)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def skew(meta):
+        counts = [int(v) for v in meta["cell_counts"].values()]
+        return max(counts) / (sum(counts) / len(meta["centroids"]))
+
+    def blob_cells(root):
+        return (
+            spark.read.parquet(os.path.join(root, "index"))
+            .filter(F.col("vec_id") >= 10**6)
+            .select("cell")
+            .distinct()
+            .count()
+        )
+
+    plain_root = str(tmp_path / "plain")
+    plain = build_ivf_index(corpus, plain_root, n_lists=16, seed=42)
+    assert blob_cells(plain_root) == 1  # the collapse, pinned
+    assert skew(plain) > 2.0
+    assert plain["effective_lists"] == 16 and plain["balance_bound"] is None
+
+    bal_root = str(tmp_path / "balanced")
+    bal = build_ivf_index(corpus, bal_root, n_lists=16, seed=42, balance_bound=2.0)
+    assert len(bal["centroids"]) > 16  # the split grew the centroid list
+    assert bal["effective_lists"] == len(bal["centroids"])
+    assert bal["balance_bound"] == 2.0
+    assert blob_cells(bal_root) >= 2  # blob actually split on disk
+    # split decided on the training sample; allow true-count slack, and
+    # pin that the recovery is real vs the plain build
+    assert skew(bal) <= 2.5
+    assert skew(bal) < skew(plain) - 0.4
+    assert ivf_verify(spark, bal_root)["consistent_after"]
+
+    # balancing changes LAYOUT, never RESULTS: full probe is exact on both
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    def full_probe(root, n_probe):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in query_ivf_index(
+                spark, root, queries, k=5, n_probe=n_probe
+            ).collect()
+        }
+
+    assert full_probe(plain_root, 16) == full_probe(bal_root, len(bal["centroids"]))
+    # and the on-disk layout is partitioned by the GROWN cell list
+    cells = {
+        d
+        for d in os.listdir(os.path.join(bal_root, "index"))
+        if d.startswith("cell=")
+    }
+    assert len(cells) == len(bal["centroids"])

@@ -183,41 +183,81 @@ def drift_rebuild_2m(spark) -> dict:
     idx2 = f"{base}/ivf_rebuilt"
     if os.path.exists(idx2):
         shutil.rmtree(idx2)
-    rec["rebuild_sec"], meta2 = t(
+    rec["rebuild_plain_sec"], meta2 = t(
         lambda: build_ivf_index(current, idx2, n_lists=64, seed=42)
     )
+
+    def skew_of(meta_x):
+        counts = [int(v) for v in meta_x["cell_counts"].values()]
+        return round(max(counts) / (sum(counts) / len(meta_x["centroids"])), 4)
+
     rebuilt_counts = {int(k): v for k, v in meta2["cell_counts"].items()}
     assert sum(rebuilt_counts.values()) == sum(drifted_counts.values())
     assert ivf_verify(spark, idx2)["consistent_after"]
-    mean = sum(rebuilt_counts.values()) / 64
-    rec["skew_rebuilt"] = round(max(rebuilt_counts.values()) / mean, 4)
-    rec["hot_query_rebuilt_sec"] = min3(
+    rec["skew_rebuilt_plain"] = skew_of(meta2)
+    rec["hot_query_rebuilt_plain_sec"] = min3(
         lambda: query_ivf_index(spark, idx2, hot_q, k=10, n_probe=4).count()
     )
-    rec["hot_scanned_fraction_rebuilt"] = round(
+    rec["hot_scanned_fraction_rebuilt_plain"] = round(
         scanned_fraction(meta2["centroids"], rebuilt_counts, hot, 4), 4
     )
 
-    # Full-probe equivalence: n_probe = n_lists is exact cosine top-k
-    # over the same rows — a rebuild changes LAYOUT, never RESULTS.
-    def full_probe(path):
+    # The MASS-BALANCED rebuild (balance_bound = the guard's skew_bound)
+    # — the one the drift guard's recommendation actually calls for: the
+    # plain retrain above provably reproduces the drift skew (Lloyd's
+    # mean-step contracts every centroid that init lands inside the
+    # tight blob to near-identical points; winner-take-all assignment
+    # then empties all but one).
+    idx3 = f"{base}/ivf_rebalanced"
+    if os.path.exists(idx3):
+        shutil.rmtree(idx3)
+    rec["rebuild_balanced_sec"], meta3 = t(
+        lambda: build_ivf_index(current, idx3, n_lists=64, seed=42, balance_bound=4.0)
+    )
+    bal_counts = {int(k): v for k, v in meta3["cell_counts"].items()}
+    assert sum(bal_counts.values()) == sum(drifted_counts.values())
+    assert ivf_verify(spark, idx3)["consistent_after"]
+    rec["balanced_effective_lists"] = meta3["effective_lists"]
+    rec["skew_rebuilt_balanced"] = skew_of(meta3)
+    rec["hot_query_rebalanced_sec"] = min3(
+        lambda: query_ivf_index(spark, idx3, hot_q, k=10, n_probe=4).count()
+    )
+    rec["hot_scanned_fraction_rebalanced"] = round(
+        scanned_fraction(meta3["centroids"], bal_counts, hot, 4), 4
+    )
+
+    # Full-probe equivalence: n_probe = effective lists is exact cosine
+    # top-k over the same rows — a rebuild changes LAYOUT, never RESULTS.
+    def full_probe(path, lists):
         return {
             (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
-            for r in query_ivf_index(spark, path, hot_q, k=10, n_probe=64).collect()
+            for r in query_ivf_index(
+                spark, path, hot_q, k=10, n_probe=lists
+            ).collect()
         }
 
-    rec["full_probe_equal"] = full_probe(idx) == full_probe(idx2)
+    drift_fp = full_probe(idx, 64)
+    rec["full_probe_equal"] = (
+        drift_fp == full_probe(idx2, 64)
+        and drift_fp == full_probe(idx3, meta3["effective_lists"])
+    )
     assert rec["full_probe_equal"]
     rec["note"] = (
         "Drift-triggered rebuild at 2M/n_lists=64 (r7 ask #2 soak leg): "
         "hot 200k blob batches (jittered neighborhood of centroid 0) "
-        "appended until the default skew_bound=4.0 guard flips, then a "
-        "retrain-rebuild from the index itself to a fresh path. Recovery "
-        "is measured three ways: sidecar skew, the hot-spot corpus "
-        "fraction a fixed n_probe=4 query scans (sidecar-counts mirror "
-        "of _nearest_cells), and the measured hot-spot query wall. "
-        "full_probe_equal pins that the rebuild changed layout, not "
-        "results (n_probe=n_lists is exact top-k over identical rows)."
+        "appended until the default skew_bound=4.0 guard flips, then TWO "
+        "rebuilds from the index itself to fresh paths: a plain retrain "
+        "and a mass-balanced one (balance_bound=4.0). The plain retrain "
+        "is the negative result that motivated the feature: Lloyd's is "
+        "variance-seeking and its mean step collapses every centroid "
+        "the init lands inside a tight drift blob, so skew and the "
+        "hot-spot scanned fraction come back unchanged. The balanced "
+        "build splits the blob (mass-aware sample post-pass, "
+        "_split_heavy_cells) and recovery is measured three ways: "
+        "sidecar skew, the hot-spot corpus fraction a fixed n_probe=4 "
+        "query scans, and the measured hot-spot query wall. "
+        "full_probe_equal pins that all three layouts return identical "
+        "exact results at full probe."
     )
     return rec
 
