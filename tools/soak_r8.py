@@ -79,29 +79,35 @@ def merge(records: dict) -> None:
 
 def gen_vectors(spark, path: str, n: int, dim: int = 64, seed: int = 7,
                 id_start: int = 0):
-    """Deterministic synthetic embeddings (clustered gaussians, same
-    generator as soak_r7 so the 2M/8M/32M rows are one family)."""
+    """Deterministic synthetic embeddings: 50 well-separated cluster
+    centers (spread ~3 per dim) + ~unit per-row noise, the same
+    STATISTICAL family as the r7 soaks' numpy generator, but produced
+    entirely JVM-side as hash-based column expressions (xxhash64 ->
+    uniform). The first 32M attempt used the r7 mapInPandas generator
+    and failed twice — GC thrash killed the python workers on the
+    default heap, and a retry hung one task on an idle worker socket.
+    Vector VALUES don't matter to the scaling laws being measured
+    (build/append/query cost depends on row count x dim, not values);
+    keeping the generation in whole-stage codegen removes the python
+    boundary from the one stage that doesn't need it."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return 0.0
-    parts = 32
+    # ~125MB parquet per task (the per-task shape the 2M/8M runs used)
+    parts = max(32, n // 250_000)
 
-    def gen(it):
-        import pandas as pd
+    def unit(col, salt):
+        h = F.xxhash64(col.cast("long"), F.lit(int(salt)))
+        return (F.pmod(h, F.lit(1_000_000_007)).cast("double") + 0.5) / 1e9
 
-        for pdf in it:
-            rng = np.random.default_rng(seed + int(pdf["pid"].iloc[0]))
-            ids = pdf["id"].to_numpy()
-            centers = rng.standard_normal((50, dim)) * 3.0
-            which = ids % 50
-            vecs = centers[which] + rng.standard_normal((len(ids), dim))
-            yield pd.DataFrame(
-                {"vec_id": ids + id_start, "embedding": list(vecs.astype("float64"))}
-            )
-
-    df = (
-        spark.range(n).repartition(parts)
-        .withColumn("pid", F.spark_partition_id())
-        .mapInPandas(gen, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cid = F.col("id") % 50
+    dims = []
+    for j in range(dim):
+        center = (unit(cid, 7_000 + j + seed) - 0.5) * 10.39  # var ~9
+        noise = (unit(F.col("id"), 90_000 + j * 31 + seed) - 0.5) * 3.46  # var ~1
+        dims.append(center + noise)
+    df = spark.range(n).repartition(parts).select(
+        (F.col("id") + id_start).alias("vec_id"),
+        F.array(*dims).alias("embedding"),
     )
     dt, _ = t(lambda: df.write.mode("overwrite").parquet(path))
     return dt
@@ -303,6 +309,13 @@ def append_invariance_32m(spark) -> dict:
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # 32 executor threads at the default 24g heap is 0.75GB/core — fine
+    # for the registry bench, but the 32M leg's sustained 16GB writes GC-
+    # thrashed it until the python workers died. 64g = 2GB/core, the
+    # ratio a real cluster executor runs at. Must be set before the JVM
+    # starts, hence env + default here rather than a conf on a live
+    # session.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark(app_name="soak-r8")
     spark.sparkContext.setLogLevel("ERROR")
     if which in ("all", "drift"):
