@@ -291,6 +291,7 @@ def _train_centroids(
     vec_col: str = "c_v",
     balance_bound: float | None = None,
     max_lists: int | None = None,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """IVF-style coarse quantizer on a bounded deterministic sample
     (~256 vectors per list, the FAISS convention), then numpy Lloyd's
@@ -317,7 +318,7 @@ def _train_centroids(
     defaults to 4 x n_lists)."""
     max_train = max(256 * n_lists, 2048)
     sel = c.select(id_col, vec_col).withColumn("_h", F.hash(F.col(id_col)))
-    n = c.count()
+    n = n_rows if n_rows is not None else c.count()
     if n <= 2 * max_train:
         rows = sel.collect()
     else:
@@ -548,6 +549,7 @@ def build_ivf_index(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     balance_bound: float | None = None,
+    rows_per_file: int = 250_000,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -590,17 +592,32 @@ def build_ivf_index(
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
+    n_rows = c.count()
     if centroids is None:
-        centroids = _train_centroids(c, n_lists, seed, balance_bound=balance_bound)
-    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0])
-    (
-        assigned.select(
-            F.col("c_id").alias(id_col),
-            F.col("c_v").alias(vec_col),
-            F.col("c_norm").alias("norm"),
-            "cell",
+        centroids = _train_centroids(
+            c, n_lists, seed, balance_bound=balance_bound, n_rows=n_rows
         )
-        .write.mode("overwrite")
+    assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0]).select(
+        F.col("c_id").alias(id_col),
+        F.col("c_v").alias(vec_col),
+        F.col("c_norm").alias("norm"),
+        "cell",
+    )
+    # One shuffle before the write bounds the FILE COUNT: an unshuffled
+    # partitionBy("cell") writes one file per (task x cell) — measured
+    # 81,920 files of ~320KB for a 32M x 512-list build (160 per cell;
+    # at 100 TB that is billions of small objects, and file listing
+    # alone dominated the warm query). Clustering by (cell, salt) puts
+    # each whole group in one task, so the writer emits exactly
+    # cells x salt_mod files, salted so each lands near
+    # ``rows_per_file`` (~130MB at dim 64). Shuffle cost is one pass
+    # over the corpus — the standard warehouse write-clustering trade.
+    salt_mod = max(1, round(n_rows / max(len(centroids), 1) / rows_per_file))
+    clustered = assigned.repartition(
+        "cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_mod))
+    )
+    (
+        clustered.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "index"))
     )
@@ -788,9 +805,16 @@ def ivf_append(
         # count aggregate don't recompute the assignment.
         assigned = assigned.persist()
         try:
-            assigned.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "index")
-            )
+            # Cluster by cell before the append-write, same rationale as
+            # build_ivf_index: an unshuffled partitionBy emits one file
+            # per (task x touched cell) — measured 32 x 512 = ~16k
+            # ~12-row files for a 200k append into a 512-list index.
+            # Clustered, each append adds at most one file per touched
+            # cell (appends accumulate files by design; compaction IS
+            # the drift-triggered rebuild).
+            assigned.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(path, "index"))
             batch_counts = {
                 int(r["cell"]): int(r["n"])
                 for r in assigned.groupBy("cell")
