@@ -326,7 +326,55 @@ def main() -> None:
         rec = append_invariance_32m(spark)
         print(json.dumps({"ivf_append_invariance_32m_r8": rec}), flush=True)
         merge({"ivf_append_invariance_32m_r8": rec})
+    if which in ("all", "relaw"):
+        rec = scaling_law_clustered(spark)
+        print(json.dumps({"ivf_scaling_law_clustered_r8": rec}), flush=True)
+        merge({"ivf_scaling_law_clustered_r8": rec})
     spark.stop()
+
+
+
+
+def scaling_law_clustered(spark) -> dict:
+    """Clean 3-point scaling law on ONE code version (the committed r8
+    write-clustered build): the headline append-invariance table mixed
+    r7 unclustered measurements (2M/64, 8M/256) with the clustered 32M —
+    re-measure the 2M and 8M legs clustered so the law rows are
+    apples-to-apples. The 32M row comes from ivf_append_invariance_32m_r8
+    (same code, same session shape)."""
+    base = "/tmp/soak_r8_vec"
+    out: dict = {}
+    batch_p = f"{base}/batch200k"
+    gen_vectors(spark, batch_p, 200_000, id_start=500_000_000)
+    batch = spark.read.parquet(batch_p)
+    for n, n_lists, n_probe, tag in (
+        (2_000_000, 64, 4, "2m"),
+        (8_000_000, 256, 16, "8m"),
+    ):
+        corpus_p = f"{base}/corpus{tag}_jvm"
+        out[f"datagen_{tag}_sec"] = gen_vectors(spark, corpus_p, n)
+        corpus = spark.read.parquet(corpus_p)
+        idx = f"{base}/ivf_{tag}_law"
+        if os.path.exists(idx):
+            shutil.rmtree(idx)
+        out[f"build_{tag}_sec"], meta = t(
+            lambda: build_ivf_index(corpus, idx, n_lists=n_lists, seed=42)
+        )
+        qs = corpus.filter(F.col("vec_id") < 5)
+        out[f"warm_query_{tag}_sec"] = min3(
+            lambda: query_ivf_index(spark, idx, qs, k=10, n_probe=n_probe).count()
+        )
+        out[f"append_200k_{tag}_sec"], stats = t(lambda: ivf_append(batch, idx))
+        out[f"append_skew_{tag}"] = stats["max_mean_skew"]
+    out["note"] = (
+        "All-clustered re-measurement of the 2M/64 and 8M/256 law points "
+        "(the r7 numbers for these scales predate the write-clustering "
+        "fix); combine with ivf_append_invariance_32m_r8 for the 3-point "
+        "law on one code version. Probed fraction held at 6.25% "
+        "(n_probe 4/16/32), same 200k batch appended at every scale, "
+        "JVM-side generator at every scale."
+    )
+    return out
 
 
 if __name__ == "__main__":
