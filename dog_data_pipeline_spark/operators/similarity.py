@@ -283,40 +283,29 @@ def _nearest_cells(centroids: list[list[float]], vec_prefix: str, n: int):
     return _cells(F.col(vec_prefix))
 
 
-def _train_centroids(
+def _hash_sample(
     c: DataFrame,
-    n_lists: int,
-    seed: int,
+    max_train: int,
     id_col: str = "c_id",
     vec_col: str = "c_v",
-    balance_bound: float | None = None,
-    max_lists: int | None = None,
     n_rows: int | None = None,
-) -> list[list[float]]:
-    """IVF-style coarse quantizer on a bounded deterministic sample
-    (~256 vectors per list, the FAISS convention), then numpy Lloyd's
-    on the driver — quantizer quality needs a fixed sample size
-    regardless of corpus size.
-
-    The sample is the global ``max_train`` smallest rows by
-    ``(hash(id), id)``, fetched WITHOUT a TakeOrdered: Spark's
-    ``orderBy().limit(k)`` returns up to k rows from EVERY partition to
-    the driver for the final merge, so its driver traffic grows as
-    partitions x k — measured 4.1 GiB of serialized task results at a
-    32M-row / 128-file corpus (n_lists=512), over the 4g
-    ``maxResultSize``; at cluster partition counts it is strictly
-    worse. Instead: one cheap count, then a signed-hash THRESHOLD
-    filter (uniform on int32, cut at ~1.5x the target fraction)
-    evaluated distributed, and a driver-side trim of the ~1.5x
-    max_train survivors to the exact same smallest-k set — bounded by
-    the sample size, independent of partition count. A widening retry
-    covers tail fluctuations; corpora within 2x of the sample size skip
-    the filter (the trim alone is exact there).
-
-    With ``balance_bound`` the variance-seeking Lloyd's result gets the
-    mass-aware ``_split_heavy_cells`` post-pass (centroid budget
-    defaults to 4 x n_lists)."""
-    max_train = max(256 * n_lists, 2048)
+) -> "np.ndarray":
+    """Bounded deterministic training sample: the global ``max_train``
+    smallest rows by ``(hash(id), id)``, fetched WITHOUT a TakeOrdered.
+    Spark's ``orderBy().limit(k)`` returns up to k rows from EVERY
+    partition to the driver for the final merge, so its driver traffic
+    grows as partitions x k — measured 4.1 GiB of serialized task
+    results at a 32M-row / 128-file corpus (k=131072 for n_lists=512),
+    over the 4g ``maxResultSize``; at cluster partition counts it is
+    strictly worse. Instead: one cheap count, then a signed-hash
+    THRESHOLD filter (uniform on int32, cut at ~1.5x the target
+    fraction) evaluated distributed, and a driver-side trim of the
+    ~1.5x max_train survivors to the exact same smallest-k set (>= k
+    survivors below the cut implies the global top-k all sit below it)
+    — bounded by the sample size, independent of partition count. A
+    widening retry covers tail fluctuations; corpora within 2x of the
+    sample size skip the filter (the trim alone is exact there).
+    Returns the (<=max_train, dim) float64 sample matrix."""
     sel = c.select(id_col, vec_col).withColumn("_h", F.hash(F.col(id_col)))
     n = n_rows if n_rows is not None else c.count()
     if n <= 2 * max_train:
@@ -335,7 +324,29 @@ def _train_centroids(
             mult *= 4.0
     rows.sort(key=lambda r: (r["_h"], r[id_col]))
     rows = rows[:max_train]
-    vecs = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def _train_centroids(
+    c: DataFrame,
+    n_lists: int,
+    seed: int,
+    id_col: str = "c_id",
+    vec_col: str = "c_v",
+    balance_bound: float | None = None,
+    max_lists: int | None = None,
+    n_rows: int | None = None,
+) -> list[list[float]]:
+    """IVF-style coarse quantizer on a bounded deterministic sample
+    (~256 vectors per list, the FAISS convention, via ``_hash_sample``),
+    then numpy Lloyd's on the driver — quantizer quality needs a fixed
+    sample size regardless of corpus size.
+
+    With ``balance_bound`` the variance-seeking Lloyd's result gets the
+    mass-aware ``_split_heavy_cells`` post-pass (centroid budget
+    defaults to 4 x n_lists)."""
+    max_train = max(256 * n_lists, 2048)
+    vecs = _hash_sample(c, max_train, id_col, vec_col, n_rows=n_rows)
     cents = _lloyd(vecs, n_lists, seed)
     if balance_bound is not None:
         cents = _split_heavy_cells(
@@ -1004,8 +1015,8 @@ def cosine_topk_ivfpq(
     exact rerank of the per-query top rerank·k ADC survivors.
 
     Train: both quantizers (coarse + per-subspace PQ codebooks) fit on
-    one bounded TakeOrdered driver sample (FAISS convention, see
-    ``_train_centroids``). Encode: one vectorized Arrow UDF per batch
+    one bounded driver sample (FAISS convention; ``_hash_sample`` keeps
+    the fetch's driver traffic independent of partition count). Encode: one vectorized Arrow UDF per batch
     does the m_sub argmin matmuls (the documented dense-linear-algebra
     exception to no-Python-in-hot-path). Query: probe n_probe nearest
     cells; ADC scores come from reconstructing each candidate from the
@@ -1019,8 +1030,9 @@ def cosine_topk_ivfpq(
     q = _with_norm(queries, id_col, vec_col, "q")
 
     max_train = max(256 * n_lists, 2048)
-    sample = c.select("c_id", "c_v").orderBy(F.hash("c_id"), "c_id").limit(max_train)
-    vecs = np.asarray([r["c_v"] for r in sample.collect()], dtype=np.float64)
+    # bounded-driver-traffic sample, identical set to the old TakeOrdered
+    # (see _hash_sample: the PQ path had the same partitions x k defect)
+    vecs = _hash_sample(c, max_train)
     centroids = [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
     codebooks = _train_pq_codebooks(vecs, m_sub, ksub, seed)
     dsub = vecs.shape[1] // m_sub

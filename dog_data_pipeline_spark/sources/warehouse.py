@@ -20,6 +20,7 @@ pruning behavior.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -76,10 +77,38 @@ def write_partitioned(
     path: str,
     partition_cols: str | list[str],
     mode: str = "overwrite",
+    files_per_partition: int | None = None,
 ) -> None:
     """Directory-partitioned parquet: one directory per partition value;
-    filters on partition columns prune at planning time."""
+    filters on partition columns prune at planning time.
+
+    ``files_per_partition``: when set, cluster rows by (partition cols,
+    deterministic salt) before the write so each partition directory
+    holds about that many files regardless of upstream task count. An
+    unclustered partitionBy emits one file per (task x partition value)
+    — the small-files failure measured on the IVF index (81,920 ~320KB
+    files for one 32M x 512-cell build; see
+    ``operators/similarity.build_ivf_index``). Left ``None`` the input
+    partitioning is preserved and the write stays shuffle-free — right
+    when upstream already clustered, or the table is small. The salt
+    hashes the non-partition atomic columns (deterministic, so a task
+    retry re-lands every row in the same shuffle bucket — a
+    nondeterministic salt under a partial stage retry can duplicate or
+    drop rows)."""
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    if files_per_partition is not None:
+        from pyspark.sql import types as T
+
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in cols and not isinstance(f.dataType, T.MapType)
+        ] or cols
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in hashable]),
+            F.lit(max(1, files_per_partition)),
+        )
+        df = df.repartition(*[F.col(c) for c in cols], salt)
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
