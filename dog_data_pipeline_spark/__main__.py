@@ -139,12 +139,15 @@ def cmd_ivf_build(args: argparse.Namespace) -> int:
         vec_col=args.vec_col,
         n_lists=args.n_lists,
         seed=args.seed,
-        balance_bound=args.balance_bound,
+        balance_bound=args.balance_bound if args.balance_bound > 0 else None,
+        pq_m_sub=args.pq_m_sub,
+        pq_ksub=args.pq_ksub,
     )
     counts = meta["cell_counts"]
+    pq = " + pq codes" if meta.get("pq") else ""
     print(
-        f"ivf-build: {sum(counts.values())} vectors in {len(counts)} cells "
-        f"-> {args.index}"
+        f"ivf-build: {sum(counts.values())} vectors in {len(counts)} cells"
+        f"{pq} -> {args.index}"
     )
     return 0
 
@@ -214,7 +217,13 @@ def cmd_ivf_query(args: argparse.Namespace) -> int:
     spark = _spark("cli-ivf-query")
     queries = spark.read.parquet(args.queries)
     out = query_ivf_index(
-        spark, args.index, queries, k=args.k, n_probe=args.n_probe
+        spark,
+        args.index,
+        queries,
+        k=args.k,
+        n_probe=args.n_probe,
+        use_pq=False if args.no_pq else None,
+        rerank=args.rerank,
     )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
@@ -303,11 +312,22 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument(
         "--balance-bound",
         type=float,
-        default=None,
+        default=4.0,
         help="mass-balance the quantizer: split training cells heavier "
-        "than BOUND x mean (use ivf-append's --skew-bound value when "
-        "rebuilding after drift; may grow cells past --n-lists, cap 4x)",
+        "than BOUND x mean (default 4.0 = ivf-append's --skew-bound, so "
+        "fresh builds on naturally skewed data don't trip the drift "
+        "guard; may grow cells past --n-lists, cap 4x; pass 0 to "
+        "disable and train plain Lloyd's)",
     )
+    sb.add_argument(
+        "--pq-m-sub",
+        type=int,
+        default=None,
+        help="also persist product-quantized codes (M uint8 subspace "
+        "codes per vector) so ivf-query probes compressed codes instead "
+        "of raw vectors (exact rerank from raw vectors on survivors)",
+    )
+    sb.add_argument("--pq-ksub", type=int, default=256)
     sb.set_defaults(fn=cmd_ivf_build)
 
     sa = sub.add_parser(
@@ -341,6 +361,18 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--queries", required=True, help="query-vectors parquet")
     sv.add_argument("--k", type=int, default=10)
     sv.add_argument("--n-probe", type=int, default=3)
+    sv.add_argument(
+        "--no-pq",
+        action="store_true",
+        help="force the raw-vector probe even if the index carries pq codes",
+    )
+    sv.add_argument(
+        "--rerank",
+        type=int,
+        default=4,
+        help="pq probe shortlist size multiplier (top rerank*k ADC "
+        "survivors get the exact raw-vector rerank)",
+    )
     sv.add_argument("--output", default=None, help="write results parquet here")
     sv.add_argument("--limit", type=int, default=20)
     sv.set_defaults(fn=cmd_ivf_query)

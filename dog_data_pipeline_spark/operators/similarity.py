@@ -305,6 +305,17 @@ def _hash_sample(
     — bounded by the sample size, independent of partition count. A
     widening retry covers tail fluctuations; corpora within 2x of the
     sample size skip the filter (the trim alone is exact there).
+
+    Precondition softened to a guard: a uniform cut underfills
+    persistently only when hash values CLUSTER — duplicated id_col
+    values (many rows share one hash). The first underfilled retry
+    therefore switches to distinct (id, vec) rows before widening
+    further: exact-duplicate rows add nothing to quantizer training,
+    and on the deduped stream the hash is uniform again, so every
+    subsequent collect stays proportional to ``mult x max_train`` — the
+    unguarded version's worst case was a FULL-corpus collect (the very
+    defect this function replaces) once ``mult`` widened past
+    n/max_train on a heavily duplicated corpus.
     Returns the (<=max_train, dim) float64 sample matrix."""
     sel = c.select(id_col, vec_col).withColumn("_h", F.hash(F.col(id_col)))
     n = n_rows if n_rows is not None else c.count()
@@ -312,6 +323,7 @@ def _hash_sample(
         rows = sel.collect()
     else:
         mult = 1.5
+        deduped = False
         while True:
             frac = min(mult * max_train / n, 1.0)
             if frac >= 1.0:
@@ -321,6 +333,13 @@ def _hash_sample(
             rows = sel.filter(F.col("_h") < F.lit(cut)).collect()
             if len(rows) >= max_train:
                 break
+            if not deduped:
+                # underfill at 1.5x the uniform expectation => clustered
+                # hashes (duplicate ids); retrain the cut on distinct rows
+                sel = sel.dropDuplicates([id_col, vec_col])
+                n = sel.count()
+                deduped = True
+                continue
             mult *= 4.0
     rows.sort(key=lambda r: (r["_h"], r[id_col]))
     rows = rows[:max_train]
@@ -336,7 +355,8 @@ def _train_centroids(
     balance_bound: float | None = None,
     max_lists: int | None = None,
     n_rows: int | None = None,
-) -> list[list[float]]:
+    with_sample: bool = False,
+):
     """IVF-style coarse quantizer on a bounded deterministic sample
     (~256 vectors per list, the FAISS convention, via ``_hash_sample``),
     then numpy Lloyd's on the driver — quantizer quality needs a fixed
@@ -344,7 +364,12 @@ def _train_centroids(
 
     With ``balance_bound`` the variance-seeking Lloyd's result gets the
     mass-aware ``_split_heavy_cells`` post-pass (centroid budget
-    defaults to 4 x n_lists)."""
+    defaults to 4 x n_lists).
+
+    ``with_sample=True`` returns ``(centroids, sample_matrix)`` so the
+    caller can reuse the already-fetched sample — per-cell mass
+    estimates for write salting, PQ codebook training — without a
+    second driver fetch."""
     max_train = max(256 * n_lists, 2048)
     vecs = _hash_sample(c, max_train, id_col, vec_col, n_rows=n_rows)
     cents = _lloyd(vecs, n_lists, seed)
@@ -352,7 +377,25 @@ def _train_centroids(
         cents = _split_heavy_cells(
             vecs, cents, balance_bound, max_lists or 4 * n_lists, seed
         )
-    return [list(map(float, ctr)) for ctr in cents]
+    out = [list(map(float, ctr)) for ctr in cents]
+    return (out, vecs) if with_sample else out
+
+
+def _sample_cell_fracs(vecs: "np.ndarray", centroids: list[list[float]]) -> list[float]:
+    """Per-cell corpus-mass estimates from the (bounded) training
+    sample: assign the sample to its nearest centroids and return each
+    cell's fraction. Used to size write salts per CELL instead of from
+    the global mean — under skew the global-mean salt makes a hot
+    cell's files ~skew x rows_per_file and funnels its write through
+    too few tasks (advisor finding, r8)."""
+    mat = np.asarray(centroids, dtype=np.float64)
+    d = (
+        (vecs**2).sum(axis=1)[:, None]
+        - 2.0 * (vecs @ mat.T)
+        + (mat**2).sum(axis=1)[None, :]
+    )
+    counts = np.bincount(d.argmin(axis=1), minlength=len(centroids))
+    return (counts / max(len(vecs), 1)).tolist()
 
 
 def with_prototypicality(
@@ -559,8 +602,11 @@ def build_ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
-    balance_bound: float | None = None,
+    balance_bound: float | None = 4.0,
     rows_per_file: int = 250_000,
+    pq_m_sub: int | None = None,
+    pq_ksub: int = 256,
+    pq_codebooks: list | None = None,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -588,45 +634,114 @@ def build_ivf_index(
     parquet). It also carries per-cell row counts so ``ivf_append`` can
     run its drift guard without ever re-scanning the index.
 
-    ``balance_bound`` (opt-in; pass the same value as ``ivf_append``'s
-    ``skew_bound``) makes the trained quantizer MASS-balanced, not just
-    variance-balanced: plain k-means never splits a tight dense region
-    (it contributes no SSE however many rows it holds), so a rebuild
-    triggered by ``rebuild_recommended`` after hot-blob drift would
-    otherwise reproduce the very skew it was meant to fix — measured at
-    2.2M/n_lists=64 (skew 5.96 before AND after a plain retrain;
-    balanced rebuild recovers, see ``_split_heavy_cells``). Balancing
-    may grow the centroid list past ``n_lists`` (capped at 4x); the
-    query path keys everything off ``len(centroids)``, so nothing else
-    changes. Default off: results are layout-independent either way,
-    this is purely a pruning-cost knob."""
+    ``balance_bound`` (DEFAULT ON at 4.0 — ``ivf_append``'s
+    ``skew_bound`` — since r9) makes the trained quantizer
+    MASS-balanced, not just variance-balanced: plain k-means never
+    splits a tight dense region (it contributes no SSE however many
+    rows it holds), so a rebuild triggered by ``rebuild_recommended``
+    after hot-blob drift would otherwise reproduce the very skew it was
+    meant to fix — measured at 2.2M/n_lists=64 (skew 5.96 before AND
+    after a plain retrain; balanced rebuild recovers, see
+    ``_split_heavy_cells``). Balancing may grow the centroid list past
+    ``n_lists`` (capped at 4x); the query path keys everything off
+    ``len(centroids)``, so nothing else changes. It defaults ON because
+    NATURAL skew trips the guard too: an 8M uniform-box corpus trains
+    to sampled skew 5.12 with zero drift (r8 soak), so a user's first
+    build + append immediately reported ``rebuild_recommended`` on a
+    healthy index; the balanced build is measured free (37.93s vs
+    37.55s at 8M) and keeps fresh builds under the guard. Pass ``None``
+    to reproduce the plain-Lloyd's quantizer. The split is a no-op when
+    the sampled masses already sit under the bound, and it is SKIPPED
+    when ``centroids`` are caller-supplied (nothing was trained) — the
+    sidecar then records ``balance_bound: None`` so the meta never
+    claims a balance that was not applied.
+
+    ``pq_m_sub`` (opt-in) additionally writes a PRODUCT-QUANTIZED codes
+    column into the index and the per-subspace codebooks into the
+    sidecar: each vector's ``pq_m_sub`` uint8 subspace codes, stored as
+    ``pq_codes binary`` alongside the raw vector. ``query_ivf_index``
+    then probes (id, cell, norm, pq_codes) ONLY — parquet column
+    pruning keeps raw-vector bytes out of the candidate scan, the ADC
+    shortlist reads vectors back just for the exact rerank of
+    survivors. At 100 TB the probed raw bytes dominate warm-query cost
+    (r8 32M soak), so this is the serving-path compression story of
+    ``cosine_topk_ivfpq`` made persistent (m_sub bytes vs 8·dim per
+    candidate at float64 — 64x at dim=64/m=8). ``pq_ksub`` <= 256 keeps
+    one code one byte. Pass ``pq_codebooks`` (with ``centroids``) to
+    encode against a GIVEN quantizer pair — ``ivf_append``'s bulk twin
+    for the append-equals-rebuild certificate."""
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
     n_rows = c.count()
+    sample = None
     if centroids is None:
-        centroids = _train_centroids(
-            c, n_lists, seed, balance_bound=balance_bound, n_rows=n_rows
+        centroids, sample = _train_centroids(
+            c,
+            n_lists,
+            seed,
+            balance_bound=balance_bound,
+            n_rows=n_rows,
+            with_sample=True,
         )
+    else:
+        # nothing was trained here: never claim the supplied quantizer
+        # is mass-balanced (advisor r8: the old code recorded the knob's
+        # value even on this branch, misrepresenting the index)
+        balance_bound = None
+    pq_meta = None
+    encode = None
+    if pq_m_sub is not None or pq_codebooks is not None:
+        if pq_codebooks is None:
+            if sample is None:
+                sample = _hash_sample(
+                    c, max(256 * n_lists, 2048), n_rows=n_rows
+                )
+            pq_codebooks = [
+                cb.tolist()
+                for cb in _train_pq_codebooks(sample, pq_m_sub, min(pq_ksub, 256), seed)
+            ]
+        pq_meta = {
+            "m_sub": len(pq_codebooks),
+            "ksub": len(pq_codebooks[0]),
+            "codebooks": [
+                [[float(x) for x in ctr] for ctr in cb] for cb in pq_codebooks
+            ],
+        }
+        encode = _pq_encode_udf(pq_codebooks)
     assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0]).select(
         F.col("c_id").alias(id_col),
         F.col("c_v").alias(vec_col),
         F.col("c_norm").alias("norm"),
         "cell",
     )
+    if encode is not None:
+        assigned = assigned.withColumn("pq_codes", encode(vec_col))
     # One shuffle before the write bounds the FILE COUNT: an unshuffled
     # partitionBy("cell") writes one file per (task x cell) — measured
     # 81,920 files of ~320KB for a 32M x 512-list build (160 per cell;
     # at 100 TB that is billions of small objects, and file listing
     # alone dominated the warm query). Clustering by (cell, salt) puts
-    # each whole group in one task, so the writer emits exactly
-    # cells x salt_mod files, salted so each lands near
-    # ``rows_per_file`` (~130MB at dim 64). Shuffle cost is one pass
-    # over the corpus — the standard warehouse write-clustering trade.
-    salt_mod = max(1, round(n_rows / max(len(centroids), 1) / rows_per_file))
-    clustered = assigned.repartition(
-        "cell", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_mod))
-    )
+    # each whole group in one task, so the writer emits about one file
+    # per ``rows_per_file`` rows per cell (~130MB at dim 64). Salt mods
+    # are sized PER CELL from the training sample's mass estimates
+    # (advisor r8: a global-mean salt under skew makes a hot cell's
+    # files ~skew x rows_per_file and funnels its write through
+    # salt_mod tasks sized for the mean); with caller-supplied
+    # centroids there is no sample, so the global-mean salt stands in.
+    # Shuffle cost is one pass over the corpus — the standard warehouse
+    # write-clustering trade.
+    spark = corpus.sparkSession
+    if sample is not None:
+        fracs = _sample_cell_fracs(sample, centroids)
+        salts = [
+            (ci, max(1, round(n_rows * fr / rows_per_file)))
+            for ci, fr in enumerate(fracs)
+        ]
+    else:
+        gm = max(1, round(n_rows / max(len(centroids), 1) / rows_per_file))
+        salts = [(ci, gm) for ci in range(len(centroids))]
+    clustered = _cell_salted(spark, assigned, id_col, salts)
     (
         clustered.write.mode("overwrite")
         .partitionBy("cell")
@@ -635,7 +750,6 @@ def build_ivf_index(
     # Per-cell counts from the WRITTEN index, not a second assignment
     # pass: grouping on the partition column reads only parquet footers
     # (row counts), never vector bytes. Bounded collect: <= n_lists rows.
-    spark = corpus.sparkSession
     counts = {
         int(r["cell"]): int(r["n"])
         for r in spark.read.parquet(os.path.join(path, "index"))
@@ -653,8 +767,37 @@ def build_ivf_index(
         "centroids": centroids,
         "cell_counts": {str(k): v for k, v in sorted(counts.items())},
     }
+    if pq_meta is not None:
+        meta["pq"] = pq_meta
     _write_ivf_meta(path, meta)
     return meta
+
+
+def _cell_salted(
+    spark, assigned: DataFrame, id_col: str, salts: list[tuple[int, int]]
+) -> DataFrame:
+    """Cluster index rows by (cell, per-cell deterministic salt bucket)
+    ahead of a partitionBy("cell") write, so each cell directory gets
+    ~ceil(cell_rows / rows_per_file) files written by that many tasks.
+    The (cell -> salt_mod) table is tiny (<= 4 x n_lists rows) and
+    broadcast; the salt hashes the id so task retries re-land rows in
+    the same bucket (nondeterministic salts under partial stage retry
+    can duplicate or drop rows — see sources/warehouse.write_partitioned)."""
+    salt_df = F.broadcast(
+        spark.createDataFrame(salts, "cell int, __salt_mod int")
+    )
+    return (
+        assigned.join(salt_df, "cell", "left")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.coalesce(F.col("__salt_mod"), F.lit(1)),
+            ),
+        )
+        .repartition(F.col("cell"), F.col("__salt"))
+        .drop("__salt_mod", "__salt")
+    )
 
 
 def _write_ivf_meta(path: str, meta: dict) -> None:
@@ -699,7 +842,18 @@ def _ivf_append_lock(path: str, timeout_s: float):
     multi-host deployment swaps this for the object store's conditional
     put (If-None-Match) or a lease service, the contract (one appender
     at a time per index) is unchanged. ``ivf_verify`` reports a held
-    lock so operators can see contention/crashes."""
+    lock so operators can see contention/crashes.
+
+    Pid-reuse edge (bounded, by design): if the OS recycles a crashed
+    holder's pid onto an unrelated live process, the liveness probe
+    keeps the stale lock alive — the waiter then blocks the full
+    ``lock_timeout_s`` and raises ``IvfAppendLockTimeout`` naming the
+    holder pid, and ``ivf_verify``'s ``lock_held`` shows the same pid
+    for the operator to adjudicate. Worst case is a bounded wait plus a
+    loud error, never a silently lost update (the failure the lock
+    exists to prevent); the interleaving test
+    (tests/test_dedup_similarity.py, appender-lock interleaving) pins
+    the contention behavior."""
     import json
     import os
     import time
@@ -752,6 +906,7 @@ def ivf_append(
     path: str,
     skew_bound: float = 4.0,
     lock_timeout_s: float = 600.0,
+    rows_per_file: int = 250_000,
 ) -> dict:
     """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
     operation a serving corpus needs — assign ONLY the new batch against
@@ -812,26 +967,44 @@ def ivf_append(
             F.col("c_norm").alias("norm"),
             "cell",
         )
+        if meta.get("pq"):
+            # the index carries PQ codes: encode the batch against the
+            # SIDECAR codebooks (frozen with the centroids — appended
+            # rows must score identically to bulk-built ones)
+            assigned = assigned.withColumn(
+                "pq_codes", _pq_encode_udf(meta["pq"]["codebooks"])(vec_col)
+            )
         # One pass over the batch: cache so the write and the <= n_lists
         # count aggregate don't recompute the assignment.
         assigned = assigned.persist()
         try:
-            # Cluster by cell before the append-write, same rationale as
-            # build_ivf_index: an unshuffled partitionBy emits one file
-            # per (task x touched cell) — measured 32 x 512 = ~16k
-            # ~12-row files for a 200k append into a 512-list index.
-            # Clustered, each append adds at most one file per touched
-            # cell (appends accumulate files by design; compaction IS
-            # the drift-triggered rebuild).
-            assigned.repartition("cell").write.mode("append").partitionBy(
-                "cell"
-            ).parquet(os.path.join(path, "index"))
+            # Counts BEFORE the write so the write can be salted per
+            # cell. Clustering by cell bounds the file count, same
+            # rationale as build_ivf_index: an unshuffled partitionBy
+            # emits one file per (task x touched cell) — measured
+            # 32 x 512 = ~16k ~12-row files for a 200k append into a
+            # 512-list index. The per-cell salt (advisor r8) keeps a
+            # HOT batch — e.g. an all-one-cell drift blob — from
+            # funneling through a single task: each touched cell gets
+            # ~ceil(batch_cell_rows / rows_per_file) files/tasks
+            # (appends accumulate files by design; compaction IS the
+            # drift-triggered rebuild).
             batch_counts = {
                 int(r["cell"]): int(r["n"])
                 for r in assigned.groupBy("cell")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            salts = [
+                (cell, max(1, round(n / rows_per_file)))
+                for cell, n in batch_counts.items()
+            ]
+            clustered = _cell_salted(
+                new_vectors.sparkSession, assigned, id_col, salts
+            )
+            clustered.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "index")
+            )
         finally:
             assigned.unpersist()
 
@@ -861,6 +1034,8 @@ def query_ivf_index(
     k: int = 10,
     n_probe: int = 3,
     exclude_self: bool = True,
+    use_pq: bool | None = None,
+    rerank: int = 4,
 ) -> DataFrame:
     """Top-k cosine against a persisted ``build_ivf_index`` layout.
 
@@ -870,7 +1045,21 @@ def query_ivf_index(
     before any file is opened (verify with ``df.inputFiles()``). Scoring
     and ranking match ``cosine_topk_ivf`` exactly: same quantizer
     training, same tie-breaks, so results are bit-identical to the
-    in-memory path on the same corpus."""
+    in-memory path on the same corpus.
+
+    When the index was built with PQ codes (``pq_m_sub``) the probe
+    runs ADC-first by default (``use_pq=None`` auto-detects; ``False``
+    forces the raw path, ``True`` raises if the index has no codes):
+    the candidate scan reads (id, cell, norm, pq_codes) only — parquet
+    COLUMN pruning keeps the raw-vector bytes out of the probed I/O,
+    the dominant warm-query cost at scale (r8 32M soak) — scores
+    reconstructed dots per query, keeps the per-query top ``rerank*k``
+    ADC survivors, and reads raw vectors back ONLY for those survivors'
+    exact rerank (broadcast semi-join into the same pruned scan).
+    Returned cosines are EXACT either way (the rerank recomputes from
+    raw vectors); PQ affects which candidates make the shortlist, so
+    its recall certificate is the same floor+dominance pattern as
+    ``cosine_topk_ivfpq``."""
     import json
     import os
 
@@ -878,6 +1067,10 @@ def query_ivf_index(
         meta = json.load(fh)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     centroids = meta["centroids"]
+    if use_pq is None:
+        use_pq = bool(meta.get("pq"))
+    elif use_pq and not meta.get("pq"):
+        raise ValueError(f"use_pq=True but index at {path} has no pq codes")
 
     q = _with_norm(queries, id_col, vec_col, "q")
     q_cells = q.withColumn(
@@ -892,14 +1085,48 @@ def query_ivf_index(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = idx.join(F.broadcast(q_cells), "cell").withColumn(
-        "cosine", dot / (F.col("q_norm") * F.col("norm"))
-    )
-    if exclude_self:
-        scored = scored.filter(F.col(id_col) != F.col("q_id"))
-    scored = scored.select("q_id", id_col, "cosine").dropDuplicates(
-        ["q_id", id_col]
-    )
+    if use_pq:
+        adc = _pq_adc_udf(meta["pq"]["codebooks"])
+        cand = idx.select(id_col, "cell", "norm", "pq_codes").join(
+            F.broadcast(q_cells), "cell"
+        )
+        if exclude_self:
+            cand = cand.filter(F.col(id_col) != F.col("q_id"))
+        cand = (
+            cand.withColumn(
+                "adc_cosine",
+                adc("q_v", "pq_codes") / (F.col("q_norm") * F.col("norm")),
+            )
+            .select("q_id", id_col, "adc_cosine")
+            .dropDuplicates(["q_id", id_col])
+        )
+        wa = Window.partitionBy("q_id").orderBy(
+            F.col("adc_cosine").desc(), F.col(id_col)
+        )
+        shortlist = (
+            cand.withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") <= rerank * k)
+            .select("q_id", id_col)
+        )
+        # exact rerank: raw vectors for survivors only — the shortlist
+        # (<= queries x rerank x k rows) broadcasts into the pruned scan
+        scored = (
+            idx.select(id_col, vec_col, "norm")
+            .join(F.broadcast(shortlist), id_col)
+            .join(F.broadcast(q.select("q_id", "q_v", "q_norm")), "q_id")
+            .withColumn("cosine", dot / (F.col("q_norm") * F.col("norm")))
+            .select("q_id", id_col, "cosine")
+            .dropDuplicates(["q_id", id_col])
+        )
+    else:
+        scored = idx.join(F.broadcast(q_cells), "cell").withColumn(
+            "cosine", dot / (F.col("q_norm") * F.col("norm"))
+        )
+        if exclude_self:
+            scored = scored.filter(F.col(id_col) != F.col("q_id"))
+        scored = scored.select("q_id", id_col, "cosine").dropDuplicates(
+            ["q_id", id_col]
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -988,6 +1215,61 @@ def _train_pq_codebooks(
         )
         for mi in range(m_sub)
     ]
+
+
+def _pq_encode_udf(codebooks: list):
+    """Arrow-vectorized PQ encoder: vector column -> ``binary`` of m_sub
+    uint8 subspace codes (ksub <= 256 keeps one code one byte — the
+    64x-at-dim-64 compression that makes the persisted ADC probe read
+    m_sub bytes instead of 8·dim). One batched matmul-argmin per
+    subspace; the codebook stack rides the task closure (tiny:
+    m_sub x ksub x dsub floats)."""
+    book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
+    m_sub, ksub, dsub = book.shape
+    if ksub > 256:
+        raise ValueError(f"pq ksub {ksub} > 256 does not fit uint8 codes")
+
+    @F.pandas_udf("binary")
+    def _encode(vs: pd.Series) -> pd.Series:
+        x = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(x), m_sub), dtype=np.uint8)
+        for mi in range(m_sub):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            cb = book[mi]  # (ksub, dsub)
+            # ||s||^2 is row-constant for the argmin; -2 s.c + c.c orders
+            d = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+            codes[:, mi] = d.argmin(1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return _encode
+
+
+def _pq_adc_udf(codebooks: list):
+    """Arrow-vectorized asymmetric-distance scorer for PERSISTED codes:
+    (query vector, binary codes) -> reconstructed dot product. Candidates
+    are reconstructed from the closure codebooks and fused into one
+    (batch, dim) elementwise dot — O(dim) per candidate at memory
+    bandwidth, no raw-vector I/O (same math as ``cosine_topk_ivfpq``'s
+    in-memory ``_adc_dot``, reading uint8 bytes instead of int arrays)."""
+    book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
+    m_sub = book.shape[0]
+
+    @F.pandas_udf("double")
+    def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        qm = np.asarray(qv.tolist(), dtype=np.float64)  # (batch, dim)
+        if qm.size == 0:
+            return pd.Series([], dtype=float)
+        cm = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+            len(codes), m_sub
+        )
+        recon = np.concatenate(
+            [book[mi][cm[:, mi]] for mi in range(m_sub)], axis=1
+        )  # (batch, dim)
+        return pd.Series((recon * qm).sum(axis=1))
+
+    return _adc
 
 
 def cosine_topk_ivfpq(

@@ -4901,6 +4901,84 @@ def knn_ivf_index_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_index_pq",
+    "SELECT t.*, TRUE AS pq_codes_persisted, TRUE AS pq_probe_column_pruned FROM ("
+    + _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2")
+    + ") t",
+    "PERSISTED IVF+PQ serving path (operators/similarity.py "
+    "build_ivf_index pq_m_sub= / query_ivf_index ADC probe): the index "
+    "carries a product-quantized codes column (m_sub=8 uint8 subspace "
+    "codes as one binary — 64x smaller than the raw dim=64 float64 "
+    "vectors) plus the per-subspace codebooks in the sidecar, and the "
+    "warm query probes (id, cell, norm, pq_codes) ONLY — parquet "
+    "column pruning keeps raw-vector bytes out of the candidate scan, "
+    "the measured dominant warm-query cost at 32M (r8 soak) — then "
+    "exactly reranks the per-query top rerank*k=40 ADC survivors from "
+    "raw vectors read back for just those rows. This persists "
+    "knn_cosine_ivfpq's in-memory compression story into the "
+    "train-once/query-many index: at 100 TB the probe streams ~1/64th "
+    "the bytes of the raw-vector path at the same probe geometry. "
+    "SELF-CERTIFYING via the shared per-query certificate (exact kth "
+    "cosine anchor + returned_full_k + recall@10 >= 2 — measured 2-6 "
+    "hits at test SFs, same floor as the uncompressed probe: the cell "
+    "misses dominate, not PQ — + approx-kth <= exact-kth dominance, "
+    "exact because the rerank recomputes cosines from raw vectors), "
+    "plus two persistence pins: pq_codes_persisted (sidecar codebooks "
+    "have the declared m_sub x ksub shape AND the written index schema "
+    "carries pq_codes binary) and pq_probe_column_pruned (the probe "
+    "projection's executed plan ReadSchema excludes the raw vector "
+    "column — the compression claim, asserted on the physical plan).",
+)
+def knn_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    root = _roundtrip_dir("ivfindexpq")
+    meta = build_ivf_index(emb, root, n_lists=8, seed=42, pq_m_sub=8, pq_ksub=16)
+    approx = query_ivf_index(spark, root, queries_df, k=10, n_probe=3, rerank=4)
+    # persistence pins: sidecar codebook shape + codes column in the
+    # WRITTEN index (re-read, not trusted from the build return)
+    side = _json.load(open(_os.path.join(root, "ivf_meta.json")))
+    idx = spark.read.parquet(_os.path.join(root, "index"))
+    codes_field = {f.name: f.dataType for f in idx.schema.fields}.get("pq_codes")
+    codes_ok = (
+        side.get("pq", {}).get("m_sub") == 8
+        and side.get("pq", {}).get("ksub") == 16
+        and len(side["pq"]["codebooks"]) == 8
+        and all(len(cb) == 16 for cb in side["pq"]["codebooks"])
+        and isinstance(codes_field, T.BinaryType)
+        and meta.get("pq", {}).get("m_sub") == 8
+    )
+    # plan pin: the ADC probe projection must not read the raw vector
+    # column — same shape query_ivf_index scans (cell-pruned, four
+    # columns); ReadSchema in the executed plan is the ground truth for
+    # what parquet bytes move
+    probe = idx.filter(F.col("cell").isin([0, 1, 2])).select(
+        "vec_id", "cell", "norm", "pq_codes"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0] if "ReadSchema:" in plan else ""
+    pruned_ok = "pq_codes" in read_schema and "embedding" not in read_schema
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    cert = _knn_certificate(exact, approx, k=10, min_hits=2, recall_col="recall10_ge_2")
+    return cert.select(
+        "*",
+        F.lit(bool(codes_ok)).alias("pq_codes_persisted"),
+        F.lit(bool(pruned_ok)).alias("pq_probe_column_pruned"),
+    )
+
+
+@query(
     "knn_cosine_ivfpq",
     _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
     "Approximate top-k cosine via IVF + product quantization with "
@@ -9861,74 +9939,71 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # ---- round-8 rotation: GENERATED by tools/window_rotation.py
+    # ---- round-9 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # No new registry queries landed this round (the window was
-    # exactly saturated — r7 verdict ask #4), so the 49 slots all
-    # go to the stale tail: the 2 remaining r3 rows
-    # (weighted_priority_sample, zorder_locality_report — the last
-    # of the r3 family) and all 47 r4 rows. After this window is
-    # green, NO registry query's latest driver row is older than
-    # r5 — the rotation debt is fully paid and the steady-state
-    # cadence (~4 rounds for the 197-query registry at 50/round)
-    # is self-sustaining, enforced by window_rotation.py --check's
-    # cadence bound.
-    "weighted_priority_sample",  # r3
-    "zorder_locality_report",  # r3
-    "audio_active_segments",  # r4
-    "benchmark_span_scrub",  # r4
-    "blocklist_screening",  # r4
-    "bm25_keyword_search",  # r4
-    "char_entropy_profile",  # r4
-    "corpus_curation_v2",  # r4
-    "cross_source_overlap",  # r4
-    "customer_order_distribution",  # r4
-    "dedup_best_keeper",  # r4
-    "disjunctive_filter_revenue",  # r4
-    "duplicate_span_stats_rolling",  # r4
-    "edit_distance_pairs",  # r4
-    "except_all_lines",  # r4
-    "feature_drift_psi",  # r4
-    "file_compaction_plan",  # r4
-    "file_copy_pipeline",  # r4
-    "forecast_revenue_change",  # r4
-    "half_stock_suppliers",  # r4
-    "headerless_csv_roundtrip",  # r4
-    "heavy_hitters_cms",  # r4
-    "hll_distinct_rollup",  # r4
-    "idle_rich_customers",  # r4
-    "image_dhash_dedup",  # r4
-    "important_stock_parts",  # r4
-    "incremental_agg_state",  # r4
-    "intersect_statuses",  # r4
-    "jsonl_corpus_roundtrip",  # r4
-    "k_anonymity_report",  # r4
-    "lead_lag_order_gaps",  # r4
-    "minhash_lsh_dedup",  # r4
-    "mixture_sampled_tokens",  # r4
-    "mixture_upsampled_tokens",  # r4
-    "ngram_jaccard_dedup_prefix",  # r4
-    "orc_corpus_roundtrip",  # r4
-    "pii_detection_scan",  # r4
-    "priority_waiting_orders",  # r4
-    "product_type_profit",  # r4
-    "quantile_sketch_bounds",  # r4
-    "running_revenue",  # r4
-    "small_qty_order_revenue",  # r4
-    "sole_blame_supplier",  # r4
-    "supplier_count_by_part_attrs",  # r4
-    "top_bigrams",  # r4
-    "top_revenue_supplier",  # r4
-    "training_shuffle_order",  # r4
-    "video_scene_cuts",  # r4
-    "volume_shipping",  # r4
+    # One new query landed this round (knn_ivf_index_pq — the
+    # persisted IVF+PQ/ADC serving certificate) and takes its slot
+    # per the freeze-then-build rule; the remaining 48 slots go to
+    # the stale tail, which is exactly the 49 r5-latest rows minus
+    # the one displaced by the new landing (zipf_spectrum_audit,
+    # deferred to r10 — cadence stays within MAX_CADENCE, --check
+    # green). After this window is green no registry query's latest
+    # driver row is older than r6.
+    "knn_ivf_index_pq",  # NEW
+    "anti_join_idempotence",  # r5
+    "approx_distinct_parts",  # r5
+    "asof_join_latest_event",  # r5
+    "bigram_lm_scores",  # r5
+    "broadcast_dim_join",  # r5
+    "classifier_calibration_bins",  # r5
+    "cohort_retention",  # r5
+    "copurchase_triangle_stats",  # r5
+    "dead_letter_split",  # r5
+    "decayed_engagement",  # r5
+    "dense_sequential_ids",  # r5
+    "dp_release_report",  # r5
+    "dsir_selection_report",  # r5
+    "embedding_pca_report",  # r5
+    "embedding_space_audit",  # r5
+    "event_funnel",  # r5
+    "event_transitions",  # r5
+    "filter_agreement_audit",  # r5
+    "filter_project_in",  # r5
+    "hard_negative_mining",  # r5
+    "incoherent_span_stats",  # r5
+    "json_props_extract",  # r5
+    "kmeans_corpus_clusters",  # r5
+    "last_touch_attribution",  # r5
+    "length_bucket_padding",  # r5
+    "map_array_functions",  # r5
+    "market_basket_rules",  # r5
+    "ngram_novelty_profile",  # r5
+    "ordered_collect_seq",  # r5
+    "pagerank_event_graph",  # r5
+    "per_source_quality_quota",  # r5
+    "pmi_collocations",  # r5
+    "range_join_event_pairs",  # r5
+    "robust_outlier_report",  # r5
+    "scd2_event_type_history",  # r5
+    "schema_evolution_roundtrip",  # r5
+    "semantic_contamination",  # r5
+    "shipmode_priority_counts",  # r5
+    "split_leakage_audit",  # r5
+    "table_profile_orders",  # r5
+    "time_weighted_value_avg",  # r5
+    "tracking_pipeline_samples",  # r5
+    "tumbling_daily_counts",  # r5
+    "union_ledger",  # r5
+    "url_canonicalization_report",  # r5
+    "vocab_oov_report",  # r5
+    "window_partition_max",  # r5
+    "zip_join_positional",  # r5
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-8 rotation math: 1 flagship + 0 never-checked + 2 r3 + 47 r4
-# re-certifications = 50.  Generated by `python
-# tools/window_rotation.py`; zero free slots and zero deferrals from
-# the pre-r5 era — the 147 deferred names are all r5/r6/r7-green and
-# stay under the driver-strict local oracle mirror
+# Round-9 rotation math: 1 flagship + 1 never-checked (knn_ivf_index_pq)
+# + 48 stalest (the r5 tail) = 50.  Generated by `python
+# tools/window_rotation.py`; 148 deferred names are all r5/r6/r7/r8-green
+# and stay under the driver-strict local oracle mirror
 # (tests/test_queries_oracle.py) until their rotation slot comes up.
 
 

@@ -99,10 +99,24 @@ def write_partitioned(
     if files_per_partition is not None:
         from pyspark.sql import types as T
 
+        def _has_map(dt) -> bool:
+            # xxhash64 rejects MapType at ANY nesting depth (maps are
+            # unordered, so no stable hash exists) — walk arrays and
+            # structs too, not just the top level (advisor r8: an
+            # array<map<...>> column passed the old top-level check and
+            # failed at plan time)
+            if isinstance(dt, T.MapType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
         hashable = [
             f.name
             for f in df.schema.fields
-            if f.name not in cols and not isinstance(f.dataType, T.MapType)
+            if f.name not in cols and not _has_map(f.dataType)
         ] or cols
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in hashable]),

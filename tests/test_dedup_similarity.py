@@ -1095,7 +1095,11 @@ def test_balanced_build_splits_variance_starved_hot_cell(spark, tmp_path):
         )
 
     plain_root = str(tmp_path / "plain")
-    plain = build_ivf_index(corpus, plain_root, n_lists=16, seed=42)
+    # balance_bound=None: the PLAIN quantizer (since r9 builds balance
+    # by default, this test pins the failure mode the default prevents)
+    plain = build_ivf_index(
+        corpus, plain_root, n_lists=16, seed=42, balance_bound=None
+    )
     assert blob_cells(plain_root) == 1  # the collapse, pinned
     assert skew(plain) > 2.0
     assert plain["effective_lists"] == 16 and plain["balance_bound"] is None
@@ -1170,3 +1174,195 @@ def test_ivf_write_clustering_bounds_file_count(spark, tmp_path):
                __import__("json").load(
                    open(os.path.join(root, "ivf_meta.json"))
                )["cell_counts"].values()) == emb.count() + batch.count()
+
+
+def _vec_df(spark, vecs, id_offset=0):
+    rows = [
+        (int(id_offset + i), [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_ivf_default_balance_keeps_fresh_skewed_build_under_guard(spark, tmp_path):
+    """r8 finding (BENCH_LOCAL_r08 ivf_scaling_law_clustered_r8): NATURAL
+    skew trips the drift guard on a FRESH build — a dense region holds a
+    large corpus fraction in one variance-starved cell, so the user's
+    first build + append immediately reported rebuild_recommended on a
+    healthy index. Since r9 build_ivf_index mass-balances by DEFAULT
+    (balance_bound=4.0 == ivf_append's skew_bound): (a) the plain
+    quantizer (balance_bound=None) reproduces the wart, (b) the default
+    build splits the hot region and a fresh build + append stays under
+    the guard, (c) a caller-supplied quantizer records
+    balance_bound=None in the sidecar — the meta never claims a balance
+    that was not applied (advisor r8)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+    )
+
+    rng = np.random.RandomState(7)
+    n, frac = 2000, 0.7
+    blob = rng.normal(0, 0.02, size=(int(n * frac), 8)) + 5.0
+    spread = rng.uniform(-10, 10, size=(n - int(n * frac), 8))
+    vecs = np.vstack([blob, spread])
+    rng.shuffle(vecs)
+    df = _vec_df(spark, vecs)
+    batch = _vec_df(spark, rng.uniform(-10, 10, size=(200, 8)), id_offset=n)
+
+    plain = build_ivf_index(
+        df, str(tmp_path / "plain"), n_lists=8, seed=42, balance_bound=None
+    )
+    counts = [int(v) for v in plain["cell_counts"].values()]
+    plain_skew = max(counts) / (sum(counts) / len(plain["centroids"]))
+    assert plain_skew > 4.0, plain_skew  # variance-blind Lloyd's: hot cell
+    assert plain["balance_bound"] is None
+    stats_plain = ivf_append(batch, str(tmp_path / "plain"))
+    assert stats_plain["rebuild_recommended"]  # the r8 UX wart, reproduced
+
+    bal = build_ivf_index(df, str(tmp_path / "bal"), n_lists=8, seed=42)
+    assert bal["balance_bound"] == 4.0
+    assert len(bal["centroids"]) > 8  # the hot region was split
+    stats = ivf_append(batch, str(tmp_path / "bal"))
+    assert not stats["rebuild_recommended"], stats["max_mean_skew"]
+
+    # caller-supplied quantizer: sidecar must NOT claim a balance
+    build_ivf_index(
+        df, str(tmp_path / "given"), n_lists=8, centroids=bal["centroids"]
+    )
+    side = json.load(open(os.path.join(str(tmp_path / "given"), "ivf_meta.json")))
+    assert side["balance_bound"] is None
+
+
+def test_ivf_pq_persisted_probe_and_exact_rerank(spark, tmp_path):
+    """Persisted IVF+PQ serving path: (a) the index carries a binary
+    pq_codes column + sidecar codebooks; (b) the ADC probe's physical
+    plan reads (id, cell, norm, pq_codes) ONLY — parquet column pruning
+    keeps raw-vector bytes out of the probed I/O (the r8-measured
+    dominant warm-query cost); (c) returned cosines are EXACT (the
+    rerank recomputes from raw vectors — each returned cosine equals
+    the independently computed exact cosine for that pair); (d) forcing
+    use_pq=False on the same index reproduces the raw path
+    bit-identically to a codeless index; (e) ivf_append encodes the
+    batch against the SIDECAR codebooks, and append-then-query equals
+    bulk-build-then-query under the same (centroids, codebooks) pair."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq_root = str(tmp_path / "pq")
+    raw_root = str(tmp_path / "raw")
+    meta = build_ivf_index(emb, pq_root, n_lists=8, seed=42, pq_m_sub=8, pq_ksub=16)
+    build_ivf_index(emb, raw_root, n_lists=8, seed=42)
+
+    # (a) codes column + sidecar codebooks
+    idx = spark.read.parquet(os.path.join(pq_root, "index"))
+    assert isinstance(dict(idx.dtypes)["pq_codes"], str)  # present
+    assert [f.dataType for f in idx.schema.fields if f.name == "pq_codes"] == [
+        T.BinaryType()
+    ]
+    side = json.load(open(os.path.join(pq_root, "ivf_meta.json")))
+    assert len(side["pq"]["codebooks"]) == 8
+    assert all(len(cb) == 16 for cb in side["pq"]["codebooks"])
+    sample_code = idx.select("pq_codes").first()["pq_codes"]
+    assert len(sample_code) == 8  # m_sub uint8 bytes per vector
+
+    # (b) column pruning on the ADC probe shape
+    probe = idx.filter(F.col("cell").isin([0, 1])).select(
+        "vec_id", "cell", "norm", "pq_codes"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "pq_codes" in read_schema and "embedding" not in read_schema
+
+    # (c) exact cosines on returned rows
+    got = query_ivf_index(spark, pq_root, queries, k=10, n_probe=3, rerank=4)
+    rows = got.collect()
+    assert len(rows) == 50
+    exact_all = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in rows:
+        want = exact_all[(r["query_id"], r["vec_id"])]
+        assert abs(r["cosine"] - want) < 1e-12, (r, want)
+
+    # (d) raw path on the pq index == codeless index, bit-for-bit
+    forced = query_ivf_index(spark, pq_root, queries, k=10, n_probe=3, use_pq=False)
+    codeless = query_ivf_index(spark, raw_root, queries, k=10, n_probe=3)
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, codeless.collect())
+    )
+
+    # (e) append encodes against sidecar codebooks; append == bulk twin
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    inc_root, bulk_root = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    m = build_ivf_index(corpus, inc_root, n_lists=8, seed=42, pq_m_sub=8, pq_ksub=16)
+    ivf_append(batch, inc_root)
+    inc_idx = spark.read.parquet(os.path.join(inc_root, "index"))
+    assert inc_idx.filter(F.col("pq_codes").isNull()).count() == 0
+    build_ivf_index(
+        emb,
+        bulk_root,
+        n_lists=8,
+        centroids=m["centroids"],
+        pq_codebooks=m["pq"]["codebooks"],
+    )
+    inc_q = query_ivf_index(spark, inc_root, queries, k=10, n_probe=3)
+    blk_q = query_ivf_index(spark, bulk_root, queries, k=10, n_probe=3)
+    assert sorted(map(tuple, inc_q.collect())) == sorted(map(tuple, blk_q.collect()))
+
+
+def test_hash_sample_bounded_on_duplicated_ids(spark):
+    """_hash_sample advisor guard (r8): heavily duplicated id values
+    cluster hash survivors, so the threshold filter underfills and the
+    old widening retry degenerated to a FULL-corpus collect — the very
+    driver-traffic defect the function replaces. The first underfilled
+    retry now switches to distinct (id, vec) rows, where the hash is
+    uniform again. Pin: a 40k-row corpus with 5 distinct ids (all of
+    whose murmur3 hashes sit ABOVE the first cut — deterministic, ids
+    chosen so the filter underfills) returns the 5-row distinct sample,
+    not 40k collected rows; unique-id corpora are unaffected."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        _hash_sample,
+        _with_norm,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.uniform(-1, 1, size=(5, 8))
+    dup = _vec_df(spark, np.repeat(base, 8000, axis=0))
+    # duplicate ids: 8000 rows per id over {0,1,2,4,5}; Spark's F.hash
+    # of each lands above the 1.5x cut for max_train=2048 at n=40000
+    # (frac 0.0768 of int32 space; hash(3) would fall below it), so the
+    # first filter deterministically underfills and the dedup retry runs
+    dup = dup.withColumn(
+        "vec_id",
+        F.expr("element_at(array(0,1,2,4,5), int(vec_id div 8000) + 1)"),
+    )
+    c = _with_norm(dup, "vec_id", "embedding", "c")
+    out = _hash_sample(c, max_train=2048)
+    # bounded: exactly the distinct (id, vec) rows, never the corpus
+    assert len(out) == 5
+    # unique ids: unchanged exact smallest-k semantics
+    uniq = _vec_df(spark, rng.uniform(-1, 1, size=(5000, 8)))
+    cu = _with_norm(uniq, "vec_id", "embedding", "c")
+    s1 = _hash_sample(cu, max_train=256)
+    s2 = _hash_sample(cu, max_train=256)
+    assert len(s1) == 256 and (s1 == s2).all()

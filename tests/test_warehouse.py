@@ -87,3 +87,35 @@ def test_partitioned_write_files_per_partition_bounds_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 1000
     assert got.filter(F.col("day") == "3").count() == 200
+
+
+def test_partitioned_write_salt_skips_nested_maps(spark, tmp_path):
+    """The salt hash must exclude MapType at ANY nesting depth (advisor
+    r8): xxhash64 rejects maps — unordered, no stable hash — and an
+    array<map<...>> or struct-wrapped map passed the old top-level
+    check, failing files_per_partition at plan time. Now such columns
+    drop out of the salt (falling back to the partition cols when
+    nothing else is hashable) and the write succeeds."""
+    import glob
+    import os
+
+    df = (
+        spark.range(0, 100)
+        .repartition(8)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("day"),
+            F.array(F.create_map(F.lit("k"), F.col("id"))).alias("am"),
+            F.struct(F.create_map(F.lit("k"), F.col("id")).alias("m")).alias("sm"),
+        )
+    )
+    path = str(tmp_path / "nested_maps")
+    write_partitioned(df, path, "day", files_per_partition=2)
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    for day in range(2):
+        n = len(glob.glob(os.path.join(path, f"day={day}", "*.parquet")))
+        assert 1 <= n <= 2, (day, n)
+    # a map-free hashable column (id) still drives the salt: both days
+    # hold rows from every upstream task yet land in <= 2 files each
+    assert got.filter(F.col("day") == "1").count() == 50

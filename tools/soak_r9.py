@@ -1,0 +1,261 @@
+"""Round-9 scale soaks (run ALONE — no concurrent Spark jobs):
+
+1. SERVING-ONLY WARM-QUERY LAW (r8 verdict ask #3): the r7/r8 warm-query
+   numbers were "dominated by the certificate's query-side corpus scan
+   rather than the probed index bytes" (the records' own caveat) — the
+   query set was `corpus.filter(vec_id < 5)`, a full corpus scan per
+   query batch. Re-measure the 2M/8M/32M legs with PRE-MATERIALIZED
+   query vectors (a 64-row local DataFrame, zero corpus I/O at query
+   time) so "query cost tracks probed bytes" is directly evidenced.
+   Probed bytes are measured from parquet column-chunk metadata
+   (compressed sizes of the columns the probe projection reads, summed
+   over the probed cell directories) — the exact bytes the pruned scan
+   moves, not an estimate.
+
+2. DEFAULT-BALANCED LAW POINT (r8 verdict ask #1, evidence leg): the
+   builds below run through build_ivf_index's NEW default
+   (balance_bound=4.0), so the 8M point that previously recorded
+   natural skew 5.12 > skew_bound on a fresh healthy build re-records
+   with skew under the guard — the pytest pins the behavior at sf0.001,
+   this records it at scale.
+
+3. PERSISTED PQ/ADC SERVING PATH (r8 verdict ask #2, measurement leg):
+   at 8M x dim-64, build the same corpus raw and with pq_m_sub=8
+   (64x smaller candidate payload: 8 uint8 codes vs 64 float64s) and
+   compare warm-query wall + probed bytes for the ADC path vs the
+   raw-vector path at identical probe geometry, plus top-10 agreement
+   against the raw path (the rerank recomputes exact cosines, so
+   disagreement == ADC shortlist misses, the tunable-rerank recall dial).
+
+Results merge into BENCH_LOCAL_r09.json (bench.py carries soak keys
+across its own rewrite).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dog_data_pipeline_spark.session import get_spark  # noqa: E402
+from dog_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    build_ivf_index,
+    query_ivf_index,
+)
+from tools.soak_r8 import gen_vectors, min3, t  # noqa: E402
+
+ARTIFACT = os.path.join(HERE, "BENCH_LOCAL_r09.json")
+BASE = "/tmp/soak_r9_vec"
+
+
+def merge(records: dict) -> None:
+    art: dict = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as fh:
+            art = json.load(fh)
+    art.update(records)
+    art["carried_keys"] = sorted(set(art.get("carried_keys", [])) | set(records))
+    tmp = ARTIFACT + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(art, fh, indent=1, sort_keys=True)
+    os.replace(tmp, ARTIFACT)
+    print(f"merged {sorted(records)} into {ARTIFACT}", flush=True)
+
+
+def local_queries(spark, corpus, n_queries: int = 64):
+    """Pre-materialized query set: collect n vectors ONCE to the driver
+    and rebuild them as a local DataFrame — the warm-query timing then
+    contains zero corpus I/O, only the probe (the r8 records' caveat,
+    removed)."""
+    rows = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def probed_cells(meta: dict, queries_np: "np.ndarray", n_probe: int) -> set[int]:
+    """Driver-side mirror of _nearest_cells for the measurement: the
+    union of each query's n_probe nearest centroid ids."""
+    mat = np.asarray(meta["centroids"], dtype=np.float64)
+    out: set[int] = set()
+    for v in queries_np:
+        d = ((mat - v[None, :]) ** 2).sum(axis=1)
+        out.update(int(c) for c in np.argsort(d, kind="stable")[:n_probe])
+    return out
+
+
+def column_bytes(index_path: str, cells: set[int], columns: set[str]) -> int:
+    """EXACT probed bytes: sum of parquet column-chunk compressed sizes
+    for `columns` across every file of the probed cell directories —
+    what the column-pruned, partition-pruned scan actually moves."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for cell in cells:
+        for f in glob.glob(os.path.join(index_path, f"cell={cell}", "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema.split(".")[0] in columns:
+                        total += col.total_compressed_size
+    return total
+
+
+def serving_latency(spark) -> dict:
+    """Leg 1+2: the 3-point serving-only law through the default
+    (balanced) build path."""
+    rec: dict = {"points": {}}
+    for n, n_lists, n_probe, tag in (
+        (2_000_000, 64, 4, "2m"),
+        (8_000_000, 256, 16, "8m"),
+        (32_000_000, 512, 32, "32m"),
+    ):
+        corpus_p = f"{BASE}/corpus{tag}"
+        pt: dict = {}
+        pt["datagen_sec"] = gen_vectors(spark, corpus_p, n)
+        corpus = spark.read.parquet(corpus_p)
+        idx = f"{BASE}/ivf_{tag}"
+        if os.path.exists(idx):
+            shutil.rmtree(idx)
+        pt["build_sec"], meta = t(
+            lambda: build_ivf_index(corpus, idx, n_lists=n_lists, seed=42)
+        )
+        counts = [int(v) for v in meta["cell_counts"].values()]
+        pt["skew_after_default_build"] = round(
+            max(counts) / (sum(counts) / len(meta["centroids"])), 3
+        )
+        pt["effective_lists"] = meta["effective_lists"]
+        qs = local_queries(spark, corpus)
+        qs_np = np.asarray(
+            [r["embedding"] for r in qs.collect()], dtype=np.float64
+        )
+        pt["warm_query_serving_only_sec"] = min3(
+            lambda: query_ivf_index(spark, idx, qs, k=10, n_probe=n_probe).count()
+        )
+        cells = probed_cells(meta, qs_np, n_probe)
+        pt["probed_cells"] = len(cells)
+        pt["probed_bytes_raw_path"] = column_bytes(
+            os.path.join(idx, "index"),
+            cells,
+            {meta["id_col"], meta["vec_col"], "norm"},
+        )
+        rec["points"][tag] = pt
+    rec["note"] = (
+        "Serving-only warm-query law (r8 ask #3): 64 pre-materialized "
+        "local query vectors, zero corpus I/O in the timed leg; probed "
+        "bytes are exact column-chunk compressed sizes over the probed "
+        "cell dirs. Builds run the r9 DEFAULT balance_bound=4.0 path "
+        "(r8 ask #1): skew_after_default_build must sit under the drift "
+        "guard's 4.0 at every scale (the 8M point recorded 5.12 through "
+        "the old plain path). Probed fraction held at 6.25% "
+        "(n_probe/n_lists = 4/64, 16/256, 32/512), so probed bytes grow "
+        "~16x/4x across points and the serving wall should track them."
+    )
+    return rec
+
+
+def pq_serving_8m(spark) -> dict:
+    """Leg 3: raw vs ADC serving at 8M/256 — wall + probed bytes +
+    top-10 agreement at rerank=4."""
+    corpus_p = f"{BASE}/corpus8m"
+    rec: dict = {}
+    rec["datagen_sec"] = gen_vectors(spark, corpus_p, 8_000_000)
+    corpus = spark.read.parquet(corpus_p)
+    raw_idx = f"{BASE}/ivf_8m"  # reuse leg 1's raw index if present
+    if not os.path.exists(os.path.join(raw_idx, "ivf_meta.json")):
+        rec["build_raw_sec"], _ = t(
+            lambda: build_ivf_index(corpus, raw_idx, n_lists=256, seed=42)
+        )
+    pq_idx = f"{BASE}/ivf_8m_pq"
+    if os.path.exists(pq_idx):
+        shutil.rmtree(pq_idx)
+    rec["build_pq_sec"], meta = t(
+        lambda: build_ivf_index(
+            corpus, pq_idx, n_lists=256, seed=42, pq_m_sub=8, pq_ksub=256
+        )
+    )
+    qs = local_queries(spark, corpus)
+    qs_np = np.asarray([r["embedding"] for r in qs.collect()], dtype=np.float64)
+    cells = probed_cells(meta, qs_np, 16)
+    rec["probed_cells"] = len(cells)
+    rec["probed_bytes_raw_path"] = column_bytes(
+        os.path.join(pq_idx, "index"), cells, {"vec_id", "embedding", "norm"}
+    )
+    rec["probed_bytes_adc_path"] = column_bytes(
+        os.path.join(pq_idx, "index"), cells, {"vec_id", "pq_codes", "norm"}
+    )
+    rec["adc_bytes_ratio"] = round(
+        rec["probed_bytes_raw_path"] / max(rec["probed_bytes_adc_path"], 1), 2
+    )
+    rec["warm_query_raw_sec"] = min3(
+        lambda: query_ivf_index(
+            spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
+        ).count()
+    )
+    rec["warm_query_adc_sec"] = min3(
+        lambda: query_ivf_index(
+            spark, pq_idx, qs, k=10, n_probe=16, rerank=4
+        ).count()
+    )
+    raw_rows = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(
+            spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
+        ).collect()
+    }
+    adc_rows = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(
+            spark, pq_idx, qs, k=10, n_probe=16, rerank=4
+        ).collect()
+    }
+    rec["top10_agreement_vs_raw"] = round(
+        len(raw_rows & adc_rows) / max(len(raw_rows), 1), 4
+    )
+    rec["note"] = (
+        "Persisted IVF+PQ serving at 8M x dim-64, n_lists=256, "
+        "n_probe=16, m_sub=8/ksub=256 (64x smaller candidate payload): "
+        "probed bytes from column-chunk metadata over the same probed "
+        "cells — the ADC path reads (id, norm, pq_codes), the raw path "
+        "(id, norm, embedding) — plus min-of-3 warm walls on "
+        "pre-materialized queries and top-10 agreement at rerank=4 "
+        "(identical probe geometry, so disagreement == ADC shortlist "
+        "misses; raise rerank to trade bytes for recall)."
+    )
+    return rec
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    spark = get_spark(app_name="soak-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("all", "serving"):
+        rec = serving_latency(spark)
+        print(json.dumps({"ivf_serving_latency_r9": rec}), flush=True)
+        merge({"ivf_serving_latency_r9": rec})
+    if which in ("all", "pq"):
+        rec = pq_serving_8m(spark)
+        print(json.dumps({"ivf_pq_serving_8m_r9": rec}), flush=True)
+        merge({"ivf_pq_serving_8m_r9": rec})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
