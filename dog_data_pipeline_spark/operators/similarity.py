@@ -1054,12 +1054,26 @@ def query_ivf_index(
     COLUMN pruning keeps the raw-vector bytes out of the probed I/O,
     the dominant warm-query cost at scale (r8 32M soak) — scores
     reconstructed dots per query, keeps the per-query top ``rerank*k``
-    ADC survivors, and reads raw vectors back ONLY for those survivors'
-    exact rerank (broadcast semi-join into the same pruned scan).
-    Returned cosines are EXACT either way (the rerank recomputes from
-    raw vectors); PQ affects which candidates make the shortlist, so
-    its recall certificate is the same floor+dominance pattern as
-    ``cosine_topk_ivfpq``."""
+    ADC survivors, then exactly reranks them. Returned cosines are
+    EXACT with ``rerank >= 1`` (the rerank recomputes from raw
+    vectors); PQ affects which candidates make the shortlist, so its
+    recall certificate is the same floor+dominance pattern as
+    ``cosine_topk_ivfpq``.
+
+    Rerank I/O, honestly: the survivor fetch is a broadcast semi-join
+    into the same cell-pruned scan, so the scan DECODES the probed
+    cells' raw-vector column once more and discards non-survivors at
+    the join (parquet gives no point lookups; an IN-list past Spark's
+    pushdown threshold degrades to a useless [min,max] range). What
+    makes it scale is AMORTIZATION, not skipping: the rerank pass costs
+    one vector-column read of the probed cells PER QUERY BATCH,
+    independent of batch size, while the ADC candidate stage (the
+    per-query-pair work: scoring, shuffle, top-k state) runs on 64x
+    smaller rows — so for serving batches of any real size the exact
+    path's marginal per-query cost is the ADC stage's. ``rerank=0``
+    skips the fetch entirely and returns the ADC approximation in the
+    ``cosine`` column (codes-only serving: probed bytes are the codes,
+    full stop — the mode for recall-tolerant candidate generation)."""
     import json
     import os
 
@@ -1100,24 +1114,31 @@ def query_ivf_index(
             .select("q_id", id_col, "adc_cosine")
             .dropDuplicates(["q_id", id_col])
         )
-        wa = Window.partitionBy("q_id").orderBy(
-            F.col("adc_cosine").desc(), F.col(id_col)
-        )
-        shortlist = (
-            cand.withColumn("__r", F.row_number().over(wa))
-            .filter(F.col("__r") <= rerank * k)
-            .select("q_id", id_col)
-        )
-        # exact rerank: raw vectors for survivors only — the shortlist
-        # (<= queries x rerank x k rows) broadcasts into the pruned scan
-        scored = (
-            idx.select(id_col, vec_col, "norm")
-            .join(F.broadcast(shortlist), id_col)
-            .join(F.broadcast(q.select("q_id", "q_v", "q_norm")), "q_id")
-            .withColumn("cosine", dot / (F.col("q_norm") * F.col("norm")))
-            .select("q_id", id_col, "cosine")
-            .dropDuplicates(["q_id", id_col])
-        )
+        if rerank < 1:
+            # codes-only serving: the ADC approximation IS the score
+            scored = cand.select(
+                "q_id", id_col, F.col("adc_cosine").alias("cosine")
+            )
+        else:
+            wa = Window.partitionBy("q_id").orderBy(
+                F.col("adc_cosine").desc(), F.col(id_col)
+            )
+            shortlist = (
+                cand.withColumn("__r", F.row_number().over(wa))
+                .filter(F.col("__r") <= rerank * k)
+                .select("q_id", id_col)
+            )
+            # exact rerank: survivors only survive the join; the scan
+            # itself re-reads the probed cells' vector column once per
+            # query BATCH (amortized — see docstring)
+            scored = (
+                idx.select(id_col, vec_col, "norm")
+                .join(F.broadcast(shortlist), id_col)
+                .join(F.broadcast(q.select("q_id", "q_v", "q_norm")), "q_id")
+                .withColumn("cosine", dot / (F.col("q_norm") * F.col("norm")))
+                .select("q_id", id_col, "cosine")
+                .dropDuplicates(["q_id", id_col])
+            )
     else:
         scored = idx.join(F.broadcast(q_cells), "cell").withColumn(
             "cosine", dot / (F.col("q_norm") * F.col("norm"))

@@ -1301,6 +1301,22 @@ def test_ivf_pq_persisted_probe_and_exact_rerank(spark, tmp_path):
         want = exact_all[(r["query_id"], r["vec_id"])]
         assert abs(r["cosine"] - want) < 1e-12, (r, want)
 
+    # (c2) rerank=0 = codes-only serving: same shape, full k returned,
+    # and the cosine column is the ADC APPROXIMATION (it must differ
+    # from the exact value somewhere, or the 'approximate' mode would
+    # silently be reading raw vectors)
+    adc_only = query_ivf_index(
+        spark, pq_root, queries, k=10, n_probe=3, rerank=0
+    ).collect()
+    assert len(adc_only) == 50
+    assert adc_only[0].asDict().keys() == rows[0].asDict().keys()
+    diffs = [
+        abs(r["cosine"] - exact_all[(r["query_id"], r["vec_id"])])
+        for r in adc_only
+        if (r["query_id"], r["vec_id"]) in exact_all
+    ]
+    assert diffs and max(diffs) > 1e-9
+
     # (d) raw path on the pq index == codeless index, bit-for-bit
     forced = query_ivf_index(spark, pq_root, queries, k=10, n_probe=3, use_pq=False)
     codeless = query_ivf_index(spark, raw_root, queries, k=10, n_probe=3)

@@ -197,20 +197,33 @@ def pq_serving_8m(spark) -> dict:
     rec["probed_bytes_raw_path"] = column_bytes(
         os.path.join(pq_idx, "index"), cells, {"vec_id", "embedding", "norm"}
     )
-    rec["probed_bytes_adc_path"] = column_bytes(
+    rec["probed_bytes_adc_only"] = column_bytes(
         os.path.join(pq_idx, "index"), cells, {"vec_id", "pq_codes", "norm"}
     )
-    rec["adc_bytes_ratio"] = round(
-        rec["probed_bytes_raw_path"] / max(rec["probed_bytes_adc_path"], 1), 2
+    # honest accounting: with rerank >= 1 the survivor fetch re-decodes
+    # the probed cells' vector column once PER QUERY BATCH (broadcast
+    # join filters post-scan; parquet has no point lookups), so the
+    # exact path's batch cost is adc_only + raw bytes while its
+    # MARGINAL per-query cost is the ADC stage's — the amortization
+    # claim the walls below evidence (adc-only wall ~flat in batch
+    # size, rerank wall = adc + one fixed vector pass)
+    rec["rerank_fetch_bytes_per_batch"] = rec["probed_bytes_raw_path"]
+    rec["adc_candidate_bytes_ratio"] = round(
+        rec["probed_bytes_raw_path"] / max(rec["probed_bytes_adc_only"], 1), 2
     )
     rec["warm_query_raw_sec"] = min3(
         lambda: query_ivf_index(
             spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
         ).count()
     )
-    rec["warm_query_adc_sec"] = min3(
+    rec["warm_query_adc_rerank4_sec"] = min3(
         lambda: query_ivf_index(
             spark, pq_idx, qs, k=10, n_probe=16, rerank=4
+        ).count()
+    )
+    rec["warm_query_adc_only_sec"] = min3(
+        lambda: query_ivf_index(
+            spark, pq_idx, qs, k=10, n_probe=16, rerank=0
         ).count()
     )
     raw_rows = {
@@ -232,11 +245,14 @@ def pq_serving_8m(spark) -> dict:
         "Persisted IVF+PQ serving at 8M x dim-64, n_lists=256, "
         "n_probe=16, m_sub=8/ksub=256 (64x smaller candidate payload): "
         "probed bytes from column-chunk metadata over the same probed "
-        "cells — the ADC path reads (id, norm, pq_codes), the raw path "
-        "(id, norm, embedding) — plus min-of-3 warm walls on "
-        "pre-materialized queries and top-10 agreement at rerank=4 "
-        "(identical probe geometry, so disagreement == ADC shortlist "
-        "misses; raise rerank to trade bytes for recall)."
+        "cells — ADC-only reads (id, norm, pq_codes), raw reads "
+        "(id, norm, embedding); rerank>=1 additionally re-decodes the "
+        "probed vector column once per query BATCH (amortized; "
+        "rerank_fetch_bytes_per_batch records it, the docstring owns "
+        "the claim). Min-of-3 warm walls on pre-materialized queries "
+        "for raw / adc+rerank4 / adc-only, plus top-10 agreement at "
+        "rerank=4 (identical probe geometry, so disagreement == ADC "
+        "shortlist misses; raise rerank to trade compute for recall)."
     )
     return rec
 
