@@ -667,9 +667,16 @@ def build_ivf_index(
     (r8 32M soak), so this is the serving-path compression story of
     ``cosine_topk_ivfpq`` made persistent (m_sub bytes vs 8·dim per
     candidate at float64 — 64x at dim=64/m=8). ``pq_ksub`` <= 256 keeps
-    one code one byte. Pass ``pq_codebooks`` (with ``centroids``) to
-    encode against a GIVEN quantizer pair — ``ivf_append``'s bulk twin
-    for the append-equals-rebuild certificate."""
+    one code one byte. Sizing (8M soak, BENCH_LOCAL_r09
+    ivf_pq_serving_8m_r9): codes quantize RESIDUALS (v - cell centroid,
+    IVFADC proper — raw-vector codes measured unusable there), and
+    ``m_sub = dim/4`` (16 at dim 64, 2 bits/dim, ~32x compression)
+    recovered planted strong neighbors at recall 1.0 with rerank=4,
+    while ``dim/8`` needed rerank 16 for 0.63 — pick dim/4 unless the
+    corpus margins are known wide. Pass ``pq_codebooks`` (with
+    ``centroids``) to encode against a GIVEN quantizer pair —
+    ``ivf_append``'s bulk twin for the append-equals-rebuild
+    certificate."""
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
@@ -699,16 +706,22 @@ def build_ivf_index(
                 )
             pq_codebooks = [
                 cb.tolist()
-                for cb in _train_pq_codebooks(sample, pq_m_sub, min(pq_ksub, 256), seed)
+                for cb in _train_pq_codebooks(
+                    _residual_sample(sample, centroids),
+                    pq_m_sub,
+                    min(pq_ksub, 256),
+                    seed,
+                )
             ]
         pq_meta = {
             "m_sub": len(pq_codebooks),
             "ksub": len(pq_codebooks[0]),
+            "residual": True,
             "codebooks": [
                 [[float(x) for x in ctr] for ctr in cb] for cb in pq_codebooks
             ],
         }
-        encode = _pq_encode_udf(pq_codebooks)
+        encode = _pq_encode_udf(pq_codebooks, centroids)
     assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0]).select(
         F.col("c_id").alias(id_col),
         F.col("c_v").alias(vec_col),
@@ -716,7 +729,7 @@ def build_ivf_index(
         "cell",
     )
     if encode is not None:
-        assigned = assigned.withColumn("pq_codes", encode(vec_col))
+        assigned = assigned.withColumn("pq_codes", encode(vec_col, "cell"))
     # One shuffle before the write bounds the FILE COUNT: an unshuffled
     # partitionBy("cell") writes one file per (task x cell) — measured
     # 81,920 files of ~320KB for a 32M x 512-list build (160 per cell;
@@ -968,10 +981,13 @@ def ivf_append(
         )
         if meta.get("pq"):
             # the index carries PQ codes: encode the batch against the
-            # SIDECAR codebooks (frozen with the centroids — appended
+            # SIDECAR codebooks + centroids (frozen together — appended
             # rows must score identically to bulk-built ones)
             assigned = assigned.withColumn(
-                "pq_codes", _pq_encode_udf(meta["pq"]["codebooks"])(vec_col)
+                "pq_codes",
+                _pq_encode_udf(meta["pq"]["codebooks"], meta["centroids"])(
+                    vec_col, "cell"
+                ),
             )
         # One pass over the batch: cache so the write and the <= n_lists
         # count aggregate don't recompute the assignment.
@@ -1099,7 +1115,7 @@ def query_ivf_index(
         lambda acc, x: acc + x,
     )
     if use_pq:
-        adc = _pq_adc_udf(meta["pq"]["codebooks"])
+        adc = _pq_adc_udf(meta["pq"]["codebooks"], centroids)
         cand = idx.select(id_col, "cell", "norm", "pq_codes").join(
             F.broadcast(q_cells), "cell"
         )
@@ -1108,7 +1124,8 @@ def query_ivf_index(
         cand = (
             cand.withColumn(
                 "adc_cosine",
-                adc("q_v", "pq_codes") / (F.col("q_norm") * F.col("norm")),
+                adc("q_v", "cell", "pq_codes")
+                / (F.col("q_norm") * F.col("norm")),
             )
             .select("q_id", id_col, "adc_cosine")
             .dropDuplicates(["q_id", id_col])
@@ -1237,23 +1254,34 @@ def _train_pq_codebooks(
     ]
 
 
-def _pq_encode_udf(codebooks: list):
-    """Arrow-vectorized PQ encoder: vector column -> ``binary`` of m_sub
-    uint8 subspace codes (ksub <= 256 keeps one code one byte — the
-    64x-at-dim-64 compression that makes the persisted ADC probe read
-    m_sub bytes instead of 8·dim). One batched matmul-argmin per
-    subspace; the codebook stack rides the task closure (tiny:
-    m_sub x ksub x dsub floats)."""
+def _pq_encode_udf(codebooks: list, centroids: list):
+    """Arrow-vectorized RESIDUAL PQ encoder: (vector, cell) -> ``binary``
+    of m_sub uint8 subspace codes (ksub <= 256 keeps one code one byte —
+    the 64x-at-dim-64 compression that makes the persisted ADC probe
+    read m_sub bytes instead of 8·dim).
+
+    RESIDUAL, not raw (IVFADC, Jegou et al. 2011 §IV): codes quantize
+    ``v - centroid[cell]``. This is what makes ADC usable — encoding raw
+    vectors was measured unusable on the 8M soak corpus (reconstruction
+    residual ~25% of the vector norm swamped the 0.1-cosine margin of
+    PLANTED near-duplicates: ADC planted-recall 0.0, raw path 1.0,
+    BENCH_LOCAL_r09 first pq pass). The cell centroid carries the
+    coarse position; the codebooks only cover the within-cell residual
+    range, so the same 8 bytes resolve ~n_lists x finer structure. One
+    batched matmul-argmin per subspace; codebooks + centroids ride the
+    task closure (tiny)."""
     book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
+    cents = np.asarray(centroids, dtype=np.float64)
     m_sub, ksub, dsub = book.shape
     if ksub > 256:
         raise ValueError(f"pq ksub {ksub} > 256 does not fit uint8 codes")
 
     @F.pandas_udf("binary")
-    def _encode(vs: pd.Series) -> pd.Series:
+    def _encode(vs: pd.Series, cell: pd.Series) -> pd.Series:
         x = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
         if x.size == 0:
             return pd.Series([], dtype=object)
+        x = x - cents[np.asarray(cell, dtype=np.int64)]  # residuals
         codes = np.empty((len(x), m_sub), dtype=np.uint8)
         for mi in range(m_sub):
             sub = x[:, mi * dsub : (mi + 1) * dsub]
@@ -1266,18 +1294,19 @@ def _pq_encode_udf(codebooks: list):
     return _encode
 
 
-def _pq_adc_udf(codebooks: list):
-    """Arrow-vectorized asymmetric-distance scorer for PERSISTED codes:
-    (query vector, binary codes) -> reconstructed dot product. Candidates
-    are reconstructed from the closure codebooks and fused into one
+def _pq_adc_udf(codebooks: list, centroids: list):
+    """Arrow-vectorized asymmetric-distance scorer for PERSISTED
+    residual codes: (query vector, cell, binary codes) -> reconstructed
+    dot product q·(centroid[cell] + recon(codes)). Candidates are
+    reconstructed from the closure codebooks and fused into one
     (batch, dim) elementwise dot — O(dim) per candidate at memory
-    bandwidth, no raw-vector I/O (same math as ``cosine_topk_ivfpq``'s
-    in-memory ``_adc_dot``, reading uint8 bytes instead of int arrays)."""
+    bandwidth, no raw-vector I/O."""
     book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
+    cents = np.asarray(centroids, dtype=np.float64)
     m_sub = book.shape[0]
 
     @F.pandas_udf("double")
-    def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+    def _adc(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
         qm = np.asarray(qv.tolist(), dtype=np.float64)  # (batch, dim)
         if qm.size == 0:
             return pd.Series([], dtype=float)
@@ -1287,9 +1316,22 @@ def _pq_adc_udf(codebooks: list):
         recon = np.concatenate(
             [book[mi][cm[:, mi]] for mi in range(m_sub)], axis=1
         )  # (batch, dim)
+        recon = recon + cents[np.asarray(cell, dtype=np.int64)]
         return pd.Series((recon * qm).sum(axis=1))
 
     return _adc
+
+
+def _residual_sample(vecs: "np.ndarray", centroids: list) -> "np.ndarray":
+    """Training residuals for the PQ codebooks: each sample vector minus
+    its nearest coarse centroid (the distribution the codes quantize)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = (
+        (vecs**2).sum(axis=1)[:, None]
+        - 2.0 * (vecs @ cents.T)
+        + (cents**2).sum(axis=1)[None, :]
+    )
+    return vecs - cents[d.argmin(axis=1)]
 
 
 def cosine_topk_ivfpq(
@@ -1336,43 +1378,31 @@ def cosine_topk_ivfpq(
     # (see _hash_sample: the PQ path had the same partitions x k defect)
     vecs = _hash_sample(c, max_train)
     centroids = [list(map(float, ctr)) for ctr in _lloyd(vecs, n_lists, seed)]
-    codebooks = _train_pq_codebooks(vecs, m_sub, ksub, seed)
-    dsub = vecs.shape[1] // m_sub
-    book = np.stack(codebooks)  # (m_sub, ksub, dsub)
-
-    @F.pandas_udf("array<int>")
-    def _encode(vs: pd.Series) -> pd.Series:
-        x = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
-        codes = np.empty((len(x), m_sub), dtype=np.int32)
-        for mi in range(m_sub):
-            sub = x[:, mi * dsub : (mi + 1) * dsub]
-            cb = book[mi]  # (ksub, dsub)
-            d = (sub**2).sum(1)[:, None] - 2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
-            codes[:, mi] = d.argmin(1)
-        return pd.Series(list(codes))
+    # RESIDUAL codebooks (IVFADC proper, Jegou 2011 §IV) — raw-vector
+    # codebooks measured unusable at 8M (see _pq_encode_udf)
+    codebooks = [
+        cb.tolist()
+        for cb in _train_pq_codebooks(
+            _residual_sample(vecs, centroids), m_sub, ksub, seed
+        )
+    ]
+    encode = _pq_encode_udf(codebooks, centroids)
+    adc = _pq_adc_udf(codebooks, centroids)
 
     # the compressed index: ids, cells, norms, codes — no raw vectors
     c_idx = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0]).select(
-        "c_id", "cell", "c_norm", _encode("c_v").alias("codes")
+        "c_id", "cell", "c_norm", encode("c_v", "cell").alias("codes")
     )
     q_cells = q.withColumn(
         "cell", F.explode(_nearest_cells(centroids, "q_v", n_probe))
     )
 
-    @F.pandas_udf("double")
-    def _adc_dot(qv: pd.Series, codes: pd.Series) -> pd.Series:
-        qm = np.asarray(qv.tolist(), dtype=np.float64)  # (batch, dim)
-        cm = np.asarray(codes.tolist(), dtype=np.int64)  # (batch, m_sub)
-        recon = np.concatenate(
-            [book[mi][cm[:, mi]] for mi in range(m_sub)], axis=1
-        )  # (batch, dim)
-        return pd.Series((recon * qm).sum(axis=1))
-
     cand = (
         c_idx.join(F.broadcast(q_cells), "cell")
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn(
-            "adc_cosine", _adc_dot("q_v", "codes") / (F.col("q_norm") * F.col("c_norm"))
+            "adc_cosine",
+            adc("q_v", "cell", "codes") / (F.col("q_norm") * F.col("c_norm")),
         )
         .select("q_id", "c_id", "adc_cosine")
         .dropDuplicates(["q_id", "c_id"])

@@ -4984,12 +4984,14 @@ def knn_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Approximate top-k cosine via IVF + product quantization with "
     "asymmetric-distance scoring (IVFADC, Jegou et al. 2011): the "
     "candidate scan streams a COMPRESSED index row (id, cell, norm, 8 "
-    "uint4 codes — 64x smaller than the raw dim=64 float vectors), ADC "
-    "scores reconstruct candidates from plan-closure codebooks in one "
-    "Arrow-batched matmul, and only the per-query top rerank*k=40 ADC "
-    "survivors read raw vectors back for the exact rerank — the ANN "
-    "memory-compression path that complements knn_cosine_ivf (same "
-    "probe geometry, 64x less candidate-scan I/O at 100 TB). "
+    "uint8 RESIDUAL codes as one binary — codes quantize v minus the "
+    "cell centroid, the paper's §IV scheme; 64x smaller than the raw "
+    "dim=64 float vectors), ADC scores reconstruct centroid+residual "
+    "from plan-closure codebooks in one Arrow-batched matmul, and only "
+    "the per-query top rerank*k=40 ADC survivors read raw vectors back "
+    "for the exact rerank — the ANN memory-compression path that "
+    "complements knn_cosine_ivf (same probe geometry, 64x less "
+    "candidate-scan I/O at 100 TB). "
     "SELF-CERTIFYING via the shared per-query certificate: exact kth "
     "cosine anchor + returned_full_k + recall@10 >= 2 (measured floor "
     "2/10 across test SFs — the probe misses, not PQ: identical floor "

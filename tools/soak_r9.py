@@ -20,12 +20,12 @@
    this records it at scale.
 
 3. PERSISTED PQ/ADC SERVING PATH (r8 verdict ask #2, measurement leg):
-   at 8M x dim-64, build the same corpus raw and with pq_m_sub=8
-   (64x smaller candidate payload: 8 uint8 codes vs 64 float64s) and
-   compare warm-query wall + probed bytes for the ADC path vs the
-   raw-vector path at identical probe geometry, plus top-10 agreement
-   against the raw path (the rerank recomputes exact cosines, so
-   disagreement == ADC shortlist misses, the tunable-rerank recall dial).
+   at 8M x dim-64, build the corpus with RESIDUAL pq codes at m_sub=8
+   and m_sub=16 (64x / 32x smaller candidate payload) and compare
+   warm-query wall + probed bytes for ADC-only / ADC+exact-rerank /
+   raw at identical probe geometry, plus top-10 recall of PLANTED
+   strong neighbors (0.1-cosine margin) through each path and at
+   rerank 4 vs 16 — the compression-vs-recall dial, measured.
 
 Results merge into BENCH_LOCAL_r09.json (bench.py carries soak keys
 across its own rewrite).
@@ -205,90 +205,31 @@ def serving_latency(spark, n_queries: int = 8) -> dict:
 
 
 def pq_serving_8m(spark) -> dict:
-    """Leg 3: raw vs ADC serving at 8M/256 — wall + probed bytes +
-    top-10 agreement at rerank=4."""
+    """Leg 3: raw vs ADC serving at 8M/256, at TWO code sizes (the
+    compression-vs-recall dial): m_sub=8 (1 bit/dim, ~64x smaller
+    candidate payload) and m_sub=16 (2 bits/dim, ~32x). Residual
+    encoding throughout (IVFADC proper) — the first r9 pass measured
+    raw-vector codes unusable (planted recall 0.0) and residual m=8
+    partial (0.36): at 8 bytes the per-subspace quantizer covers an
+    8-dim residual with 256 codewords, whose covering radius is still
+    comparable to a 0.1-cosine planted margin; halving dsub quadruples
+    effective resolution per byte."""
     corpus_p = f"{BASE}/corpus8m"
     rec: dict = {}
     rec["datagen_sec"] = gen_vectors(spark, corpus_p, 8_000_000)
     corpus = spark.read.parquet(corpus_p)
-    raw_idx = f"{BASE}/ivf_8m"  # reuse leg 1's raw index if present
-    if not os.path.exists(os.path.join(raw_idx, "ivf_meta.json")):
-        rec["build_raw_sec"], _ = t(
-            lambda: build_ivf_index(corpus, raw_idx, n_lists=256, seed=42)
-        )
-    pq_idx = f"{BASE}/ivf_8m_pq"
-    if os.path.exists(pq_idx):
-        shutil.rmtree(pq_idx)
-    rec["build_pq_sec"], meta = t(
-        lambda: build_ivf_index(
-            corpus, pq_idx, n_lists=256, seed=42, pq_m_sub=8, pq_ksub=256
-        )
-    )
     qs = local_queries(spark, corpus, 8)
     qs_np = np.asarray([r["embedding"] for r in qs.collect()], dtype=np.float64)
-    cells = probed_cells(meta, qs_np, 16)
-    rec["probed_cells"] = len(cells)
-    rec["probed_bytes_raw_path"] = column_bytes(
-        os.path.join(pq_idx, "index"), cells, {"vec_id", "embedding", "norm"}
-    )
-    rec["probed_bytes_adc_only"] = column_bytes(
-        os.path.join(pq_idx, "index"), cells, {"vec_id", "pq_codes", "norm"}
-    )
-    # honest accounting: with rerank >= 1 the survivor fetch re-decodes
-    # the probed cells' vector column once PER QUERY BATCH (broadcast
-    # join filters post-scan; parquet has no point lookups), so the
-    # exact path's batch cost is adc_only + raw bytes while its
-    # MARGINAL per-query cost is the ADC stage's — the amortization
-    # claim the walls below evidence (adc-only wall ~flat in batch
-    # size, rerank wall = adc + one fixed vector pass)
-    rec["rerank_fetch_bytes_per_batch"] = rec["probed_bytes_raw_path"]
-    rec["adc_candidate_bytes_ratio"] = round(
-        rec["probed_bytes_raw_path"] / max(rec["probed_bytes_adc_only"], 1), 2
-    )
-    rec["warm_query_raw_sec"] = min3(
-        lambda: query_ivf_index(
-            spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
-        ).count()
-    )
-    rec["warm_query_adc_rerank4_sec"] = min3(
-        lambda: query_ivf_index(
-            spark, pq_idx, qs, k=10, n_probe=16, rerank=4
-        ).count()
-    )
-    rec["warm_query_adc_only_sec"] = min3(
-        lambda: query_ivf_index(
-            spark, pq_idx, qs, k=10, n_probe=16, rerank=0
-        ).count()
-    )
-    raw_rows = {
-        (r["query_id"], r["vec_id"])
-        for r in query_ivf_index(
-            spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
-        ).collect()
-    }
-    adc_rows = {
-        (r["query_id"], r["vec_id"])
-        for r in query_ivf_index(
-            spark, pq_idx, qs, k=10, n_probe=16, rerank=4
-        ).collect()
-    }
-    rec["top10_agreement_vs_raw"] = round(
-        len(raw_rows & adc_rows) / max(len(raw_rows), 1), 4
-    )
-
-    # PLANTED STRONG NEIGHBORS — the regime PQ serving exists for. The
-    # synthetic corpus's within-cluster top-10 is decided by noise
-    # smaller than the PQ quantization error (first r9 run measured
-    # top10_agreement 0.0 on natural neighbors: cluster-mates all sit
-    # at cosine ~0.9 +- 1e-3, below an 8-byte code's resolution), so
-    # agreement on NATURAL ties measures the corpus, not the operator.
-    # Plant 20 genuine near-duplicates per query (cosine ~0.9999,
-    # margin ~0.1 over cluster-mates — separable structure) via
-    # ivf_append (also exercising append-time code encoding at scale)
-    # and measure top-10 recall of the planted set through both paths.
-    rng = np.random.RandomState(11)
-    qs_np = np.asarray([r["embedding"] for r in qs.collect()], dtype=np.float64)
     q_ids = [int(r["vec_id"]) for r in qs.collect()]
+
+    # planted strong neighbors — the regime PQ serving exists for. The
+    # synthetic corpus's within-cluster top-10 is decided by noise
+    # smaller than any byte-scale code resolution (cluster-mates all
+    # sit at cosine ~0.9 +- 1e-3), so top-10 agreement on NATURAL ties
+    # measures the corpus, not the operator; the planted set has a
+    # ~0.1-cosine margin (cosine ~0.9999 vs ~0.9) — separable
+    # structure, the dedup/retrieval use case.
+    rng = np.random.RandomState(11)
     planted_rows = []
     planted_by_q: dict[int, set[int]] = {}
     for qi, (qid, v) in enumerate(zip(q_ids, qs_np)):
@@ -302,7 +243,6 @@ def pq_serving_8m(spark) -> dict:
     planted_df = spark.createDataFrame(
         planted_rows, "vec_id long, embedding array<double>"
     )
-    rec["planted_append_sec"], _ = t(lambda: ivf_append(planted_df, pq_idx))
 
     def planted_recall(rows) -> float:
         hits = sum(
@@ -310,24 +250,93 @@ def pq_serving_8m(spark) -> dict:
         )
         return round(hits / (len(q_ids) * 10), 4)
 
-    rec["planted_recall10_adc_rerank4"] = planted_recall(
-        query_ivf_index(spark, pq_idx, qs, k=10, n_probe=16, rerank=4).collect()
-    )
-    rec["planted_recall10_raw"] = planted_recall(
-        query_ivf_index(spark, pq_idx, qs, k=10, n_probe=16, use_pq=False).collect()
-    )
+    rec["variants"] = {}
+    for m_sub in (8, 16):
+        var: dict = {}
+        pq_idx = f"{BASE}/ivf_8m_pq_m{m_sub}"
+        if os.path.exists(pq_idx):
+            shutil.rmtree(pq_idx)
+        var["build_pq_sec"], meta = t(
+            lambda: build_ivf_index(
+                corpus, pq_idx, n_lists=256, seed=42,
+                pq_m_sub=m_sub, pq_ksub=256,
+            )
+        )
+        cells = probed_cells(meta, qs_np, 16)
+        var["probed_cells"] = len(cells)
+        var["probed_bytes_raw_path"] = column_bytes(
+            os.path.join(pq_idx, "index"), cells, {"vec_id", "embedding", "norm"}
+        )
+        var["probed_bytes_adc_only"] = column_bytes(
+            os.path.join(pq_idx, "index"), cells, {"vec_id", "pq_codes", "norm"}
+        )
+        # honest accounting: with rerank >= 1 the survivor fetch
+        # re-decodes the probed vector column once per query BATCH
+        # (broadcast join filters post-scan; parquet has no point
+        # lookups) — the exact path's batch cost is adc_only + raw
+        # bytes while its MARGINAL per-query cost is the ADC stage's
+        var["rerank_fetch_bytes_per_batch"] = var["probed_bytes_raw_path"]
+        var["adc_candidate_bytes_ratio"] = round(
+            var["probed_bytes_raw_path"] / max(var["probed_bytes_adc_only"], 1), 2
+        )
+        var["warm_query_raw_sec"] = min3(
+            lambda: query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
+            ).count()
+        )
+        var["warm_query_adc_rerank4_sec"] = min3(
+            lambda: query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, rerank=4
+            ).count()
+        )
+        var["warm_query_adc_only_sec"] = min3(
+            lambda: query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, rerank=0
+            ).count()
+        )
+        raw_rows = {
+            (r["query_id"], r["vec_id"])
+            for r in query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
+            ).collect()
+        }
+        adc_rows = {
+            (r["query_id"], r["vec_id"])
+            for r in query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, rerank=4
+            ).collect()
+        }
+        var["top10_agreement_vs_raw_natural_ties"] = round(
+            len(raw_rows & adc_rows) / max(len(raw_rows), 1), 4
+        )
+        var["planted_append_sec"], _ = t(lambda: ivf_append(planted_df, pq_idx))
+        var["planted_recall10_adc_rerank4"] = planted_recall(
+            query_ivf_index(spark, pq_idx, qs, k=10, n_probe=16, rerank=4).collect()
+        )
+        var["planted_recall10_adc_rerank16"] = planted_recall(
+            query_ivf_index(spark, pq_idx, qs, k=10, n_probe=16, rerank=16).collect()
+        )
+        var["planted_recall10_raw"] = planted_recall(
+            query_ivf_index(
+                spark, pq_idx, qs, k=10, n_probe=16, use_pq=False
+            ).collect()
+        )
+        rec["variants"][f"m{m_sub}"] = var
     rec["note"] = (
         "Persisted IVF+PQ serving at 8M x dim-64, n_lists=256, "
-        "n_probe=16, m_sub=8/ksub=256 (64x smaller candidate payload): "
-        "probed bytes from column-chunk metadata over the same probed "
-        "cells — ADC-only reads (id, norm, pq_codes), raw reads "
-        "(id, norm, embedding); rerank>=1 additionally re-decodes the "
-        "probed vector column once per query BATCH (amortized; "
-        "rerank_fetch_bytes_per_batch records it, the docstring owns "
-        "the claim). Min-of-3 warm walls on pre-materialized queries "
-        "for raw / adc+rerank4 / adc-only, plus top-10 agreement at "
-        "rerank=4 (identical probe geometry, so disagreement == ADC "
-        "shortlist misses; raise rerank to trade compute for recall)."
+        "n_probe=16, ksub=256, RESIDUAL codes (IVFADC): probed bytes "
+        "from column-chunk metadata over the same probed cells — "
+        "ADC-only reads (id, norm, pq_codes), raw reads (id, norm, "
+        "embedding); rerank>=1 additionally re-decodes the probed "
+        "vector column once per query BATCH (amortized; "
+        "rerank_fetch_bytes_per_batch records it, the query_ivf_index "
+        "docstring owns the claim). Two code sizes record the "
+        "compression-vs-recall dial on PLANTED strong neighbors "
+        "(0.1-cosine margin; natural within-cluster ties at ~1e-3 "
+        "spread sit below byte-scale code resolution by construction, "
+        "so the natural-tie agreement row measures the corpus, not the "
+        "operator). rerank 4 vs 16 shows the recall knob at fixed "
+        "bytes."
     )
     return rec
 
