@@ -184,6 +184,32 @@ def cmd_ivf_append(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ivf_compact(args: argparse.Namespace) -> int:
+    """Recluster an appended-to index's file layout (no retrain, no
+    re-assignment; results bit-identical). Takes the appender lock."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_compact
+
+    spark = _spark("cli-ivf-compact")
+    stats = ivf_compact(
+        spark,
+        args.index,
+        max_files_per_cell=args.max_files_per_cell,
+        rows_per_file=args.rows_per_file,
+    )
+    if stats["compacted"]:
+        print(
+            f"ivf-compact: {stats['cells_over_threshold']} cell(s) over "
+            f"threshold; {stats['files_before']} -> {stats['files_after']} "
+            f"files in {args.index}"
+        )
+    else:
+        print(
+            f"ivf-compact: layout already within "
+            f"{args.max_files_per_cell} files/cell — no-op"
+        )
+    return 0
+
+
 def cmd_ivf_verify(args: argparse.Namespace) -> int:
     """Audit a persisted index's sidecar counts against the index;
     --repair rewrites the sidecar from the index. Exit 4 = inconsistent
@@ -347,6 +373,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="seconds to wait for another appender's lock before failing",
     )
     sa.set_defaults(fn=cmd_ivf_append)
+
+    sk = sub.add_parser(
+        "ivf-compact",
+        help="recluster an appended-to index's files (stage-then-swap; "
+        "results bit-identical, no retrain); takes the appender lock",
+    )
+    sk.add_argument("--index", required=True)
+    sk.add_argument("--max-files-per-cell", type=int, default=8)
+    sk.add_argument("--rows-per-file", type=int, default=250_000)
+    sk.set_defaults(fn=cmd_ivf_compact)
 
     sw = sub.add_parser(
         "ivf-verify",

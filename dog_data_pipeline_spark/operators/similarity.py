@@ -1172,6 +1172,102 @@ def query_ivf_index(
     )
 
 
+def ivf_compact(
+    spark,
+    path: str,
+    max_files_per_cell: int = 8,
+    rows_per_file: int = 250_000,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """Compact a persisted IVF index's file layout without retraining
+    or re-assigning: the maintenance step between appends and the
+    drift-triggered rebuild.
+
+    Every ``ivf_append`` adds >= 1 file per touched cell (parquet
+    append never rewrites prior files), so a busy index accumulates
+    files — after N append batches a hot cell holds ~N small files,
+    and at object-store scale the listing + per-file open overhead
+    creeps back into warm-query cost (the very failure the build-time
+    write clustering fixed, re-introduced one append at a time). A
+    REBUILD fixes it but pays quantizer training plus the O(corpus)
+    nearest-centroid assignment matmul; compaction instead reads the
+    index AS IS (the cell column is already materialized — no Arrow
+    UDF anywhere in the plan), reclusters by (cell, per-cell salt from
+    the sidecar counts), and rewrites — one scan + one shuffle + one
+    write, all JVM-side. Results are BIT-identical before/after (same
+    rows, same sidecar, same centroids; only the file layout changes)
+    and PQ code columns ride along untouched.
+
+    Swap is stage-then-swap at the index-dir level (the reference's
+    CSV convention, ``preprocessed_to_raw.py:48-52``, same as
+    ``build_ivf_index`` docs): the compacted layout lands in
+    ``{path}/index.compact``, then two posix renames swap it in and
+    the old generation is kept at ``{path}/index.old`` until the next
+    compact — in-flight readers that already opened files keep reading
+    them (posix unlink-after-open semantics), new readers see the new
+    layout. The brief window between the two renames where ``index``
+    is absent is the same window the reference's swap has; an object
+    store deployment replaces the pair with a manifest pointer update.
+    Holds the APPENDER lock throughout (compaction rewrites files an
+    appender would race with; readers never take the lock).
+
+    Returns ``{"compacted": bool, "cells_over_threshold": n,
+    "files_before": n, "files_after": n}``; a layout already under
+    ``max_files_per_cell`` everywhere is a no-op (no scan, no write)."""
+    import json
+    import os
+    import shutil
+
+    def file_counts(index_dir: str) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for d in os.listdir(index_dir):
+            if d.startswith("cell="):
+                out[int(d.split("=", 1)[1])] = sum(
+                    1
+                    for f in os.listdir(os.path.join(index_dir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    with _ivf_append_lock(path, lock_timeout_s):
+        with open(os.path.join(path, "ivf_meta.json")) as fh:
+            meta = json.load(fh)
+        index_dir = os.path.join(path, "index")
+        before = file_counts(index_dir)
+        over = {c for c, n in before.items() if n > max_files_per_cell}
+        if not over:
+            return {
+                "compacted": False,
+                "cells_over_threshold": 0,
+                "files_before": sum(before.values()),
+                "files_after": sum(before.values()),
+            }
+        counts = {int(k): int(v) for k, v in meta.get("cell_counts", {}).items()}
+        salts = [
+            (cell, max(1, round(n / rows_per_file))) for cell, n in counts.items()
+        ]
+        idx = spark.read.parquet(index_dir)
+        staged = os.path.join(path, "index.compact")
+        clustered = _cell_salted(spark, idx, meta["id_col"], salts)
+        (
+            clustered.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staged)
+        )
+        old = os.path.join(path, "index.old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(index_dir, old)
+        os.rename(staged, index_dir)
+        after = file_counts(index_dir)
+        return {
+            "compacted": True,
+            "cells_over_threshold": len(over),
+            "files_before": sum(before.values()),
+            "files_after": sum(after.values()),
+        }
+
+
 def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     """Audit (and optionally repair) a persisted IVF index's sidecar
     bookkeeping against the index itself.

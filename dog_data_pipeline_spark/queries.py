@@ -4979,6 +4979,101 @@ def knn_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_index_compacted",
+    "SELECT t.*, TRUE AS compact_results_unchanged, TRUE AS files_bounded, "
+    "TRUE AS sidecar_consistent_after FROM ("
+    + _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2")
+    + ") t",
+    "FILE-LAYOUT COMPACTION for the persisted IVF index "
+    "(operators/similarity.py ivf_compact) — the maintenance step "
+    "between appends and the drift-triggered rebuild: every ivf_append "
+    "adds >= 1 file per touched cell, so a busy index re-accumulates "
+    "the small-files overhead the build-time write clustering removed "
+    "(r8 measured 81,920 tiny files making file LISTING dominate warm "
+    "queries at 32M). Compaction reclusters by (cell, per-cell salt "
+    "from sidecar counts) WITHOUT retraining or re-assigning — the "
+    "cell column is already materialized, so the whole plan is "
+    "JVM-side scan+shuffle+write, strictly cheaper than a rebuild — "
+    "and swaps stage-then-swap (the reference's CSV convention, "
+    "preprocessed_to_raw.py:48-52). The certificate appends the 20% "
+    "split in THREE sub-batches (accumulating >= 3 files in touched "
+    "cells + the build's), compacts, and pins: "
+    "compact_results_unchanged (top-k query rows before == after, "
+    "multiset-exact via signed counts — layout is invisible to "
+    "results), files_bounded (every cell dir holds <= "
+    "ceil(cell_rows/rows_per_file) files afterwards AND the total "
+    "file count strictly dropped), sidecar_consistent_after "
+    "(ivf_verify: cumulative counts still match the index — compaction "
+    "moves rows, never loses them). The shared ANN certificate (exact "
+    "kth anchor + full-k + recall@10 >= 2 + dominance) rides on top.",
+)
+def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+    import os as _os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        ivf_compact,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    root = _roundtrip_dir("ivfcompact")
+    build_ivf_index(corpus, root, n_lists=8, seed=42)
+    for part in range(3):  # three append batches -> file accumulation
+        ivf_append(
+            emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == part)
+            ),
+            root,
+        )
+    pre = query_ivf_index(spark, root, queries_df, k=10, n_probe=3)
+    pre_rows = pre.collect()
+
+    def cell_files() -> dict[int, int]:
+        out = {}
+        for d in _os.listdir(_os.path.join(root, "index")):
+            if d.startswith("cell="):
+                out[int(d.split("=", 1)[1])] = sum(
+                    1
+                    for f in _os.listdir(_os.path.join(root, "index", d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    files_before = sum(cell_files().values())
+    stats = ivf_compact(spark, root, max_files_per_cell=1)
+    post = query_ivf_index(spark, root, queries_df, k=10, n_probe=3)
+    post_rows = post.collect()
+    unchanged = sorted(map(tuple, pre_rows)) == sorted(map(tuple, post_rows))
+
+    import json as _json
+
+    side = _json.load(open(_os.path.join(root, "ivf_meta.json")))
+    counts = {int(k): int(v) for k, v in side["cell_counts"].items()}
+    after = cell_files()
+    bounded = stats["compacted"] and sum(after.values()) < files_before and all(
+        n_files <= max(1, _math.ceil(counts.get(cell, 0) / 250_000))
+        for cell, n_files in after.items()
+    )
+    consistent = ivf_verify(spark, root)["consistent_after"]
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    # exact is over the FULL table; the index holds corpus+appends == emb
+    cert = _knn_certificate(exact, post, k=10, min_hits=2, recall_col="recall10_ge_2")
+    return cert.select(
+        "*",
+        F.lit(bool(unchanged)).alias("compact_results_unchanged"),
+        F.lit(bool(bounded)).alias("files_bounded"),
+        F.lit(bool(consistent)).alias("sidecar_consistent_after"),
+    )
+
+
+@query(
     "knn_cosine_ivfpq",
     _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
     "Approximate top-k cosine via IVF + product quantization with "
@@ -9943,15 +10038,17 @@ _PRIORITY_ORDER = [
     "flagship_segment_stats",
     # ---- round-9 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # One new query landed this round (knn_ivf_index_pq — the
-    # persisted IVF+PQ/ADC serving certificate) and takes its slot
-    # per the freeze-then-build rule; the remaining 48 slots go to
-    # the stale tail, which is exactly the 49 r5-latest rows minus
-    # the one displaced by the new landing (zipf_spectrum_audit,
-    # deferred to r10 — cadence stays within MAX_CADENCE, --check
-    # green). After this window is green no registry query's latest
-    # driver row is older than r6.
+    # TWO new queries landed this round (knn_ivf_index_pq — the
+    # persisted IVF+PQ/ADC serving certificate — and
+    # knn_ivf_index_compacted — the file-layout compaction
+    # certificate) and take their slots per the freeze-then-build
+    # rule; the remaining 47 slots go to the stale tail (the 49
+    # r5-latest rows minus the two displaced, deferred to r10 —
+    # cadence stays within MAX_CADENCE, --check green). After this
+    # window is green no registry query's latest driver row is
+    # older than r6.
     "knn_ivf_index_pq",  # NEW
+    "knn_ivf_index_compacted",  # NEW
     "anti_join_idempotence",  # r5
     "approx_distinct_parts",  # r5
     "asof_join_latest_event",  # r5
@@ -9999,13 +10096,12 @@ _PRIORITY_ORDER = [
     "url_canonicalization_report",  # r5
     "vocab_oov_report",  # r5
     "window_partition_max",  # r5
-    "zip_join_positional",  # r5
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-9 rotation math: 1 flagship + 1 never-checked (knn_ivf_index_pq)
-# + 48 stalest (the r5 tail) = 50.  Generated by `python
-# tools/window_rotation.py`; 148 deferred names are all r5/r6/r7/r8-green
-# and stay under the driver-strict local oracle mirror
+# Round-9 rotation math: 1 flagship + 2 never-checked (knn_ivf_index_pq,
+# knn_ivf_index_compacted) + 47 stalest (the r5 tail) = 50.  Generated by
+# `python tools/window_rotation.py`; 149 deferred names are all
+# r5/r6/r7/r8-green and stay under the driver-strict local oracle mirror
 # (tests/test_queries_oracle.py) until their rotation slot comes up.
 
 

@@ -255,3 +255,30 @@ def test_cli_ivf_pq_build_and_query_modes(spark, tmp_path):
     assert json.load(open(os.path.join(idx2, "ivf_meta.json")))[
         "balance_bound"
     ] is None
+
+
+def test_cli_ivf_compact(spark, tmp_path):
+    """ivf-compact through the CLI: appends accumulate files, compact
+    bounds them, results and sidecar unchanged (exit 0 both when it
+    compacts and when the layout is already tight)."""
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus_p = str(tmp_path / "corpus")
+    batch_p = str(tmp_path / "batch")
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(corpus_p)
+    emb.filter(F.col("vec_id") % 5 == 0).write.parquet(batch_p)
+    idx = str(tmp_path / "idx")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "8"]) == 0
+    assert main(["ivf-append", "--input", batch_p, "--index", idx]) == 0
+    assert main(["ivf-compact", "--index", idx,
+                 "--max-files-per-cell", "1"]) == 0
+    assert main(["ivf-verify", "--index", idx]) == 0
+    # second call: already tight -> no-op, still exit 0
+    assert main(["ivf-compact", "--index", idx,
+                 "--max-files-per-cell", "1"]) == 0

@@ -1382,3 +1382,77 @@ def test_hash_sample_bounded_on_duplicated_ids(spark):
     s1 = _hash_sample(cu, max_train=256)
     s2 = _hash_sample(cu, max_train=256)
     assert len(s1) == 256 and (s1 == s2).all()
+
+
+def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
+    """ivf_compact: after several appends a cell holds one file per
+    append; compaction reclusters to <= ceil(rows/rows_per_file) files
+    per cell with (a) bit-identical query results, (b) the sidecar
+    untouched and still consistent, (c) PQ codes riding along, (d) the
+    previous generation kept at index.old (posix readers mid-scan keep
+    their open files), and (e) a layout already under the threshold is
+    a NO-OP (no write, no swap)."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "ivfc")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42,
+        pq_m_sub=8, pq_ksub=16,
+    )
+    for part in range(3):
+        ivf_append(
+            emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == part)),
+            root,
+        )
+    idx_dir = os.path.join(root, "index")
+
+    def n_files():
+        return sum(
+            1
+            for d in os.listdir(idx_dir)
+            if d.startswith("cell=")
+            for f in os.listdir(os.path.join(idx_dir, d))
+            if f.endswith(".parquet")
+        )
+
+    before_files = n_files()
+    assert before_files > 8  # appends accumulated files
+    pre = sorted(map(tuple, query_ivf_index(spark, root, queries, k=10,
+                                            n_probe=8).collect()))
+    side_before = json.load(open(os.path.join(root, "ivf_meta.json")))
+
+    stats = ivf_compact(spark, root, max_files_per_cell=1)
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    # one file per cell at this scale (every cell far under rows_per_file)
+    for d in os.listdir(idx_dir):
+        if d.startswith("cell="):
+            files = [f for f in os.listdir(os.path.join(idx_dir, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    post = sorted(map(tuple, query_ivf_index(spark, root, queries, k=10,
+                                             n_probe=8).collect()))
+    assert pre == post  # layout invisible to results
+    side_after = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert side_after == side_before  # compaction never touches the sidecar
+    assert ivf_verify(spark, root)["consistent_after"]
+    # pq codes preserved through the rewrite
+    assert (
+        spark.read.parquet(idx_dir).filter(F.col("pq_codes").isNull()).count() == 0
+    )
+    # previous generation retained for in-flight readers
+    assert os.path.isdir(os.path.join(root, "index.old"))
+    # idempotent: already-compacted layout is a no-op
+    stats2 = ivf_compact(spark, root, max_files_per_cell=1)
+    assert not stats2["compacted"]
+    assert stats2["files_after"] == stats["files_after"]
