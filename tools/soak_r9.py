@@ -436,6 +436,74 @@ def pq_serving_32m(spark) -> dict:
     return rec
 
 
+def compact_8m(spark) -> dict:
+    """Leg 5: compaction cost vs the rebuild it displaces, at 8M. Ten
+    append batches fragment the layout (>= 1 file per touched cell per
+    batch); ivf_compact then reclusters WITHOUT the quantizer-training
+    sample fetch or the O(corpus) nearest-centroid Arrow matmul a
+    rebuild pays — this measures both walls on the same corpus plus the
+    file counts before/after and warm-query walls on the fragmented vs
+    compacted layout (the overhead compaction exists to remove)."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_compact
+
+    corpus_p = f"{BASE}/corpus8m"
+    rec: dict = {}
+    rec["datagen_sec"] = gen_vectors(spark, corpus_p, 8_000_000)
+    corpus = spark.read.parquet(corpus_p)
+    idx = f"{BASE}/ivf_8m_frag"
+    if os.path.exists(idx):
+        shutil.rmtree(idx)
+    rec["build_sec"], _ = t(
+        lambda: build_ivf_index(
+            corpus.filter(F.col("vec_id") % 2 == 0), idx, n_lists=256, seed=42
+        )
+    )
+    batches = corpus.filter(F.col("vec_id") % 2 == 1)
+    rec["append_batches"] = 10
+    dt_total = 0.0
+    for part in range(10):
+        dt, _ = t(
+            lambda: ivf_append(batches.filter(F.col("vec_id") % 20 == 2 * part + 1), idx)
+        )
+        dt_total += dt
+    rec["appends_total_sec"] = round(dt_total, 2)
+    qs = local_queries(spark, corpus, 8)
+    rec["warm_query_fragmented_sec"] = min3(
+        lambda: query_ivf_index(spark, idx, qs, k=10, n_probe=16).count()
+    )
+    rec["compact_sec"], stats = t(lambda: ivf_compact(spark, idx))
+    rec["files_before"] = stats["files_before"]
+    rec["files_after"] = stats["files_after"]
+    rec["warm_query_compacted_sec"] = min3(
+        lambda: query_ivf_index(spark, idx, qs, k=10, n_probe=16).count()
+    )
+    rebuild_idx = f"{BASE}/ivf_8m_rebuild"
+    if os.path.exists(rebuild_idx):
+        shutil.rmtree(rebuild_idx)
+    rec["rebuild_sec"], _ = t(
+        lambda: build_ivf_index(
+            spark.read.parquet(os.path.join(idx, "index")).select(
+                "vec_id", "embedding"
+            ),
+            rebuild_idx,
+            n_lists=256,
+            seed=42,
+        )
+    )
+    rec["note"] = (
+        "Compaction vs rebuild at 8M/256 lists: half the corpus built, "
+        "the other half appended in 10 batches (fragmenting every "
+        "touched cell), then ivf_compact (scan+shuffle+write, no "
+        "quantizer work, no assignment matmul) vs a full build_ivf_index "
+        "rebuild from the same index rows. Warm-query walls on the "
+        "fragmented vs compacted layout bound what the fragmentation "
+        "costs a reader at this scale; at object-store listing latencies "
+        "the fragmented penalty grows with file count while the "
+        "compacted layout holds ~cells files."
+    )
+    return rec
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
@@ -453,6 +521,10 @@ def main() -> None:
         rec = pq_serving_32m(spark)
         print(json.dumps({"ivf_pq_serving_32m_r9": rec}), flush=True)
         merge({"ivf_pq_serving_32m_r9": rec})
+    if which in ("all", "compact8m"):
+        rec = compact_8m(spark)
+        print(json.dumps({"ivf_compact_8m_r9": rec}), flush=True)
+        merge({"ivf_compact_8m_r9": rec})
     spark.stop()
 
 
