@@ -1456,3 +1456,39 @@ def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
     stats2 = ivf_compact(spark, root, max_files_per_cell=1)
     assert not stats2["compacted"]
     assert stats2["files_after"] == stats["files_after"]
+
+
+def test_ivf_compact_takes_the_appender_lock(spark, tmp_path):
+    """ivf_compact's concurrency contract: it rewrites files an
+    appender would race with, so it holds the SAME appender lock — a
+    held lock makes compaction time out loudly (IvfAppendLockTimeout)
+    instead of swapping the index out from under a mid-flight append,
+    and a crashed holder's lock (dead pid) is broken automatically."""
+    import json
+    import os
+
+    import pytest
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        IvfAppendLockTimeout,
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    ivf_append(emb.filter(F.col("vec_id") % 5 == 0), root)
+    lock = os.path.join(root, "ivf_meta.lock")
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "acquired_unix": 0.0}, fh)
+    with pytest.raises(IvfAppendLockTimeout):
+        ivf_compact(spark, root, max_files_per_cell=1, lock_timeout_s=0.6)
+    os.unlink(lock)
+    # dead-pid lock: broken automatically, compaction proceeds
+    with open(lock, "w") as fh:
+        json.dump({"pid": 2_000_000_000, "acquired_unix": 0.0}, fh)
+    stats = ivf_compact(spark, root, max_files_per_cell=1, lock_timeout_s=5.0)
+    assert stats["compacted"]
+    assert not os.path.exists(lock)  # released afterwards
