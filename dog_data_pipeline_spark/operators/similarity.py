@@ -309,38 +309,52 @@ def _hash_sample(
     Precondition softened to a guard: a uniform cut underfills
     persistently only when hash values CLUSTER — duplicated id_col
     values (many rows share one hash). The first underfilled retry
-    therefore switches to distinct (id, vec) rows before widening
-    further: exact-duplicate rows add nothing to quantizer training,
-    and on the deduped stream the hash is uniform again, so every
-    subsequent collect stays proportional to ``mult x max_train`` — the
-    unguarded version's worst case was a FULL-corpus collect (the very
-    defect this function replaces) once ``mult`` widened past
-    n/max_train on a heavily duplicated corpus.
+    therefore RE-BASES the threshold hash onto the full (id, vec) row
+    and dedupes exact duplicates: hash(id, vec) is uniform across
+    distinct rows no matter how duplicated the ids are (a coarse id
+    carrying many distinct vectors defeats an id-only dedup — advisor
+    r9), exact-duplicate rows add nothing to quantizer training, and
+    the deduped/re-based stream is persisted so the retry collects
+    don't recompute its shuffle. Every collect after the guard stays
+    proportional to ``mult x max_train``; the unguarded version's worst
+    case was a FULL-corpus collect (the very defect this function
+    replaces) once ``mult`` widened past n/max_train. The primary path
+    (unique-ish ids — every real corpus) never enters the guard, so
+    trained quantizers are unchanged there.
     Returns the (<=max_train, dim) float64 sample matrix."""
     sel = c.select(id_col, vec_col).withColumn("_h", F.hash(F.col(id_col)))
     n = n_rows if n_rows is not None else c.count()
-    if n <= 2 * max_train:
-        rows = sel.collect()
-    else:
-        mult = 1.5
-        deduped = False
-        while True:
-            frac = min(mult * max_train / n, 1.0)
-            if frac >= 1.0:
-                rows = sel.collect()
-                break
-            cut = int(-(2**31) + frac * 2**32)
-            rows = sel.filter(F.col("_h") < F.lit(cut)).collect()
-            if len(rows) >= max_train:
-                break
-            if not deduped:
-                # underfill at 1.5x the uniform expectation => clustered
-                # hashes (duplicate ids); retrain the cut on distinct rows
-                sel = sel.dropDuplicates([id_col, vec_col])
-                n = sel.count()
-                deduped = True
-                continue
-            mult *= 4.0
+    rebased = None
+    try:
+        if n <= 2 * max_train:
+            rows = sel.collect()
+        else:
+            mult = 1.5
+            while True:
+                frac = min(mult * max_train / n, 1.0)
+                if frac >= 1.0:
+                    rows = sel.collect()
+                    break
+                cut = int(-(2**31) + frac * 2**32)
+                rows = sel.filter(F.col("_h") < F.lit(cut)).collect()
+                if len(rows) >= max_train:
+                    break
+                if rebased is None:
+                    # underfill at 1.5x the uniform expectation =>
+                    # clustered hashes (duplicate ids): re-base the hash
+                    # on the whole row and dedup exact duplicates
+                    rebased = (
+                        sel.dropDuplicates([id_col, vec_col])
+                        .withColumn("_h", F.hash(F.col(id_col), F.col(vec_col)))
+                        .persist()
+                    )
+                    sel = rebased
+                    n = sel.count()
+                    continue
+                mult *= 4.0
+    finally:
+        if rebased is not None:
+            rebased.unpersist()
     rows.sort(key=lambda r: (r["_h"], r[id_col]))
     rows = rows[:max_train]
     return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
@@ -381,20 +395,32 @@ def _train_centroids(
     return (out, vecs) if with_sample else out
 
 
-def _sample_cell_fracs(vecs: "np.ndarray", centroids: list[list[float]]) -> list[float]:
-    """Per-cell corpus-mass estimates from the (bounded) training
-    sample: assign the sample to its nearest centroids and return each
-    cell's fraction. Used to size write salts per CELL instead of from
-    the global mean — under skew the global-mean salt makes a hot
-    cell's files ~skew x rows_per_file and funnels its write through
-    too few tasks (advisor finding, r8)."""
+def _assign_nearest(vecs: "np.ndarray", centroids: list) -> "np.ndarray":
+    """Driver-side nearest-centroid assignment of a bounded sample:
+    the one distance-matrix argmin shared by the salt-mass estimate,
+    the residual-PQ trainer, and their callers (advisor r9: three
+    copies of the same matmul; a PQ build ran it twice on one sample)."""
     mat = np.asarray(centroids, dtype=np.float64)
     d = (
         (vecs**2).sum(axis=1)[:, None]
         - 2.0 * (vecs @ mat.T)
         + (mat**2).sum(axis=1)[None, :]
     )
-    counts = np.bincount(d.argmin(axis=1), minlength=len(centroids))
+    return d.argmin(axis=1)
+
+
+def _sample_cell_fracs(
+    vecs: "np.ndarray", centroids: list, assign: "np.ndarray | None" = None
+) -> list[float]:
+    """Per-cell corpus-mass estimates from the (bounded) training
+    sample: assign the sample to its nearest centroids and return each
+    cell's fraction. Used to size write salts per CELL instead of from
+    the global mean — under skew the global-mean salt makes a hot
+    cell's files ~skew x rows_per_file and funnels its write through
+    too few tasks (advisor finding, r8)."""
+    if assign is None:
+        assign = _assign_nearest(vecs, centroids)
+    counts = np.bincount(assign, minlength=len(centroids))
     return (counts / max(len(vecs), 1)).tolist()
 
 
@@ -698,18 +724,27 @@ def build_ivf_index(
         balance_bound = None
     pq_meta = None
     encode = None
+    sample_assign = (
+        _assign_nearest(sample, centroids) if sample is not None else None
+    )
     if pq_m_sub is not None or pq_codebooks is not None:
         if pq_codebooks is None:
+            if pq_ksub > 256:
+                # same bound _pq_encode_udf enforces (uint8 codes) —
+                # raise here too rather than silently clamping what the
+                # caller asked for (advisor r9)
+                raise ValueError(f"pq_ksub {pq_ksub} > 256 does not fit uint8 codes")
             if sample is None:
                 sample = _hash_sample(
                     c, max(256 * n_lists, 2048), n_rows=n_rows
                 )
+                sample_assign = _assign_nearest(sample, centroids)
             pq_codebooks = [
                 cb.tolist()
                 for cb in _train_pq_codebooks(
-                    _residual_sample(sample, centroids),
+                    _residual_sample(sample, centroids, sample_assign),
                     pq_m_sub,
-                    min(pq_ksub, 256),
+                    pq_ksub,
                     seed,
                 )
             ]
@@ -746,7 +781,7 @@ def build_ivf_index(
     # write-clustering trade.
     spark = corpus.sparkSession
     if sample is not None:
-        fracs = _sample_cell_fracs(sample, centroids)
+        fracs = _sample_cell_fracs(sample, centroids, sample_assign)
         salts = [
             (ci, max(1, round(n_rows * fr / rows_per_file)))
             for ci, fr in enumerate(fracs)
@@ -800,13 +835,18 @@ def _cell_salted(
     lookup a projection expresses directly. The salt hashes the id so
     task retries re-land rows in the same bucket (nondeterministic
     salts under partial stage retry can duplicate or drop rows — see
-    sources/warehouse.write_partitioned); a cell id past the map
-    (impossible by construction) falls back to salt_mod 1."""
+    sources/warehouse.write_partitioned); a cell id past the map falls
+    back to salt_mod 1 via ``try_element_at`` — reachable, not
+    theoretical: ``ivf_compact`` derives salts from the SIDECAR counts,
+    and a crashed append can leave cell dirs the sidecar hasn't heard
+    of (the staleness ``ivf_verify`` audits); plain ``element_at``
+    would THROW on those rows under ``spark.sql.ansi.enabled``
+    (advisor r9) instead of defaulting."""
     by_cell = dict(salts)
     n_cells = (max(by_cell) + 1) if by_cell else 1
     mods = F.array(*[F.lit(int(by_cell.get(ci, 1))) for ci in range(n_cells)])
     salt_mod = F.coalesce(
-        F.element_at(mods, F.col("cell").cast("int") + F.lit(1)), F.lit(1)
+        F.try_element_at(mods, F.col("cell").cast("int") + F.lit(1)), F.lit(1)
     )
     salt = F.pmod(F.xxhash64(F.col(id_col)), salt_mod)
     return assigned.repartition(F.col("cell"), salt)
@@ -1058,9 +1098,14 @@ def query_ivf_index(
     collect), and the index scan carries ``cell IN (probed)`` on the
     PARTITION column — Catalyst prunes the unprobed cell directories
     before any file is opened (verify with ``df.inputFiles()``). Scoring
-    and ranking match ``cosine_topk_ivf`` exactly: same quantizer
-    training, same tie-breaks, so results are bit-identical to the
-    in-memory path on the same corpus.
+    and ranking match ``cosine_topk_ivf`` exactly (same fold, same
+    tie-breaks), and results are bit-identical to the in-memory path on
+    the same corpus FOR THE SAME QUANTIZER — i.e. when the index was
+    built with ``balance_bound=None``, or when the default balance pass
+    no-ops because the sampled masses sit under the bound
+    (``cosine_topk_ivf`` always trains plain Lloyd's; an index whose
+    build split a hot cell probes a different — better-pruned — cell
+    set by design).
 
     When the index was built with PQ codes (``pq_m_sub``) the probe
     runs ADC-first by default (``use_pq=None`` auto-detects; ``False``
@@ -1234,7 +1279,22 @@ def ivf_compact(
             meta = json.load(fh)
         index_dir = os.path.join(path, "index")
         before = file_counts(index_dir)
-        over = {c for c, n in before.items() if n > max_files_per_cell}
+        counts = {int(k): int(v) for k, v in meta.get("cell_counts", {}).items()}
+        # A cell is over threshold only if compaction could IMPROVE it:
+        # the achievable layout is ceil(cell_rows / rows_per_file) files,
+        # so a hot cell already at its row-bound file count must not
+        # trip the gate — otherwise a scheduler running ivf-compact
+        # periodically would pay a full-index rewrite on every call
+        # without ever converging (advisor r9).
+        def bound(cell: int) -> int:
+            import math
+
+            return max(
+                max_files_per_cell,
+                math.ceil(counts.get(cell, 0) / rows_per_file),
+            )
+
+        over = {c for c, n in before.items() if n > bound(c)}
         if not over:
             return {
                 "compacted": False,
@@ -1242,7 +1302,6 @@ def ivf_compact(
                 "files_before": sum(before.values()),
                 "files_after": sum(before.values()),
             }
-        counts = {int(k): int(v) for k, v in meta.get("cell_counts", {}).items()}
         salts = [
             (cell, max(1, round(n / rows_per_file))) for cell, n in counts.items()
         ]
@@ -1418,16 +1477,15 @@ def _pq_adc_udf(codebooks: list, centroids: list):
     return _adc
 
 
-def _residual_sample(vecs: "np.ndarray", centroids: list) -> "np.ndarray":
+def _residual_sample(
+    vecs: "np.ndarray", centroids: list, assign: "np.ndarray | None" = None
+) -> "np.ndarray":
     """Training residuals for the PQ codebooks: each sample vector minus
-    its nearest coarse centroid (the distribution the codes quantize)."""
-    cents = np.asarray(centroids, dtype=np.float64)
-    d = (
-        (vecs**2).sum(axis=1)[:, None]
-        - 2.0 * (vecs @ cents.T)
-        + (cents**2).sum(axis=1)[None, :]
-    )
-    return vecs - cents[d.argmin(axis=1)]
+    its nearest coarse centroid (the distribution the codes quantize).
+    Pass a precomputed ``assign`` to reuse the caller's assignment."""
+    if assign is None:
+        assign = _assign_nearest(vecs, centroids)
+    return vecs - np.asarray(centroids, dtype=np.float64)[assign]
 
 
 def cosine_topk_ivfpq(

@@ -4811,9 +4811,13 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directories are pruned at planning, so per-batch I/O is "
     "~n_probe/n_lists of the corpus at the FILE level (measured at 2M "
     "vectors: build once 37s, then 2.4s per batch vs 17s for the "
-    "retrain-per-call path). Same quantizer training and tie-breaks as "
-    "cosine_topk_ivf, so results are bit-identical to the in-memory "
-    "path (pinned by tests/test_dedup_similarity.py). SELF-CERTIFYING "
+    "retrain-per-call path). Same scoring fold and tie-breaks as "
+    "cosine_topk_ivf, and bit-identical to the in-memory path FOR "
+    "THE SAME QUANTIZER: on this corpus the default balance pass "
+    "no-ops (sampled masses under the bound), so the identity holds "
+    "and is pinned by tests/test_dedup_similarity.py; a build whose "
+    "balance pass fires probes a better-pruned cell set by design. "
+    "SELF-CERTIFYING "
     "via the shared per-query certificate: exact kth cosine anchor + "
     "returned_full_k + recall@10 >= 2 + approx-kth <= exact-kth "
     "dominance — the full roundtrip (build -> sidecar -> pruned scan "

@@ -657,8 +657,11 @@ def test_contrastive_pairs_hand_fixture(spark):
 
 def test_ivf_persisted_index_matches_in_memory_and_prunes(spark, tmp_path):
     """build_ivf_index + query_ivf_index: (a) results are bit-identical
-    to the in-memory cosine_topk_ivf on the same corpus (same quantizer
-    training, same tie-breaks); (b) the query scan is PARTITION-PRUNED —
+    to the in-memory cosine_topk_ivf on the same corpus — the
+    same-quantizer identity: the default balance pass no-ops here
+    (sampled masses under the bound), so both paths train the same
+    plain-Lloyd's quantizer and share fold + tie-breaks; (b) the query
+    scan is PARTITION-PRUNED —
     only the probed cell directories contribute input files; (c) the
     sidecar records the trained quantizer."""
     import json
@@ -1376,6 +1379,22 @@ def test_hash_sample_bounded_on_duplicated_ids(spark):
     out = _hash_sample(c, max_train=2048)
     # bounded: exactly the distinct (id, vec) rows, never the corpus
     assert len(out) == 5
+    # COARSE ids carrying DISTINCT vectors (advisor r9: an id-only
+    # dedup can't fix this — the retry must re-base the hash onto the
+    # whole row): 5 ids x 8000 distinct vectors; the id-hash cut
+    # underfills, the re-based hash(id, vec) is uniform over all 40k
+    # distinct rows, and the sample fills to exactly max_train —
+    # bounded and deterministic, never a full-corpus collect
+    coarse = _vec_df(spark, rng.uniform(-1, 1, size=(40_000, 8)))
+    coarse = coarse.withColumn(
+        "vec_id",
+        F.expr("element_at(array(0,1,2,4,5), int(vec_id div 8000) + 1)"),
+    )
+    cc = _with_norm(coarse, "vec_id", "embedding", "c")
+    c1 = _hash_sample(cc, max_train=2048)
+    c2 = _hash_sample(cc, max_train=2048)
+    assert len(c1) == 2048 and (c1 == c2).all()
+
     # unique ids: unchanged exact smallest-k semantics
     uniq = _vec_df(spark, rng.uniform(-1, 1, size=(5000, 8)))
     cu = _with_norm(uniq, "vec_id", "embedding", "c")
@@ -1456,6 +1475,13 @@ def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
     stats2 = ivf_compact(spark, root, max_files_per_cell=1)
     assert not stats2["compacted"]
     assert stats2["files_after"] == stats["files_after"]
+    # convergence (advisor r9): a cell already AT its achievable layout
+    # (ceil(rows/rows_per_file) files) must not re-trip the gate even
+    # when that exceeds max_files_per_cell — otherwise a periodic
+    # compactor would full-rewrite forever. rows_per_file=5 makes the
+    # achievable bound >> the actual 1 file/cell, so: no-op.
+    stats3 = ivf_compact(spark, root, max_files_per_cell=1, rows_per_file=5)
+    assert not stats3["compacted"]
 
 
 def test_ivf_compact_takes_the_appender_lock(spark, tmp_path):
