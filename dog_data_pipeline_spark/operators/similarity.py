@@ -959,6 +959,7 @@ def ivf_append(
     skew_bound: float = 4.0,
     lock_timeout_s: float = 600.0,
     rows_per_file: int = 250_000,
+    batch_id: int | None = None,
 ) -> dict:
     """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
     operation a serving corpus needs — assign ONLY the new batch against
@@ -1000,6 +1001,19 @@ def ivf_append(
     crashed appender on this host is broken automatically (pid liveness
     probe); ``ivf_verify`` reports a held lock either way.
 
+    ``batch_id`` (for streaming ingest, ``streaming/ann_ingest.py``):
+    Structured Streaming's foreachBatch replays a failed micro-batch
+    under the SAME monotonically increasing batch id, so the sidecar
+    records the last applied id under the appender lock and a replayed
+    id returns ``{"appended": 0, "skipped_replay": True}`` without
+    touching the index — the effectively-once ingest contract. The one
+    uncovered window is a crash AFTER the parquet write and BEFORE the
+    sidecar update: the replay then re-appends that batch's rows
+    (duplicate ids in their cells). Results stay exact — the query path
+    de-duplicates (query, id) pairs — and ``ivf_verify`` flags the
+    rows-vs-sidecar divergence for repair; the next drift-triggered
+    rebuild removes the duplicate rows.
+
     Returns the updated meta plus ``{"appended": n, "max_mean_skew": s,
     "rebuild_recommended": bool}``."""
     import json
@@ -1008,6 +1022,24 @@ def ivf_append(
     with _ivf_append_lock(path, lock_timeout_s):
         with open(os.path.join(path, "ivf_meta.json")) as fh:
             meta = json.load(fh)
+        if batch_id is not None and int(meta.get("last_stream_batch", -1)) >= int(
+            batch_id
+        ):
+            counts = {
+                int(k): v for k, v in meta.get("cell_counts", {}).items()
+            }
+            mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
+            meta.update(
+                {
+                    "appended": 0,
+                    "skipped_replay": True,
+                    "max_mean_skew": round(
+                        (max(counts.values()) / mean) if counts and mean else 0.0, 4
+                    ),
+                    "rebuild_recommended": False,
+                }
+            )
+            return meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
 
         c = _with_norm(new_vectors, id_col, vec_col, "c")
@@ -1071,6 +1103,8 @@ def ivf_append(
         mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
         skew = (max(counts.values()) / mean) if counts and mean else 0.0
         meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
+        if batch_id is not None:
+            meta["last_stream_batch"] = int(batch_id)
         _write_ivf_meta(path, meta)
     meta.update(
         {

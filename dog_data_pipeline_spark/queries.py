@@ -5078,6 +5078,111 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ivf_ingest",
+    "SELECT t.*, TRUE AS ingest_equals_bulk, TRUE AS replay_skipped, "
+    "TRUE AS ingested_exactly_once FROM ("
+    + _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2")
+    + ") t",
+    "STREAMING VECTOR INGEST into the persisted IVF index "
+    "(streaming/ann_ingest.py stream_ivf_ingest): embeddings arrive as "
+    "a file stream and every micro-batch is foreachBatch-appended "
+    "against the FROZEN sidecar centroids under the exclusive appender "
+    "lock — the continuously-searchable serving corpus a training-data "
+    "pipeline needs (the reference's append-only ingestion convention, "
+    "preprocessed_to_raw.py:48-52, lifted to a streaming ANN index; "
+    "streaming twin of knn_ivf_index_appended the way the incremental "
+    "MinHash scrub twins the batch dedup). Per-batch cost is "
+    "O(batch x n_lists) assignment + at most one file per touched cell "
+    "per batch; the corpus is never re-read. The certificate replays "
+    "the exactly-once shape of stream_file_sink_exactly_once: the 20% "
+    "split is staged as files, drained in TWO availableNow runs "
+    "against one checkpoint (kill-and-resume — run 2 must consume only "
+    "the file staged after run 1), then pins ingest_equals_bulk "
+    "(top-k from the streamed index == a bulk build of the full corpus "
+    "under the same centroids, multiset-exact via signed counts), "
+    "replay_skipped (re-running ivf_append with an already-applied "
+    "batch id appends 0 rows and reports skipped_replay — Structured "
+    "Streaming replays failed batches under the same id, so this IS "
+    "the effectively-once contract), and ingested_exactly_once (index "
+    "row count == corpus + every batch exactly once, across the resume "
+    "boundary). The shared ANN certificate rides on top.",
+)
+def stream_ivf_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        query_ivf_index,
+    )
+    from dog_data_pipeline_spark.streaming.ann_ingest import stream_ivf_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batches = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    tmp = _roundtrip_dir("ivfingest")
+    inc_root, bulk_root, src, ckpt = (
+        _os.path.join(tmp, d) for d in ("inc", "bulk", "src", "ckpt")
+    )
+    meta = build_ivf_index(corpus, inc_root, n_lists=8, seed=42)
+
+    def _stage(k: int) -> None:
+        (
+            batches.filter(F.col("vec_id") % 2 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def _drain() -> None:
+        q = stream_ivf_ingest(
+            spark.readStream.schema(batches.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            inc_root,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    _stage(0)
+    _drain()  # run 1 ingests the first wave, then terminates ("crash")
+    _stage(1)
+    _drain()  # run 2, same checkpoint: must ingest ONLY the new file
+    side = _json.load(open(_os.path.join(inc_root, "ivf_meta.json")))
+    exactly_once = (
+        spark.read.parquet(_os.path.join(inc_root, "index")).count() == emb.count()
+        and sum(int(v) for v in side["cell_counts"].values()) == emb.count()
+    )
+    # replay of an already-applied batch id: appends nothing
+    stats = ivf_append(
+        batches.limit(5), inc_root, batch_id=int(side["last_stream_batch"])
+    )
+    replay_ok = stats["appended"] == 0 and stats.get("skipped_replay") is True
+    build_ivf_index(emb, bulk_root, n_lists=8, centroids=meta["centroids"])
+    inc = query_ivf_index(spark, inc_root, queries_df, k=10, n_probe=3)
+    bulk = query_ivf_index(spark, bulk_root, queries_df, k=10, n_probe=3)
+    sym_diff = (
+        inc.withColumn("__src", F.lit(1))
+        .unionByName(bulk.withColumn("__src", F.lit(-1)))
+        .groupBy("query_id", "vec_id", "rank", "cosine")
+        .agg(F.sum("__src").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .count()
+    )
+    exact = cosine_topk(emb, queries_df, k=10, id_col="vec_id", vec_col="embedding")
+    cert = _knn_certificate(exact, inc, k=10, min_hits=2, recall_col="recall10_ge_2")
+    return cert.select(
+        "*",
+        F.lit(sym_diff == 0).alias("ingest_equals_bulk"),
+        F.lit(bool(replay_ok)).alias("replay_skipped"),
+        F.lit(bool(exactly_once)).alias("ingested_exactly_once"),
+    )
+
+
+@query(
     "knn_cosine_ivfpq",
     _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2"),
     "Approximate top-k cosine via IVF + product quantization with "
@@ -10042,17 +10147,18 @@ _PRIORITY_ORDER = [
     "flagship_segment_stats",
     # ---- round-9 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # TWO new queries landed this round (knn_ivf_index_pq — the
-    # persisted IVF+PQ/ADC serving certificate — and
-    # knn_ivf_index_compacted — the file-layout compaction
-    # certificate) and take their slots per the freeze-then-build
-    # rule; the remaining 47 slots go to the stale tail (the 49
-    # r5-latest rows minus the two displaced, deferred to r10 —
-    # cadence stays within MAX_CADENCE, --check green). After this
-    # window is green no registry query's latest driver row is
-    # older than r6.
+    # THREE new queries landed this round (knn_ivf_index_pq — the
+    # persisted IVF+PQ/ADC serving certificate; knn_ivf_index_compacted
+    # — file-layout compaction; stream_ivf_ingest — effectively-once
+    # streaming vector ingest) and take their slots per the
+    # freeze-then-build rule; the remaining 46 slots go to the stale
+    # tail (the 49 r5-latest rows minus the three displaced, deferred
+    # to r10 — cadence stays within MAX_CADENCE, --check green).
+    # After this window is green no registry query's latest driver
+    # row is older than r6.
     "knn_ivf_index_pq",  # NEW
     "knn_ivf_index_compacted",  # NEW
+    "stream_ivf_ingest",  # NEW
     "anti_join_idempotence",  # r5
     "approx_distinct_parts",  # r5
     "asof_join_latest_event",  # r5
@@ -10099,14 +10205,14 @@ _PRIORITY_ORDER = [
     "union_ledger",  # r5
     "url_canonicalization_report",  # r5
     "vocab_oov_report",  # r5
-    "window_partition_max",  # r5
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-9 rotation math: 1 flagship + 2 never-checked (knn_ivf_index_pq,
-# knn_ivf_index_compacted) + 47 stalest (the r5 tail) = 50.  Generated by
-# `python tools/window_rotation.py`; 149 deferred names are all
-# r5/r6/r7/r8-green and stay under the driver-strict local oracle mirror
-# (tests/test_queries_oracle.py) until their rotation slot comes up.
+# Round-9 rotation math: 1 flagship + 3 never-checked (knn_ivf_index_pq,
+# knn_ivf_index_compacted, stream_ivf_ingest) + 46 stalest (the r5 tail)
+# = 50.  Generated by `python tools/window_rotation.py`; 150 deferred
+# names are all r5/r6/r7/r8-green and stay under the driver-strict local
+# oracle mirror (tests/test_queries_oracle.py) until their rotation slot
+# comes up.
 
 
 def _apply_registry_order() -> None:

@@ -1,0 +1,86 @@
+"""Streaming vector ingest into a persisted IVF ANN index.
+
+The composition a training-data pipeline actually runs: embeddings
+arrive continuously (new documents embedded by an upstream job) and
+must become searchable without rebuilding the serving index — the
+streaming twin of ``operators/similarity.ivf_append``, the same way
+``streaming/dedup_incremental.py`` is the streaming twin of the batch
+MinHash index. Reference provenance: the reference's append-only
+ingestion convention (``preprocessed_to_raw.py:48-52`` catalog appends)
+lifted to a continuously-ingesting ANN index.
+
+Design:
+
+- ``foreachBatch`` + ``ivf_append(batch_id=...)``: each micro-batch is
+  assigned against the FROZEN sidecar centroids and appended into the
+  cell directories under the exclusive appender lock. All the batch
+  machinery is reused — per-cell salted writes, PQ residual encoding
+  when the index carries codes, cumulative-count drift guard.
+- EFFECTIVELY-ONCE: Structured Streaming replays a failed micro-batch
+  with the SAME monotonically increasing batch id. ``ivf_append``
+  records the last applied id in the sidecar inside the same
+  lock-guarded read-modify-write as the cell counts, so a replayed id
+  is skipped without touching the index. (The narrow crash window —
+  parquet committed, sidecar not — re-appends rows on replay; query
+  results stay exact because the query path de-duplicates (query, id)
+  pairs, and ``ivf_verify`` flags the divergence. See the
+  ``ivf_append`` docstring.)
+- The drift guard still runs per batch: when cumulative skew crosses
+  ``skew_bound`` the sink calls ``on_rebuild_recommended`` (if given)
+  with the append stats — a scheduler hook; ingest itself continues,
+  since appends remain CORRECT under skew (it costs probe time, not
+  results).
+
+At 100 TB this is the right shape: per-batch cost is
+O(batch x n_lists) assignment + at most one file per touched cell per
+batch (bounded, compactable by ``ivf_compact``), the corpus is never
+re-read, and the lock serializes writers while readers stay lock-free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from dog_data_pipeline_spark.operators.similarity import ivf_append
+
+
+def stream_ivf_ingest(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    skew_bound: float = 4.0,
+    lock_timeout_s: float = 600.0,
+    available_now: bool = True,
+    on_rebuild_recommended: Callable[[dict], None] | None = None,
+):
+    """Start a streaming query that appends every micro-batch of
+    (id, vector) rows to the persisted IVF index at ``path``.
+
+    ``stream_df`` must carry the index's ``id_col`` and ``vec_col``
+    (from the sidecar). Returns the started StreamingQuery; with
+    ``available_now=True`` (the default) the query drains whatever the
+    source currently holds and terminates — the incremental-batch
+    deployment mode, re-run per arrival wave with the same checkpoint,
+    which is also what the certificate's kill-and-resume replays."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        stats = ivf_append(
+            batch,
+            path,
+            skew_bound=skew_bound,
+            lock_timeout_s=lock_timeout_s,
+            batch_id=batch_id,
+        )
+        if stats.get("rebuild_recommended") and on_rebuild_recommended is not None:
+            on_rebuild_recommended(stats)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

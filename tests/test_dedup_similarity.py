@@ -1518,3 +1518,48 @@ def test_ivf_compact_takes_the_appender_lock(spark, tmp_path):
     stats = ivf_compact(spark, root, max_files_per_cell=1, lock_timeout_s=5.0)
     assert stats["compacted"]
     assert not os.path.exists(lock)  # released afterwards
+
+
+def test_ivf_append_batch_id_replay_is_skipped(spark, tmp_path):
+    """Effectively-once streaming ingest contract (streaming/ann_ingest):
+    ivf_append(batch_id=) records the last applied id in the sidecar
+    under the appender lock; a replayed id (same or lower) appends
+    nothing and reports skipped_replay, while the next id applies
+    normally. Counts stay exact across the skip."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    build_ivf_index(corpus, root, n_lists=8, seed=42)
+
+    s0 = ivf_append(batch, root, batch_id=0)
+    assert s0["appended"] == batch.count() and "skipped_replay" not in s0
+    # replay of batch 0 (Structured Streaming re-runs a failed batch
+    # under the SAME id): skipped, index untouched
+    s0r = ivf_append(batch, root, batch_id=0)
+    assert s0r["appended"] == 0 and s0r["skipped_replay"] is True
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert sum(int(v) for v in side["cell_counts"].values()) == emb.count()
+    assert side["last_stream_batch"] == 0
+    idx_rows = spark.read.parquet(os.path.join(root, "index")).count()
+    assert idx_rows == emb.count()
+    # the NEXT id applies; a non-stream append (batch_id=None) is
+    # unaffected by the watermark
+    extra = batch.limit(3).select(
+        (F.col("vec_id") + 10**7).alias("vec_id"), "embedding"
+    )
+    s1 = ivf_append(extra, root, batch_id=1)
+    assert s1["appended"] == 3
+    s_none = ivf_append(
+        extra.select((F.col("vec_id") + 10**8).alias("vec_id"), "embedding"),
+        root,
+    )
+    assert s_none["appended"] == 3
