@@ -10145,74 +10145,71 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # flagship (entry() target) — always first
     "flagship_segment_stats",
-    # ---- round-9 rotation: GENERATED by tools/window_rotation.py
+    # ---- round-10 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # THREE new queries landed this round (knn_ivf_index_pq — the
-    # persisted IVF+PQ/ADC serving certificate; knn_ivf_index_compacted
-    # — file-layout compaction; stream_ivf_ingest — effectively-once
-    # streaming vector ingest) and take their slots per the
-    # freeze-then-build rule; the remaining 46 slots go to the stale
-    # tail (the 49 r5-latest rows minus the three displaced, deferred
-    # to r10 — cadence stays within MAX_CADENCE, --check green).
-    # After this window is green no registry query's latest driver
-    # row is older than r6.
-    "knn_ivf_index_pq",  # NEW
-    "knn_ivf_index_compacted",  # NEW
-    "stream_ivf_ingest",  # NEW
-    "anti_join_idempotence",  # r5
-    "approx_distinct_parts",  # r5
-    "asof_join_latest_event",  # r5
-    "bigram_lm_scores",  # r5
-    "broadcast_dim_join",  # r5
-    "classifier_calibration_bins",  # r5
-    "cohort_retention",  # r5
-    "copurchase_triangle_stats",  # r5
-    "dead_letter_split",  # r5
-    "decayed_engagement",  # r5
-    "dense_sequential_ids",  # r5
-    "dp_release_report",  # r5
-    "dsir_selection_report",  # r5
-    "embedding_pca_report",  # r5
-    "embedding_space_audit",  # r5
-    "event_funnel",  # r5
-    "event_transitions",  # r5
-    "filter_agreement_audit",  # r5
-    "filter_project_in",  # r5
-    "hard_negative_mining",  # r5
-    "incoherent_span_stats",  # r5
-    "json_props_extract",  # r5
-    "kmeans_corpus_clusters",  # r5
-    "last_touch_attribution",  # r5
-    "length_bucket_padding",  # r5
-    "map_array_functions",  # r5
-    "market_basket_rules",  # r5
-    "ngram_novelty_profile",  # r5
-    "ordered_collect_seq",  # r5
-    "pagerank_event_graph",  # r5
-    "per_source_quality_quota",  # r5
-    "pmi_collocations",  # r5
-    "range_join_event_pairs",  # r5
-    "robust_outlier_report",  # r5
-    "scd2_event_type_history",  # r5
-    "schema_evolution_roundtrip",  # r5
-    "semantic_contamination",  # r5
-    "shipmode_priority_counts",  # r5
-    "split_leakage_audit",  # r5
-    "table_profile_orders",  # r5
-    "time_weighted_value_avg",  # r5
-    "tracking_pipeline_samples",  # r5
-    "tumbling_daily_counts",  # r5
-    "union_ledger",  # r5
-    "url_canonicalization_report",  # r5
-    "vocab_oov_report",  # r5
+    # No new queries landed this round; all 49 rotating slots go to
+    # the stale tail: the three r5 stragglers displaced by r9's new
+    # certificates (window_partition_max, zip_join_positional,
+    # zipf_spectrum_audit) plus the 46 stalest r6 rows.  After this
+    # window is green no registry query's latest driver row is older
+    # than r6, and the forward simulation (--check) shows zero
+    # cadence violations.
+    "window_partition_max",  # r5
+    "zip_join_positional",  # r5
+    "zipf_spectrum_audit",  # r5
+    "audio_feature_summary",  # r6
+    "benchmark_contamination",  # r6
+    "bpe_token_counts",  # r6
+    "busy_window_detail",  # r6
+    "catalog_file_join",  # r6
+    "completeness_users",  # r6
+    "concurrent_user_overlaps",  # r6
+    "conditional_freq_users",  # r6
+    "corpus_curation",  # r6
+    "correlated_subquery_above_avg",  # r6
+    "cube_order_stats",  # r6
+    "derived_keys",  # r6
+    "distinct_agg",  # r6
+    "doc_fingerprint",  # r6
+    "embedding_near_dups",  # r6
+    "exact_dedup_groups",  # r6
+    "funnel_step_latency",  # r6
+    "group_max_pad",  # r6
+    "image_dir_sink_stats",  # r6
+    "image_resize_stats",  # r6
+    "key_formatting",  # r6
+    "knn_cosine_topk",  # r6
+    "knn_ivf_index_persisted",  # r6
+    "lang_id_heuristic",  # r6
+    "large_order_customers",  # r6
+    "market_share",  # r6
+    "min_cost_supplier",  # r6
+    "nation_trade_volume",  # r6
+    "ngram_jaccard_dedup",  # r6
+    "ntile_value_quartiles",  # r6
+    "pricing_summary",  # r6
+    "priority_status_independence",  # r6
+    "promo_revenue_share",  # r6
+    "range_frame_window",  # r6
+    "recode_fallthrough",  # r6
+    "regional_revenue",  # r6
+    "repetition_quality_filter",  # r6
+    "resume_offset",  # r6
+    "returned_item_report",  # r6
+    "rollup_revenue",  # r6
+    "scalar_subquery_filter",  # r6
+    "semi_join_active_customers",  # r6
+    "sql_shipping_priority",  # r6
+    "stateful_stream_tracks",  # r6
+    "text_quality_profile",  # r6
+    "topk_orders",  # r6
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-9 rotation math: 1 flagship + 3 never-checked (knn_ivf_index_pq,
-# knn_ivf_index_compacted, stream_ivf_ingest) + 46 stalest (the r5 tail)
-# = 50.  Generated by `python tools/window_rotation.py`; 150 deferred
-# names are all r5/r6/r7/r8-green and stay under the driver-strict local
-# oracle mirror (tests/test_queries_oracle.py) until their rotation slot
-# comes up.
+# Round-10 rotation math: 1 flagship + 0 never-checked + 49 stalest
+# (3 × r5 + 46 × r6) = 50.  Generated by `python
+# tools/window_rotation.py`; 150 deferred names are all r6/r7/r8/r9-
+# green and stay under the driver-strict local oracle mirror
+# (tests/test_queries_oracle.py) until their rotation slot comes up.
 
 
 def _apply_registry_order() -> None:
