@@ -123,6 +123,31 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(payload))
+    # The driver's tail capture has repeatedly truncated the 200-query
+    # line mid-dict (BENCH_r07..r09 all landed "parsed": null), so ALSO
+    # emit a compact summary line LAST — few hundred bytes, always
+    # inside any fixed-size tail window — carrying the headline totals
+    # plus a queries_sha256 so it can be matched to the verbatim local
+    # copy (BENCH_LOCAL_r{N}.json) this process writes below.
+    import hashlib
+
+    qjson = json.dumps(timings, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "queries_sha256": hashlib.sha256(qjson.encode()).hexdigest(),
+                "queries": "see BENCH_LOCAL artifact (compact line; "
+                "full per-query dict on the previous line)",
+            },
+            sort_keys=True,
+        )
+    )
     # Also persist the full dict into the repo: the driver's BENCH_r{N}
     # artifact has truncated its tail before (round 2 lost queries a-i),
     # so every round keeps a verbatim local copy. N = next round number

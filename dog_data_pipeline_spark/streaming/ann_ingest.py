@@ -20,11 +20,19 @@ Design:
   with the SAME monotonically increasing batch id. ``ivf_append``
   records the last applied id in the sidecar inside the same
   lock-guarded read-modify-write as the cell counts, so a replayed id
-  is skipped without touching the index. (The narrow crash window —
-  parquet committed, sidecar not — re-appends rows on replay; query
-  results stay exact because the query path de-duplicates (query, id)
-  pairs, and ``ivf_verify`` flags the divergence. See the
-  ``ivf_append`` docstring.)
+  is skipped without touching the index. Batch ids are scoped to one
+  checkpoint, so the sink also passes its CHECKPOINT LOCATION as the
+  stream identity (advisor r9): a new or relocated checkpoint restarts
+  ids at 0, and without the identity those early batches would be
+  silently dropped as "replays" — with it they apply and take over
+  the guard. Skipped replays are never silent either: each one is
+  logged at WARNING and handed to ``on_skipped_replay`` when given,
+  so a misconfigured stream (two checkpoints alternating on one
+  index) is visible instead of quietly losing batches. (The narrow
+  crash window — parquet committed, sidecar not — re-appends rows on
+  replay; query results stay exact because the query path
+  de-duplicates (query, id) pairs, and ``ivf_verify`` flags the
+  divergence. See the ``ivf_append`` docstring.)
 - The drift guard still runs per batch: when cumulative skew crosses
   ``skew_bound`` the sink calls ``on_rebuild_recommended`` (if given)
   with the append stats — a scheduler hook; ingest itself continues,
@@ -39,11 +47,15 @@ re-read, and the lock serializes writers while readers stay lock-free.
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 from dog_data_pipeline_spark.operators.similarity import ivf_append
+
+logger = logging.getLogger(__name__)
 
 
 def stream_ivf_ingest(
@@ -54,6 +66,7 @@ def stream_ivf_ingest(
     lock_timeout_s: float = 600.0,
     available_now: bool = True,
     on_rebuild_recommended: Callable[[dict], None] | None = None,
+    on_skipped_replay: Callable[[dict], None] | None = None,
 ):
     """Start a streaming query that appends every micro-batch of
     (id, vector) rows to the persisted IVF index at ``path``.
@@ -65,6 +78,8 @@ def stream_ivf_ingest(
     deployment mode, re-run per arrival wave with the same checkpoint,
     which is also what the certificate's kill-and-resume replays."""
 
+    stream_identity = os.path.abspath(checkpoint_dir)
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -74,7 +89,19 @@ def stream_ivf_ingest(
             skew_bound=skew_bound,
             lock_timeout_s=lock_timeout_s,
             batch_id=batch_id,
+            stream_id=stream_identity,
         )
+        if stats.get("skipped_replay"):
+            logger.warning(
+                "stream_ivf_ingest: batch %s skipped as replay "
+                "(index %s, checkpoint %s, sidecar high-water %s)",
+                batch_id,
+                path,
+                stream_identity,
+                stats.get("last_stream_batch"),
+            )
+            if on_skipped_replay is not None:
+                on_skipped_replay(stats)
         if stats.get("rebuild_recommended") and on_rebuild_recommended is not None:
             on_rebuild_recommended(stats)
 

@@ -108,9 +108,10 @@ def new_peak_events(events: DataFrame) -> DataFrame:
     store and partitioned by key.
 
     Environment note: the TWS state protocol needs the ``protobuf``
-    python package (absent from this image) and the RocksDB state store
-    provider — ``running_track_state`` (applyInPandasWithState) is the
-    dependency-free equivalent.
+    python package (absent from this image; re-probed each round, last
+    2026-08-16 r10: still ``ModuleNotFoundError``) and the RocksDB
+    state store provider — ``running_track_state``
+    (applyInPandasWithState) is the dependency-free equivalent.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

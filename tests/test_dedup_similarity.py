@@ -1406,11 +1406,14 @@ def test_hash_sample_bounded_on_duplicated_ids(spark):
 def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
     """ivf_compact: after several appends a cell holds one file per
     append; compaction reclusters to <= ceil(rows/rows_per_file) files
-    per cell with (a) bit-identical query results, (b) the sidecar
-    untouched and still consistent, (c) PQ codes riding along, (d) the
-    previous generation kept at index.old (posix readers mid-scan keep
-    their open files), and (e) a layout already under the threshold is
-    a NO-OP (no write, no swap)."""
+    per cell with (a) bit-identical query results, (b) the sidecar's
+    bookkeeping (counts/centroids) untouched and still consistent —
+    only the generation pointer advances, (c) PQ codes riding along,
+    (d) the previous generation kept on disk until the NEXT compaction
+    commits (readers holding the prior sidecar get a full-cycle grace
+    window; there is never a moment without a live data dir), and
+    (e) a layout already under the threshold is a NO-OP (no write, no
+    pointer flip)."""
     import json
     import os
 
@@ -1418,6 +1421,7 @@ def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
         build_ivf_index,
         ivf_append,
         ivf_compact,
+        ivf_index_dir,
         ivf_verify,
         query_ivf_index,
     )
@@ -1434,14 +1438,13 @@ def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
             emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == part)),
             root,
         )
-    idx_dir = os.path.join(root, "index")
-
     def n_files():
+        live = ivf_index_dir(root)
         return sum(
             1
-            for d in os.listdir(idx_dir)
+            for d in os.listdir(live)
             if d.startswith("cell=")
-            for f in os.listdir(os.path.join(idx_dir, d))
+            for f in os.listdir(os.path.join(live, d))
             if f.endswith(".parquet")
         )
 
@@ -1451,30 +1454,45 @@ def test_ivf_compact_bounds_files_and_preserves_results(spark, tmp_path):
                                             n_probe=8).collect()))
     side_before = json.load(open(os.path.join(root, "ivf_meta.json")))
 
+    pre_live = ivf_index_dir(root)
     stats = ivf_compact(spark, root, max_files_per_cell=1)
     assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+    # the commit is a generation-pointer flip: the new layout lives in
+    # a NEW dir and the sidecar names it; the pre-compact generation
+    # stays on disk for readers holding the prior sidecar
+    live = ivf_index_dir(root)
+    assert live != pre_live
+    assert os.path.isdir(pre_live)
     # one file per cell at this scale (every cell far under rows_per_file)
-    for d in os.listdir(idx_dir):
+    for d in os.listdir(live):
         if d.startswith("cell="):
-            files = [f for f in os.listdir(os.path.join(idx_dir, d))
+            files = [f for f in os.listdir(os.path.join(live, d))
                      if f.endswith(".parquet")]
             assert len(files) == 1, (d, files)
     post = sorted(map(tuple, query_ivf_index(spark, root, queries, k=10,
                                              n_probe=8).collect()))
     assert pre == post  # layout invisible to results
     side_after = json.load(open(os.path.join(root, "ivf_meta.json")))
-    assert side_after == side_before  # compaction never touches the sidecar
+    # compaction never touches the index bookkeeping — only the
+    # generation pointer fields advance
+    assert {
+        k: v for k, v in side_after.items()
+        if k not in ("index_dir", "prev_index_dir")
+    } == {
+        k: v for k, v in side_before.items()
+        if k not in ("index_dir", "prev_index_dir")
+    }
+    assert side_after["prev_index_dir"] == os.path.basename(pre_live)
     assert ivf_verify(spark, root)["consistent_after"]
     # pq codes preserved through the rewrite
     assert (
-        spark.read.parquet(idx_dir).filter(F.col("pq_codes").isNull()).count() == 0
+        spark.read.parquet(live).filter(F.col("pq_codes").isNull()).count() == 0
     )
-    # previous generation retained for in-flight readers
-    assert os.path.isdir(os.path.join(root, "index.old"))
-    # idempotent: already-compacted layout is a no-op
+    # idempotent: already-compacted layout is a no-op (pointer parked)
     stats2 = ivf_compact(spark, root, max_files_per_cell=1)
     assert not stats2["compacted"]
     assert stats2["files_after"] == stats["files_after"]
+    assert ivf_index_dir(root) == live
     # convergence (advisor r9): a cell already AT its achievable layout
     # (ceil(rows/rows_per_file) files) must not re-trip the gate even
     # when that exceeds max_files_per_cell — otherwise a periodic
@@ -1563,3 +1581,207 @@ def test_ivf_append_batch_id_replay_is_skipped(spark, tmp_path):
         root,
     )
     assert s_none["appended"] == 3
+
+
+def test_ivf_append_replay_guard_is_scoped_to_the_stream_identity(
+    spark, tmp_path
+):
+    """Advisor r9: batch ids are per-checkpoint, so a new or relocated
+    checkpoint restarts at 0 — comparing ids alone would silently DROP
+    the new stream's early batches as replays. With stream_id: (a) a
+    replay of (same stream, same id) is skipped; (b) the SAME id from a
+    DIFFERENT stream identity applies and takes over the guard; (c) a
+    legacy caller (batch_id only) keeps the id-only comparison; (d) the
+    skip branch reports rebuild_recommended from the CUMULATIVE skew
+    instead of hardcoding False (a drifted index keeps telling its
+    caller on replay ticks)."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(20)
+
+    def shifted(k: int):
+        return batch.select(
+            (F.col("vec_id") + k * 10**6).alias("vec_id"), "embedding"
+        )
+
+    sa = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
+    assert sa["appended"] == 20 and sa.get("last_stream_id") == "ckpt-A"
+    # (a) same stream, replayed id: skipped
+    sar = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
+    assert sar["appended"] == 0 and sar["skipped_replay"] is True
+    # (b) NEW stream restarts ids at 0: must APPLY, not skip, and the
+    # guard hands over to the new identity
+    sb = ivf_append(shifted(2), root, batch_id=0, stream_id="ckpt-B")
+    assert sb["appended"] == 20 and "skipped_replay" not in sb
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert side["last_stream_id"] == "ckpt-B"
+    assert side["last_stream_batch"] == 0
+    sbr = ivf_append(shifted(2), root, batch_id=0, stream_id="ckpt-B")
+    assert sbr["skipped_replay"] is True
+    # (c) legacy caller: id-only comparison against the high-water mark
+    slegacy = ivf_append(shifted(3), root, batch_id=0)
+    assert slegacy["appended"] == 0 and slegacy["skipped_replay"] is True
+    # (d) drifted index: force skew past the bound in the sidecar, then
+    # a replayed tick must still recommend the rebuild
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    hot = max(side["cell_counts"], key=lambda c: int(side["cell_counts"][c]))
+    side["cell_counts"][hot] = int(side["cell_counts"][hot]) * 1000
+    with open(os.path.join(root, "ivf_meta.json"), "w") as fh:
+        json.dump(side, fh)
+    skip = ivf_append(shifted(2), root, batch_id=0, stream_id="ckpt-B")
+    assert skip["skipped_replay"] is True
+    assert skip["rebuild_recommended"] is True
+
+
+def test_ivf_compact_rewrites_only_hot_cells_and_links_the_rest(
+    spark, tmp_path
+):
+    """Per-cell compaction (advisor r9): only over-threshold cells are
+    scanned and rewritten; the cold cells' parquet files are HARD-LINKED
+    into the new generation (same inode — zero bytes copied), so one
+    fragmenting hot cell costs a hot-cell rewrite, not a full-corpus
+    pass. Results stay bit-identical."""
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_index_dir,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    pre_live = ivf_index_dir(root)
+    # fragment ONE cell: repeatedly append copies of a single vector
+    # (same embedding -> same cell every time)
+    one = emb.filter(F.col("vec_id") % 5 == 0).limit(1)
+    for i in range(6):
+        ivf_append(
+            one.select((F.col("vec_id") + (i + 1) * 10**6).alias("vec_id"),
+                       "embedding"),
+            root,
+        )
+    inodes_before = {}
+    for d in os.listdir(pre_live):
+        if d.startswith("cell="):
+            cd = os.path.join(pre_live, d)
+            inodes_before[d] = {
+                f: os.stat(os.path.join(cd, f)).st_ino
+                for f in os.listdir(cd) if f.endswith(".parquet")
+            }
+    queries = emb.filter(F.col("vec_id") < 5)
+    pre = sorted(map(tuple, query_ivf_index(spark, root, queries, k=10,
+                                            n_probe=8).collect()))
+    stats = ivf_compact(spark, root, max_files_per_cell=3)
+    assert stats["compacted"]
+    assert stats["cells_rewritten"] >= 1
+    assert stats["cells_rewritten"] + stats["cells_linked"] <= len(inodes_before)
+    assert stats["cells_linked"] >= 1  # cold cells were NOT rewritten
+    live = ivf_index_dir(root)
+    linked_seen = 0
+    for d, files in inodes_before.items():
+        new_cd = os.path.join(live, d)
+        if not os.path.isdir(new_cd):
+            continue
+        new_inodes = {
+            f: os.stat(os.path.join(new_cd, f)).st_ino
+            for f in os.listdir(new_cd) if f.endswith(".parquet")
+        }
+        if new_inodes == files:  # identical inode map == hard links
+            linked_seen += 1
+    assert linked_seen == stats["cells_linked"]
+    post = sorted(map(tuple, query_ivf_index(spark, root, queries, k=10,
+                                             n_probe=8).collect()))
+    assert pre == post
+
+
+def test_ivf_generation_pointer_swap_and_torn_legacy_repair(spark, tmp_path):
+    """Verdict r9 ask #4 + advisor r9: (a) readers resolve the live data
+    dir through the sidecar pointer, so during/after compaction there is
+    never a missing index dir — a reader holding the PRE-compact sidecar
+    still reads its complete generation; (b) a second compaction sweeps
+    the generation displaced two flips ago (bounded disk: <= 2
+    generations); (c) a PRE-pointer layout torn by the old two-rename
+    swap (live dir missing, index.old stranded) is detected by
+    ivf_verify (torn_swap) and repaired by repair=True; ivf_compact
+    repairs the same state on entry."""
+    import json
+    import os
+    import shutil
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_index_dir,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+
+    def frag(k: int) -> None:
+        for i in range(3):
+            ivf_append(
+                emb.filter(F.col("vec_id") % 5 == 0).limit(4).select(
+                    (F.col("vec_id") + (k * 10 + i + 1) * 10**6).alias("vec_id"),
+                    "embedding",
+                ),
+                root,
+            )
+
+    frag(0)
+    gen0 = ivf_index_dir(root)
+    stale_meta = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert ivf_compact(spark, root, max_files_per_cell=1)["compacted"]
+    gen1 = ivf_index_dir(root)
+    assert gen1 != gen0
+    # (a) stale reader: the generation its sidecar snapshot names is
+    # still complete and readable
+    assert os.path.isdir(ivf_index_dir(root, stale_meta))
+    assert spark.read.parquet(ivf_index_dir(root, stale_meta)).count() > 0
+    # (b) second flip sweeps gen0, keeps gen1 as the grace generation
+    frag(1)
+    assert ivf_compact(spark, root, max_files_per_cell=1)["compacted"]
+    gen2 = ivf_index_dir(root)
+    assert gen2 not in (gen0, gen1)
+    assert not os.path.exists(gen0)
+    assert os.path.isdir(gen1)
+    # (c) torn legacy swap: simulate the pre-pointer crash state —
+    # pointer at "index", live dir missing, data stranded in index.old
+    legacy = str(tmp_path / "legacy")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 0), legacy, n_lists=8, seed=42
+    )
+    side = json.load(open(os.path.join(legacy, "ivf_meta.json")))
+    side.pop("index_dir", None)  # pre-pointer sidecar
+    with open(os.path.join(legacy, "ivf_meta.json"), "w") as fh:
+        json.dump(side, fh)
+    os.rename(os.path.join(legacy, "index"), os.path.join(legacy, "index.old"))
+    audit = ivf_verify(spark, legacy)
+    assert audit["torn_swap"] and not audit["consistent"]
+    fixed = ivf_verify(spark, legacy, repair=True)
+    assert fixed["torn_swap"] and fixed["repaired"] and fixed["consistent_after"]
+    assert os.path.isdir(os.path.join(legacy, "index"))
+    assert query_ivf_index(spark, legacy, queries, k=5, n_probe=8).count() > 0
+    # same repair on ivf_compact entry (roll forward a finished stage)
+    shutil.rmtree(os.path.join(legacy, "index.old"), ignore_errors=True)
+    os.rename(os.path.join(legacy, "index"), os.path.join(legacy, "index.compact"))
+    ivf_compact(spark, legacy, max_files_per_cell=10**6)  # no-op past repair
+    assert os.path.isdir(os.path.join(legacy, "index"))
+    assert query_ivf_index(spark, legacy, queries, k=5, n_probe=8).count() > 0

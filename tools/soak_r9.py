@@ -444,7 +444,10 @@ def compact_8m(spark) -> dict:
     rebuild pays — this measures both walls on the same corpus plus the
     file counts before/after and warm-query walls on the fragmented vs
     compacted layout (the overhead compaction exists to remove)."""
-    from dog_data_pipeline_spark.operators.similarity import ivf_compact
+    from dog_data_pipeline_spark.operators.similarity import (
+        ivf_compact,
+        ivf_index_dir,
+    )
 
     corpus_p = f"{BASE}/corpus8m"
     rec: dict = {}
@@ -482,7 +485,7 @@ def compact_8m(spark) -> dict:
         shutil.rmtree(rebuild_idx)
     rec["rebuild_sec"], _ = t(
         lambda: build_ivf_index(
-            spark.read.parquet(os.path.join(idx, "index")).select(
+            spark.read.parquet(ivf_index_dir(idx)).select(
                 "vec_id", "embedding"
             ),
             rebuild_idx,
