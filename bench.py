@@ -155,6 +155,10 @@ def main() -> None:
     try:
         import re
 
+        if abs(sf_val - 0.1) > 1e-9:
+            # iterating runs at other SFs (sf0.01 while developing) must
+            # not overwrite the canonical sf0.1 round artifact
+            raise OSError(f"non-canonical sf {sf_val}; artifact not written")
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
