@@ -1492,7 +1492,17 @@ def ivf_compact(
             os.makedirs(dst_dir, exist_ok=True)
             for f in os.listdir(src_dir):
                 if f.endswith(".parquet"):
-                    os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+                    try:
+                        os.link(
+                            os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                        )
+                    except OSError:
+                        # cross-device or no-hardlink fs: fall back to a
+                        # copy (the object-store analog is re-listing
+                        # the same immutable objects — still no rewrite)
+                        shutil.copy2(
+                            os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                        )
             linked += 1
         # COMMIT: one atomic sidecar rename flips the generation; the
         # displaced generation moves into the grace slot and the slot's

@@ -5134,6 +5134,150 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_generation_pointer",
+    "SELECT TRUE AS pointer_flip_atomic, TRUE AS stale_reader_served, "
+    "TRUE AS hot_cell_only_rewrite, TRUE AS results_unchanged, "
+    "TRUE AS replay_guard_scoped, TRUE AS torn_swap_repaired, "
+    "(SELECT CAST(count(*) + 44 AS BIGINT) FROM embeddings "
+    "WHERE vec_id % 5 <> 0) AS n_indexed",
+    "GENERATION-POINTER certificate for the persisted IVF index "
+    "(operators/similarity.py ivf_index_dir/ivf_compact/ivf_append/"
+    "ivf_verify — verdict r9 ask #4 + advisor r9, landed r10): the "
+    "sidecar is the manifest and its index_dir field the generation "
+    "pointer every reader resolves through; maintenance commits are "
+    "ONE atomic sidecar rename, never a rename pair on the data dir. "
+    "Pins, on one index: pointer_flip_atomic (compaction lands a NEW "
+    "complete index.gNNNNNN and flips the pointer — the displaced "
+    "generation remains on disk), stale_reader_served (a reader "
+    "holding the PRE-compact sidecar snapshot still reads its "
+    "complete generation, full row count — no missing-dir window for "
+    "laggards), hot_cell_only_rewrite (a single fragmented cell "
+    "triggers a compaction that REWRITES only over-threshold cells "
+    "and hard-links the cold cells' files into the new generation: "
+    "cells_rewritten >= 1 AND cells_linked >= 1 — per-cell cost, not "
+    "full-corpus), results_unchanged (top-k before == after the "
+    "flip), replay_guard_scoped (ivf_append's streaming replay skip "
+    "applies only when BOTH the stream identity and the batch id "
+    "match: a replayed (stream, id) appends 0, while the SAME id from "
+    "a NEW checkpoint identity — ids restart at 0 on relocation — "
+    "APPLIES instead of being silently dropped), and "
+    "torn_swap_repaired (the index torn into the pre-pointer legacy "
+    "crash state — live dir missing, data stranded in index.old — is "
+    "detected by ivf_verify as torn_swap and repaired under "
+    "repair=True, after which queries serve again). n_indexed pins "
+    "the final row count across every mutation: corpus + 4 fragment "
+    "appends + 2 x 20 guard batches, exactly once each, surviving "
+    "the tear/repair.",
+)
+def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_index_dir as _ivf_dir,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    root = _roundtrip_dir("ivfgen")
+    build_ivf_index(corpus, root, n_lists=8, seed=42)
+    with open(_os.path.join(root, "ivf_meta.json")) as fh:
+        stale_meta = _json.load(fh)  # a lagging reader's snapshot
+    # fragment ONE cell: single-vector appends land in the same cell
+    one = emb.filter(F.col("vec_id") % 5 == 0).limit(1)
+    for i in range(4):
+        ivf_append(
+            one.select(
+                (F.col("vec_id") + (i + 1) * 10**6).alias("vec_id"), "embedding"
+            ),
+            root,
+        )
+    pre_live = _ivf_dir(root)
+    pre_rows = sorted(
+        map(tuple, query_ivf_index(spark, root, queries_df, k=10,
+                                   n_probe=8).collect())
+    )
+    stats = ivf_compact(spark, root, max_files_per_cell=3)
+    live = _ivf_dir(root)
+    pointer_flip_atomic = (
+        stats["compacted"] and live != pre_live and _os.path.isdir(pre_live)
+        and _os.path.isdir(live)
+    )
+    n_after_frag = corpus.count() + 4
+    stale_reader_served = (
+        spark.read.parquet(_ivf_dir(root, stale_meta)).count() == n_after_frag
+    )
+    hot_cell_only_rewrite = (
+        stats["cells_rewritten"] >= 1 and stats["cells_linked"] >= 1
+        and stats["files_after"] < stats["files_before"]
+    )
+    post_rows = sorted(
+        map(tuple, query_ivf_index(spark, root, queries_df, k=10,
+                                   n_probe=8).collect())
+    )
+    results_unchanged = pre_rows == post_rows
+    # replay guard scoped to the stream identity
+    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(20)
+
+    def shifted(k):
+        return batch.select(
+            (F.col("vec_id") + k * 10**7).alias("vec_id"), "embedding"
+        )
+
+    sa = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
+    sar = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
+    sb = ivf_append(shifted(2), root, batch_id=0, stream_id="ckpt-B")
+    replay_guard_scoped = (
+        sa["appended"] == 20
+        and sar["appended"] == 0 and sar["skipped_replay"] is True
+        and sb["appended"] == 20 and "skipped_replay" not in sb
+    )
+    # tear the SAME index into the pre-pointer legacy crash state:
+    # live generation renamed aside, pointer field stripped (an old
+    # sidecar), all other generations gone — then audit and repair
+    live = _ivf_dir(root)
+    side = _json.load(open(_os.path.join(root, "ivf_meta.json")))
+    side.pop("index_dir", None)
+    side.pop("prev_index_dir", None)
+    with open(_os.path.join(root, "ivf_meta.json"), "w") as fh:
+        _json.dump(side, fh)
+    for d in list(_os.listdir(root)):
+        full = _os.path.join(root, d)
+        if (d == "index" or d.startswith("index.")) and full != live:
+            _shutil.rmtree(full)
+    _os.rename(live, _os.path.join(root, "index.old"))
+    torn_seen = ivf_verify(spark, root)
+    fixed = ivf_verify(spark, root, repair=True)
+    torn_swap_repaired = (
+        torn_seen["torn_swap"] and not torn_seen["consistent"]
+        and fixed["repaired"] and fixed["consistent_after"]
+    )
+    n_indexed = spark.read.parquet(_ivf_dir(root)).count()
+    return spark.createDataFrame(
+        [(
+            bool(pointer_flip_atomic),
+            bool(stale_reader_served),
+            bool(hot_cell_only_rewrite),
+            bool(results_unchanged),
+            bool(replay_guard_scoped),
+            bool(torn_swap_repaired),
+            int(n_indexed),
+        )],
+        "pointer_flip_atomic boolean, stale_reader_served boolean, "
+        "hot_cell_only_rewrite boolean, results_unchanged boolean, "
+        "replay_guard_scoped boolean, torn_swap_repaired boolean, "
+        "n_indexed long",
+    )
+
+
+@query(
     "stream_ivf_ingest",
     "SELECT t.*, TRUE AS ingest_equals_bulk, TRUE AS replay_skipped, "
     "TRUE AS ingested_exactly_once FROM ("
@@ -10204,13 +10348,17 @@ _PRIORITY_ORDER = [
     "flagship_segment_stats",
     # ---- round-10 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # No new queries landed this round; all 49 rotating slots go to
-    # the stale tail: the three r5 stragglers displaced by r9's new
-    # certificates (window_partition_max, zip_join_positional,
-    # zipf_spectrum_audit) plus the 46 stalest r6 rows.  After this
-    # window is green no registry query's latest driver row is older
-    # than r6, and the forward simulation (--check) shows zero
-    # cadence violations.
+    # ONE new query landed this round (ivf_generation_pointer — the
+    # atomic generation-pointer / per-cell-compaction / torn-swap /
+    # scoped-replay-guard certificate for the persisted IVF index)
+    # and takes its slot per the freeze-then-build rule; the 48
+    # remaining rotating slots go to the stale tail: the three r5
+    # stragglers displaced by r9's new certificates
+    # (window_partition_max, zip_join_positional, zipf_spectrum_audit)
+    # plus the 45 stalest r6 rows. The one r6 query this displaces
+    # (topk_orders) re-certifies next round at gap 5 — inside
+    # MAX_CADENCE; forward simulation (--check) shows zero violations.
+    "ivf_generation_pointer",  # NEW
     "window_partition_max",  # r5
     "zip_join_positional",  # r5
     "zipf_spectrum_audit",  # r5
@@ -10259,14 +10407,14 @@ _PRIORITY_ORDER = [
     "sql_shipping_priority",  # r6
     "stateful_stream_tracks",  # r6
     "text_quality_profile",  # r6
-    "topk_orders",  # r6
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-10 rotation math: 1 flagship + 0 never-checked + 49 stalest
-# (3 × r5 + 46 × r6) = 50.  Generated by `python
-# tools/window_rotation.py`; 150 deferred names are all r6/r7/r8/r9-
-# green and stay under the driver-strict local oracle mirror
-# (tests/test_queries_oracle.py) until their rotation slot comes up.
+# Round-10 rotation math: 1 flagship + 1 never-checked
+# (ivf_generation_pointer) + 48 stalest (3 x r5 + 45 x r6) = 50.
+# Generated by `python tools/window_rotation.py`; deferred names are
+# all r6/r7/r8/r9-green and stay under the driver-strict local oracle
+# mirror (tests/test_queries_oracle.py) until their rotation slot
+# comes up.
 
 
 def _apply_registry_order() -> None:
