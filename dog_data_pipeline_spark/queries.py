@@ -5138,7 +5138,7 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT TRUE AS pointer_flip_atomic, TRUE AS stale_reader_served, "
     "TRUE AS hot_cell_only_rewrite, TRUE AS results_unchanged, "
     "TRUE AS replay_guard_scoped, TRUE AS torn_swap_repaired, "
-    "(SELECT CAST(count(*) + 44 AS BIGINT) FROM embeddings "
+    "(SELECT CAST(count(*) + 42 AS BIGINT) FROM embeddings "
     "WHERE vec_id % 5 <> 0) AS n_indexed",
     "GENERATION-POINTER certificate for the persisted IVF index "
     "(operators/similarity.py ivf_index_dir/ivf_compact/ivf_append/"
@@ -5165,7 +5165,7 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crash state — live dir missing, data stranded in index.old — is "
     "detected by ivf_verify as torn_swap and repaired under "
     "repair=True, after which queries serve again). n_indexed pins "
-    "the final row count across every mutation: corpus + 4 fragment "
+    "the final row count across every mutation: corpus + 2 fragment "
     "appends + 2 x 20 guard batches, exactly once each, surviving "
     "the tear/repair.",
 )
@@ -5192,7 +5192,7 @@ def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale_meta = _json.load(fh)  # a lagging reader's snapshot
     # fragment ONE cell: single-vector appends land in the same cell
     one = emb.filter(F.col("vec_id") % 5 == 0).limit(1)
-    for i in range(4):
+    for i in range(2):
         ivf_append(
             one.select(
                 (F.col("vec_id") + (i + 1) * 10**6).alias("vec_id"), "embedding"
@@ -5204,13 +5204,13 @@ def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
         map(tuple, query_ivf_index(spark, root, queries_df, k=10,
                                    n_probe=8).collect())
     )
-    stats = ivf_compact(spark, root, max_files_per_cell=3)
+    stats = ivf_compact(spark, root, max_files_per_cell=1)
     live = _ivf_dir(root)
     pointer_flip_atomic = (
         stats["compacted"] and live != pre_live and _os.path.isdir(pre_live)
         and _os.path.isdir(live)
     )
-    n_after_frag = corpus.count() + 4
+    n_after_frag = corpus.count() + 2
     stale_reader_served = (
         spark.read.parquet(_ivf_dir(root, stale_meta)).count() == n_after_frag
     )
