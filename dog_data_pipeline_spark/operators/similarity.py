@@ -633,6 +633,7 @@ def build_ivf_index(
     pq_m_sub: int | None = None,
     pq_ksub: int = 256,
     pq_codebooks: list | None = None,
+    lock_timeout_s: float = 600.0,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -800,46 +801,68 @@ def build_ivf_index(
     # sidecar flip — readers on the old sidecar keep their complete
     # generation; a fresh path writes plain "index". Either way the
     # data dir named by the pointer is only ever created complete.
-    gen_name = "index"
-    if os.path.exists(os.path.join(path, "ivf_meta.json")):
-        import json as _json
+    # A rebuild is a WRITER, so it holds the same appender lock as
+    # ivf_append/ivf_compact across read-sidecar -> write-generation ->
+    # flip-sidecar (reviewer r10): an unlocked rebuild racing a locked
+    # appender could have the appender's sidecar RMW restore the OLD
+    # pointer, orphaning the fresh generation for the next sweep; and
+    # two concurrent writers could compute the SAME next-generation
+    # name and interleave writes into one corrupt directory.
+    import json as _json
+    from contextlib import nullcontext
 
-        with open(os.path.join(path, "ivf_meta.json")) as fh:
-            gen_name = _next_gen_name(
-                _json.load(fh).get("index_dir", "index")
-            )
-    (
-        clustered.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, gen_name))
-    )
-    # Per-cell counts from the WRITTEN index, not a second assignment
-    # pass: grouping on the partition column reads only parquet footers
-    # (row counts), never vector bytes. Bounded collect: <= n_lists rows.
-    counts = {
-        int(r["cell"]): int(r["n"])
-        for r in spark.read.parquet(os.path.join(path, gen_name))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    meta = {
-        "n_lists": n_lists,
-        "effective_lists": len(centroids),
-        "balance_bound": balance_bound,
-        "seed": seed,
-        "id_col": id_col,
-        "vec_col": vec_col,
-        # generation pointer: readers resolve the live data dir through
-        # the sidecar (ivf_index_dir); a fresh build is generation
-        # "index", compactions and rebuilds advance it to index.gNNNNNN
-        "index_dir": gen_name,
-        "centroids": centroids,
-        "cell_counts": {str(k): v for k, v in sorted(counts.items())},
-    }
-    if pq_meta is not None:
-        meta["pq"] = pq_meta
-    _write_ivf_meta(path, meta)
+    rebuilding = os.path.exists(os.path.join(path, "ivf_meta.json"))
+    with _ivf_append_lock(path, lock_timeout_s) if rebuilding else nullcontext():
+        gen_name, old_meta = "index", {}
+        if rebuilding:
+            with open(os.path.join(path, "ivf_meta.json")) as fh:
+                old_meta = _json.load(fh)
+            gen_name = _next_gen_name(old_meta.get("index_dir", "index"))
+        (
+            clustered.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, gen_name))
+        )
+        # Per-cell counts from the WRITTEN index, not a second
+        # assignment pass: grouping on the partition column reads only
+        # parquet footers (row counts), never vector bytes. Bounded
+        # collect: <= n_lists rows.
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.parquet(os.path.join(path, gen_name))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        meta = {
+            "n_lists": n_lists,
+            "effective_lists": len(centroids),
+            "balance_bound": balance_bound,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            # generation pointer: readers resolve the live data dir
+            # through the sidecar (ivf_index_dir); a fresh build is
+            # generation "index", compactions and rebuilds advance it
+            # to index.gNNNNNN
+            "index_dir": gen_name,
+            "centroids": centroids,
+            "cell_counts": {str(k): v for k, v in sorted(counts.items())},
+        }
+        if rebuilding:
+            # the displaced generation gets the same one-cycle grace
+            # window a compaction grants, and the streaming replay
+            # guard SURVIVES the rebuild (reviewer r10: dropping
+            # last_stream_batch would re-apply an already-applied
+            # replayed batch — duplicates far beyond the documented
+            # narrow crash window)
+            meta["prev_index_dir"] = old_meta.get("index_dir", "index")
+            for guard in ("last_stream_batch", "last_stream_id"):
+                if guard in old_meta:
+                    meta[guard] = old_meta[guard]
+        if pq_meta is not None:
+            meta["pq"] = pq_meta
+        _write_ivf_meta(path, meta)
     return meta
 
 
@@ -1076,7 +1099,11 @@ def ivf_append(
     alternating two live streams on one index thrashes the guard and
     forfeits replay protection (serve that shape with one checkpoint
     per index). A legacy caller passing ``batch_id`` without
-    ``stream_id`` keeps the id-only comparison. The one uncovered
+    ``stream_id`` keeps the id-only comparison, and a sidecar whose
+    watermark predates the identity field matches ANY stream on first
+    contact (adopt-on-first-contact — a same-checkpoint code upgrade
+    must still skip its replayed batch; a relocated checkpoint on such
+    a legacy-fed index should clear ``last_stream_batch`` first). The one uncovered
     window is a crash AFTER the parquet write and BEFORE the sidecar
     update: the replay then re-appends that batch's rows (duplicate
     ids in their cells). Results stay exact — the query path
@@ -1092,8 +1119,19 @@ def ivf_append(
     with _ivf_append_lock(path, lock_timeout_s):
         with open(os.path.join(path, "ivf_meta.json")) as fh:
             meta = json.load(fh)
-        same_stream = (
-            stream_id is None or meta.get("last_stream_id") == stream_id
+        # A sidecar with NO recorded identity (pre-identity sink, or a
+        # legacy caller wrote the watermark) matches any stream —
+        # adopt-on-first-contact (reviewer r10): the common upgrade
+        # path is the SAME checkpoint continuing after a code upgrade,
+        # where a replayed batch must still be skipped. The transitional
+        # ambiguity — a genuinely NEW checkpoint touching a legacy-fed
+        # index could have its first batches <= the legacy watermark
+        # skipped — lasts one adoption; operators relocating a
+        # checkpoint on a legacy-fed index should clear
+        # last_stream_batch in the sidecar first.
+        same_stream = stream_id is None or meta.get("last_stream_id") in (
+            None,
+            stream_id,
         )
         if (
             batch_id is not None
@@ -1553,8 +1591,12 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     ``consistent_after``; checking only ``consistent`` would treat a
     successfully repaired index as broken. ``lock_held`` surfaces a
     present ``ivf_meta.lock`` (an in-flight or crashed appender) so
-    operators can see contention — the audit itself never takes or
-    breaks the lock."""
+    operators can see contention — the READ-ONLY audit never takes or
+    breaks the lock; both ``repair=True`` branches (torn-swap layout
+    repair and the count rewrite) are WRITES and serialize behind the
+    appender lock like every other writer, re-reading the sidecar
+    inside it so a racing appender's counts or stream watermark are
+    never regressed."""
     import json
     import os
 
@@ -1569,17 +1611,24 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     live = ivf_index_dir(path, meta)
     torn = not os.path.isdir(live)
     if torn and repair:
-        staged_legacy = os.path.join(path, "index.compact")
-        rolled_legacy = os.path.join(path, "index.old")
-        if os.path.isfile(os.path.join(staged_legacy, "_SUCCESS")):
-            os.rename(staged_legacy, live)
-        elif os.path.isdir(rolled_legacy):
-            os.rename(rolled_legacy, live)
-        else:
-            raise FileNotFoundError(
-                f"ivf_verify: live index dir {live} missing and no "
-                "index.compact/index.old to repair from"
-            )
+        # layout repair MUTATES writer-owned state, so it serializes
+        # behind the same appender lock ivf_compact's entry repair
+        # holds (reviewer r10: two unserialized repairers racing the
+        # same rename pair leave a half-repaired layout); the
+        # read-only audit path below stays lock-free
+        with _ivf_append_lock(path, 600.0):
+            if not os.path.isdir(live):  # re-check under the lock
+                staged_legacy = os.path.join(path, "index.compact")
+                rolled_legacy = os.path.join(path, "index.old")
+                if os.path.isfile(os.path.join(staged_legacy, "_SUCCESS")):
+                    os.rename(staged_legacy, live)
+                elif os.path.isdir(rolled_legacy):
+                    os.rename(rolled_legacy, live)
+                else:
+                    raise FileNotFoundError(
+                        f"ivf_verify: live index dir {live} missing and no "
+                        "index.compact/index.old to repair from"
+                    )
     elif torn:
         return {
             "consistent": False,
@@ -1604,8 +1653,18 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
     }
     repaired = False
     if diff and repair:
-        meta["cell_counts"] = {str(k): v for k, v in sorted(actual.items())}
-        _write_ivf_meta(path, meta)
+        # sidecar RMW: serialize behind the appender lock and RE-READ
+        # the sidecar inside it — writing the stale top-of-function
+        # snapshot could regress a racing appender's freshly recorded
+        # counts or stream watermark (same hazard class the appender
+        # lock exists for)
+        with _ivf_append_lock(path, 600.0):
+            with open(os.path.join(path, "ivf_meta.json")) as fh:
+                fresh = json.load(fh)
+            fresh["cell_counts"] = {
+                str(k): v for k, v in sorted(actual.items())
+            }
+            _write_ivf_meta(path, fresh)
         repaired = True
     return {
         "consistent": not diff and not torn,

@@ -3078,7 +3078,9 @@ def _staged_bounded_stream(spark, df, tmp: str, n_files: int, split_col: str):
     )
 
 
-def _staged_time_ordered_stream(spark, df, tmp: str, n_files: int, ts_col: str):
+def _staged_time_ordered_stream(
+    spark, df, tmp: str, n_files: int, ts_col: str, tiebreak: str
+):
     """Stage ``df`` as ``n_files`` parquet files split into EVENT-TIME
     QUANTILES (file k holds the k-th ntile by ``ts_col``) and return a
     bounded one-file-per-trigger stream over them. Unlike
@@ -3087,24 +3089,35 @@ def _staged_time_ordered_stream(spark, df, tmp: str, n_files: int, ts_col: str):
     it is the shape a REAL watermark needs: every event in batch k+1 is
     >= batch k's max event time, so a finite watermark delay never
     drops data mid-replay, while windows whose end falls behind the
-    advancing watermark genuinely CLOSE (append-mode emission). The
-    global sort is certificate-scale staging, not an operator cost."""
+    advancing watermark genuinely CLOSE (append-mode emission).
+
+    ``tiebreak`` (a unique key column) totally orders the ntile window:
+    the split is re-evaluated once per staged file, and rows TIED on
+    ``ts_col`` at a tile boundary would otherwise take shuffle-order-
+    dependent tile ids across evaluations — a row staged twice or not
+    at all (reviewer r10; latent on the microsecond-unique test data,
+    fatal on any dataset with repeated timestamps). The global sort is
+    certificate-scale staging, not an operator cost; ``persist`` keeps
+    the re-evaluations to one sort in the common case."""
     import os
 
     from pyspark.sql import Window as W
 
     src = os.path.join(tmp, "src")
     tiled = df.withColumn(
-        "__tile", F.ntile(n_files).over(W.orderBy(ts_col)) - 1
-    )
-    for k in range(n_files):
-        (
-            tiled.filter(F.col("__tile") == k)
-            .drop("__tile")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        "__tile", F.ntile(n_files).over(W.orderBy(ts_col, tiebreak)) - 1
+    ).persist()
+    try:
+        for k in range(n_files):
+            (
+                tiled.filter(F.col("__tile") == k)
+                .drop("__tile")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+    finally:
+        tiled.unpersist()
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -3325,7 +3338,9 @@ def stream_sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
 
-    stream2 = _staged_time_ordered_stream(spark, slim, tmp + "/b", 4, "ts")
+    stream2 = _staged_time_ordered_stream(
+        spark, slim, tmp + "/b", 4, "ts", "event_id"
+    )
     sess = session_agg(stream2, gap="2 hours", watermark="1 hour")
     _run_bounded_stream(
         spark, sess, tmp, f"sess_{run}", "append", state_partitions=parts

@@ -1642,6 +1642,65 @@ def test_ivf_append_replay_guard_is_scoped_to_the_stream_identity(
     assert skip["rebuild_recommended"] is True
 
 
+def test_ivf_guard_adoption_and_rebuild_survival(spark, tmp_path):
+    """Reviewer r10 follow-ups on the replay guard: (a) ADOPTION — a
+    sidecar whose watermark predates the identity field (pre-r10 sink)
+    matches ANY stream on first contact, so a same-checkpoint code
+    upgrade still skips its replayed batch instead of re-appending it;
+    (b) REBUILD SURVIVAL — build_ivf_index over a live index preserves
+    last_stream_batch/last_stream_id (a replay arriving right after a
+    drift-triggered rebuild must still be skipped) and grants the
+    displaced generation the prev_index_dir grace slot."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_index_dir,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(10)
+
+    def shifted(k: int):
+        return batch.select(
+            (F.col("vec_id") + k * 10**6).alias("vec_id"), "embedding"
+        )
+
+    # legacy sink: batch_id only — watermark recorded, no identity
+    ivf_append(shifted(1), root, batch_id=5)
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert side["last_stream_batch"] == 5 and "last_stream_id" not in side
+    # (a) upgraded sink, SAME checkpoint, replays batch 5: adopted+skipped
+    s = ivf_append(shifted(1), root, batch_id=5, stream_id="ckpt-up")
+    assert s["appended"] == 0 and s["skipped_replay"] is True
+    s6 = ivf_append(shifted(2), root, batch_id=6, stream_id="ckpt-up")
+    assert s6["appended"] == 10
+    assert json.load(open(os.path.join(root, "ivf_meta.json")))[
+        "last_stream_id"
+    ] == "ckpt-up"
+    # (b) rebuild over the live index: guard fields survive, displaced
+    # generation gets the grace slot, pointer advances atomically
+    pre_live = ivf_index_dir(root)
+    meta = build_ivf_index(
+        spark.read.parquet(pre_live).select("vec_id", "embedding"),
+        root, n_lists=8, seed=43,
+    )
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert side["index_dir"] != os.path.basename(pre_live)
+    assert side["prev_index_dir"] == os.path.basename(pre_live)
+    assert os.path.isdir(pre_live)  # grace window for lagging readers
+    assert side["last_stream_batch"] == 6
+    assert side["last_stream_id"] == "ckpt-up"
+    sr = ivf_append(shifted(2), root, batch_id=6, stream_id="ckpt-up")
+    assert sr["appended"] == 0 and sr["skipped_replay"] is True
+    s7 = ivf_append(shifted(3), root, batch_id=7, stream_id="ckpt-up")
+    assert s7["appended"] == 10
+
+
 def test_ivf_compact_rewrites_only_hot_cells_and_links_the_rest(
     spark, tmp_path
 ):
