@@ -633,6 +633,8 @@ def build_ivf_index(
     pq_m_sub: int | None = None,
     pq_ksub: int = 256,
     pq_codebooks: list | None = None,
+    pq_opq: bool = False,
+    pq_rotation: list | None = None,
     lock_timeout_s: float = 600.0,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
@@ -705,10 +707,15 @@ def build_ivf_index(
     ``m_sub = dim/4`` (16 at dim 64, 2 bits/dim, ~32x compression)
     recovered planted strong neighbors at recall 1.0 with rerank=4,
     while ``dim/8`` needed rerank 16 for 0.63 — pick dim/4 unless the
-    corpus margins are known wide. Pass ``pq_codebooks`` (with
-    ``centroids``) to encode against a GIVEN quantizer pair —
-    ``ivf_append``'s bulk twin for the append-equals-rebuild
-    certificate."""
+    corpus margins are known wide. ``pq_opq=True`` additionally learns
+    an OPQ rotation (Ge et al. 2013) on the residual sample — codes
+    then quantize the rotated residual, decorrelating dimensions so
+    the same bytes/code buy more recall on anisotropic embeddings; the
+    rotation is persisted in the sidecar and applied symmetrically by
+    append-encode and ADC-decode. Pass ``pq_codebooks`` (with
+    ``centroids``, and ``pq_rotation`` if the quantizer was OPQ) to
+    encode against a GIVEN quantizer pair — ``ivf_append``'s bulk twin
+    for the append-equals-rebuild certificate."""
     import os
 
     c = _with_norm(corpus, id_col, vec_col, "c")
@@ -745,15 +752,22 @@ def build_ivf_index(
                     c, max(256 * n_lists, 2048), n_rows=n_rows
                 )
                 sample_assign = _assign_nearest(sample, centroids)
-            pq_codebooks = [
-                cb.tolist()
-                for cb in _train_pq_codebooks(
-                    _residual_sample(sample, centroids, sample_assign),
-                    pq_m_sub,
-                    pq_ksub,
-                    seed,
-                )
-            ]
+            residuals = _residual_sample(sample, centroids, sample_assign)
+            if pq_opq:
+                # OPQ: codes quantize the ROTATED residuals — the
+                # learned orthogonal rotation rides the sidecar next to
+                # the codebooks (dim x dim floats, tiny) so append and
+                # query encode/decode identically to the build
+                rot, books = _train_opq(residuals, pq_m_sub, pq_ksub, seed)
+                pq_rotation = [[float(x) for x in row] for row in rot]
+                pq_codebooks = [cb.tolist() for cb in books]
+            else:
+                pq_codebooks = [
+                    cb.tolist()
+                    for cb in _train_pq_codebooks(
+                        residuals, pq_m_sub, pq_ksub, seed
+                    )
+                ]
         pq_meta = {
             "m_sub": len(pq_codebooks),
             "ksub": len(pq_codebooks[0]),
@@ -762,7 +776,11 @@ def build_ivf_index(
                 [[float(x) for x in ctr] for ctr in cb] for cb in pq_codebooks
             ],
         }
-        encode = _pq_encode_udf(pq_codebooks, centroids)
+        if pq_rotation is not None:
+            pq_meta["rotation"] = [
+                [float(x) for x in row] for row in pq_rotation
+            ]
+        encode = _pq_encode_udf(pq_codebooks, centroids, pq_rotation)
     assigned = c.withColumn("cell", _nearest_cells(centroids, "c_v", 1)[0]).select(
         F.col("c_id").alias(id_col),
         F.col("c_v").alias(vec_col),
@@ -1173,7 +1191,11 @@ def ivf_append(
             # rows must score identically to bulk-built ones)
             assigned = assigned.withColumn(
                 "pq_codes",
-                _pq_encode_udf(meta["pq"]["codebooks"], meta["centroids"])(
+                _pq_encode_udf(
+                    meta["pq"]["codebooks"],
+                    meta["centroids"],
+                    meta["pq"].get("rotation"),
+                )(
                     vec_col, "cell"
                 ),
             )
@@ -1314,7 +1336,9 @@ def query_ivf_index(
         lambda acc, x: acc + x,
     )
     if use_pq:
-        adc = _pq_adc_udf(meta["pq"]["codebooks"], centroids)
+        adc = _pq_adc_udf(
+            meta["pq"]["codebooks"], centroids, meta["pq"].get("rotation")
+        )
         cand = idx.select(id_col, "cell", "norm", "pq_codes").join(
             F.broadcast(q_cells), "cell"
         )
@@ -1696,7 +1720,47 @@ def _train_pq_codebooks(
     ]
 
 
-def _pq_encode_udf(codebooks: list, centroids: list):
+def _train_opq(
+    residuals: "np.ndarray",
+    m_sub: int,
+    ksub: int,
+    seed: int,
+    iters: int = 8,
+) -> tuple["np.ndarray", list["np.ndarray"]]:
+    """OPQ (Ge et al., CVPR 2013): learn an orthogonal rotation R that
+    minimizes PQ reconstruction error before subspace coding, by
+    alternating (a) codebook training on the rotated sample and (b) the
+    orthogonal-Procrustes solve R = U·Vt from svd(X^T · recon). PQ
+    splits dims into independent subspaces, so correlated/anisotropic
+    dimensions (the normal case for learned embeddings) waste code
+    budget — the rotation decorrelates and balances variance across
+    subspaces, buying recall at the SAME bytes per code. Runs entirely
+    driver-side on the bounded training sample (dim x dim matrices;
+    dim<=1024 is trivial numpy work), like the coarse quantizer and the
+    codebooks themselves.
+
+    Returns (R, codebooks) where codes quantize ``x @ R`` and decode as
+    ``recon_rot @ R.T`` (row-vector convention; R orthogonal)."""
+    dim = residuals.shape[1]
+    rot = np.eye(dim)
+    books: list[np.ndarray] = []
+    dsub = dim // m_sub
+    for _ in range(max(1, iters)):
+        x = residuals @ rot
+        books = _train_pq_codebooks(x, m_sub, ksub, seed)
+        recon = np.empty_like(x)
+        for mi in range(m_sub):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            cb = books[mi]
+            d = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+            recon[:, mi * dsub : (mi + 1) * dsub] = cb[d.argmin(1)]
+        u, _, vt = np.linalg.svd(residuals.T @ recon)
+        rot = u @ vt
+    books = _train_pq_codebooks(residuals @ rot, m_sub, ksub, seed)
+    return rot, books
+
+
+def _pq_encode_udf(codebooks: list, centroids: list, rotation: list | None = None):
     """Arrow-vectorized RESIDUAL PQ encoder: (vector, cell) -> ``binary``
     of m_sub uint8 subspace codes (ksub <= 256 keeps one code one byte —
     the 64x-at-dim-64 compression that makes the persisted ADC probe
@@ -1714,6 +1778,7 @@ def _pq_encode_udf(codebooks: list, centroids: list):
     task closure (tiny)."""
     book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
     cents = np.asarray(centroids, dtype=np.float64)
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m_sub, ksub, dsub = book.shape
     if ksub > 256:
         raise ValueError(f"pq ksub {ksub} > 256 does not fit uint8 codes")
@@ -1724,6 +1789,8 @@ def _pq_encode_udf(codebooks: list, centroids: list):
         if x.size == 0:
             return pd.Series([], dtype=object)
         x = x - cents[np.asarray(cell, dtype=np.int64)]  # residuals
+        if rot is not None:  # OPQ: codes quantize the ROTATED residual
+            x = x @ rot
         codes = np.empty((len(x), m_sub), dtype=np.uint8)
         for mi in range(m_sub):
             sub = x[:, mi * dsub : (mi + 1) * dsub]
@@ -1736,15 +1803,22 @@ def _pq_encode_udf(codebooks: list, centroids: list):
     return _encode
 
 
-def _pq_adc_udf(codebooks: list, centroids: list):
+def _pq_adc_udf(codebooks: list, centroids: list, rotation: list | None = None):
     """Arrow-vectorized asymmetric-distance scorer for PERSISTED
     residual codes: (query vector, cell, binary codes) -> reconstructed
     dot product q·(centroid[cell] + recon(codes)). Candidates are
     reconstructed from the closure codebooks and fused into one
     (batch, dim) elementwise dot — O(dim) per candidate at memory
-    bandwidth, no raw-vector I/O."""
+    bandwidth, no raw-vector I/O. With an OPQ ``rotation`` the codes
+    live in the rotated residual space; decoding applies ``@ R.T``
+    (orthogonal inverse) before re-adding the cell centroid."""
     book = np.stack([np.asarray(cb, dtype=np.float64) for cb in codebooks])
     cents = np.asarray(centroids, dtype=np.float64)
+    rot_t = (
+        None
+        if rotation is None
+        else np.asarray(rotation, dtype=np.float64).T
+    )
     m_sub = book.shape[0]
 
     @F.pandas_udf("double")
@@ -1758,6 +1832,8 @@ def _pq_adc_udf(codebooks: list, centroids: list):
         recon = np.concatenate(
             [book[mi][cm[:, mi]] for mi in range(m_sub)], axis=1
         )  # (batch, dim)
+        if rot_t is not None:
+            recon = recon @ rot_t
         recon = recon + cents[np.asarray(cell, dtype=np.int64)]
         return pd.Series((recon * qm).sum(axis=1))
 

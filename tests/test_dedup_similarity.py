@@ -1347,6 +1347,108 @@ def test_ivf_pq_persisted_probe_and_exact_rerank(spark, tmp_path):
     assert sorted(map(tuple, inc_q.collect())) == sorted(map(tuple, blk_q.collect()))
 
 
+def test_ivf_opq_rotation_recall_and_serving(spark, tmp_path):
+    """OPQ (Ge et al. 2013) for the persisted IVF+PQ path: (a) on
+    CORRELATED residuals the learned rotation strictly reduces PQ
+    reconstruction error at the same bytes/code (the whole point —
+    plain PQ wastes code budget when dimensions are correlated, the
+    normal case for learned embeddings), and R is orthogonal;
+    (b) build(pq_opq=True) persists the rotation in the sidecar and
+    ADC-first serving with rerank stays EXACT (rerank recomputes from
+    raw vectors — rotation affects the shortlist, not the returned
+    cosines); (c) ivf_append encodes against the sidecar
+    (codebooks, rotation) pair, and append-then-query equals the bulk
+    twin built with the same centroids+codebooks+rotation."""
+    import json
+    import os
+
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        _train_opq,
+        _train_pq_codebooks,
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        ivf_index_dir,
+        query_ivf_index,
+    )
+
+    # (a) numpy-level, deterministic: correlated data via a decaying
+    # spectrum mixed through a random rotation
+    rng = np.random.RandomState(7)
+    d, m_sub, ksub = 16, 4, 8
+    latent = rng.randn(4000, d) * (2.0 ** -np.arange(d))[None, :]
+    mix, _ = np.linalg.qr(rng.randn(d, d))
+    x = latent @ mix  # every output dim mixes all spectrum scales
+
+    def recon_err(data, books, rot=None):
+        y = data if rot is None else data @ rot
+        dsub = d // m_sub
+        out = np.empty_like(y)
+        for mi in range(m_sub):
+            sub = y[:, mi * dsub : (mi + 1) * dsub]
+            cb = books[mi]
+            dist = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+            out[:, mi * dsub : (mi + 1) * dsub] = cb[dist.argmin(1)]
+        if rot is not None:
+            out = out @ rot.T
+        return float(((data - out) ** 2).sum())
+
+    plain = _train_pq_codebooks(x, m_sub, ksub, seed=5)
+    rot, opq_books = _train_opq(x, m_sub, ksub, seed=5)
+    assert np.allclose(rot @ rot.T, np.eye(d), atol=1e-8)  # orthogonal
+    e_plain = recon_err(x, plain)
+    e_opq = recon_err(x, opq_books, rot)
+    assert e_opq < 0.9 * e_plain, (e_opq, e_plain)
+
+    # (b) end-to-end on the same correlated family
+    corpus_np = (latent @ mix) + rng.randn(4000, d) * 1e-3
+    corpus = _vec_df(spark, corpus_np)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "opq")
+    build_ivf_index(
+        corpus, root, n_lists=4, seed=42, pq_m_sub=m_sub, pq_ksub=ksub,
+        pq_opq=True,
+    )
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    R = np.asarray(side["pq"]["rotation"])
+    assert R.shape == (d, d) and np.allclose(R @ R.T, np.eye(d), atol=1e-8)
+    got = query_ivf_index(spark, root, queries, k=5, n_probe=4, rerank=4)
+    rows = got.collect()
+    assert len(rows) == 25
+    norms = np.linalg.norm(corpus_np, axis=1)
+    for r in rows:  # every returned cosine EXACT (numpy ground truth)
+        qi, ci = int(r["query_id"]), int(r["vec_id"])
+        want = float(
+            corpus_np[qi] @ corpus_np[ci] / (norms[qi] * norms[ci])
+        )
+        assert abs(r["cosine"] - want) < 1e-9, (qi, ci, r["cosine"], want)
+
+    # (c) append parity under the sidecar (codebooks, rotation)
+    half = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    inc_root, bulk_root = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    m = build_ivf_index(
+        half, inc_root, n_lists=4, seed=42, pq_m_sub=m_sub, pq_ksub=ksub,
+        pq_opq=True,
+    )
+    ivf_append(batch, inc_root)
+    inc_idx = spark.read.parquet(ivf_index_dir(inc_root))
+    assert inc_idx.filter(F.col("pq_codes").isNull()).count() == 0
+    build_ivf_index(
+        corpus, bulk_root, n_lists=4,
+        centroids=m["centroids"],
+        pq_codebooks=m["pq"]["codebooks"],
+        pq_rotation=m["pq"]["rotation"],
+    )
+    inc_q = query_ivf_index(spark, inc_root, queries, k=5, n_probe=4)
+    blk_q = query_ivf_index(spark, bulk_root, queries, k=5, n_probe=4)
+    assert sorted(map(tuple, inc_q.collect())) == sorted(
+        map(tuple, blk_q.collect())
+    )
+
+
 def test_hash_sample_bounded_on_duplicated_ids(spark):
     """_hash_sample advisor guard (r8): heavily duplicated id values
     cluster hash survivors, so the threshold filter underfills and the
