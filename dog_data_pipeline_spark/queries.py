@@ -10359,77 +10359,75 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY_ORDER = [
-    # flagship (entry() target) — always first
-    "flagship_segment_stats",
-    # ---- round-10 rotation: GENERATED by tools/window_rotation.py
+    # ---- round-11 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # ONE new query landed this round (ivf_generation_pointer — the
-    # atomic generation-pointer / per-cell-compaction / torn-swap /
-    # scoped-replay-guard certificate for the persisted IVF index)
-    # and takes its slot per the freeze-then-build rule; the 48
-    # remaining rotating slots go to the stale tail: the three r5
-    # stragglers displaced by r9's new certificates
-    # (window_partition_max, zip_join_positional, zipf_spectrum_audit)
-    # plus the 45 stalest r6 rows. The one r6 query this displaces
-    # (topk_orders) re-certifies next round at gap 5 — inside
+    # No query was never-checked at rotation time, so all 49 rotating
+    # slots go to the stale tail: the four r6 stragglers displaced by
+    # r10's new certificate (topk_orders, transcode_pipeline_report,
+    # unpivot_measures, window_rank_latest) plus the 45 stalest r7
+    # rows — including the reworked append-mode sliding+session
+    # certificate's family and the exactly-once file sink. The four
+    # r7 rows this defers (stream_interval_join_pairs,
+    # stream_sliding_session_windows, tfidf_cosine_pairs,
+    # token_budget_by_source) re-certify next round at gap 5 — inside
     # MAX_CADENCE; forward simulation (--check) shows zero violations.
-    "ivf_generation_pointer",  # NEW
-    "window_partition_max",  # r5
-    "zip_join_positional",  # r5
-    "zipf_spectrum_audit",  # r5
-    "audio_feature_summary",  # r6
-    "benchmark_contamination",  # r6
-    "bpe_token_counts",  # r6
-    "busy_window_detail",  # r6
-    "catalog_file_join",  # r6
-    "completeness_users",  # r6
-    "concurrent_user_overlaps",  # r6
-    "conditional_freq_users",  # r6
-    "corpus_curation",  # r6
-    "correlated_subquery_above_avg",  # r6
-    "cube_order_stats",  # r6
-    "derived_keys",  # r6
-    "distinct_agg",  # r6
-    "doc_fingerprint",  # r6
-    "embedding_near_dups",  # r6
-    "exact_dedup_groups",  # r6
-    "funnel_step_latency",  # r6
-    "group_max_pad",  # r6
-    "image_dir_sink_stats",  # r6
-    "image_resize_stats",  # r6
-    "key_formatting",  # r6
-    "knn_cosine_topk",  # r6
-    "knn_ivf_index_persisted",  # r6
-    "lang_id_heuristic",  # r6
-    "large_order_customers",  # r6
-    "market_share",  # r6
-    "min_cost_supplier",  # r6
-    "nation_trade_volume",  # r6
-    "ngram_jaccard_dedup",  # r6
-    "ntile_value_quartiles",  # r6
-    "pricing_summary",  # r6
-    "priority_status_independence",  # r6
-    "promo_revenue_share",  # r6
-    "range_frame_window",  # r6
-    "recode_fallthrough",  # r6
-    "regional_revenue",  # r6
-    "repetition_quality_filter",  # r6
-    "resume_offset",  # r6
-    "returned_item_report",  # r6
-    "rollup_revenue",  # r6
-    "scalar_subquery_filter",  # r6
-    "semi_join_active_customers",  # r6
-    "sql_shipping_priority",  # r6
-    "stateful_stream_tracks",  # r6
-    "text_quality_profile",  # r6
+    "flagship_segment_stats",  # r10
+    "topk_orders",  # r6
+    "transcode_pipeline_report",  # r6
+    "unpivot_measures",  # r6
+    "window_rank_latest",  # r6
+    "audio_fingerprint_dedup",  # r7
+    "binary_listing_stats",  # r7
+    "ccnet_quality_tiers",  # r7
+    "chunk_documents",  # r7
+    "corpus_datacard",  # r7
+    "corpus_snapshot_diff",  # r7
+    "csv_catalog_roundtrip",  # r7
+    "curriculum_order",  # r7
+    "dedup_clusters",  # r7
+    "deterministic_split_profile",  # r7
+    "dq_violation_report",  # r7
+    "duplicate_span_stats",  # r7
+    "embedding_quantization_audit",  # r7
+    "gap_filled_daily_counts",  # r7
+    "grouping_sets_lineitem",  # r7
+    "hybrid_rrf_search",  # r7
+    "incremental_dedup_newbatch",  # r7
+    "join_skew_report",  # r7
+    "json_map_roundtrip",  # r7
+    "knn_cosine_ivf",  # r7
+    "knn_cosine_ivfpq",  # r7
+    "knn_cosine_lsh",  # r7
+    "knn_ivf_index_appended",  # r7
+    "lm_perplexity_scores",  # r7
+    "mixture_weights_plan",  # r7
+    "multimodal_track_summary",  # r7
+    "ngram_jaccard_dedup_capped",  # r7
+    "packed_sequence_stats",  # r7
+    "percentile_quantities",  # r7
+    "pii_masked_customers",  # r7
+    "pivot_event_counts",  # r7
+    "prototype_pruning",  # r7
+    "quality_classifier_scores",  # r7
+    "rolling_fingerprint",  # r7
+    "salted_skew_join",  # r7
+    "segment_dedup_stats",  # r7
+    "semantic_dedup",  # r7
+    "sessionization",  # r7
+    "sharded_export_roundtrip",  # r7
+    "simhash_dedup",  # r7
+    "simhash_pigeonhole_dedup",  # r7
+    "source_cap_report",  # r7
+    "stats_aggregates",  # r7
+    "stratified_lang_sample",  # r7
+    "stream_file_sink_exactly_once",  # r7
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-10 rotation math: 1 flagship + 1 never-checked
-# (ivf_generation_pointer) + 48 stalest (3 x r5 + 45 x r6) = 50.
-# Generated by `python tools/window_rotation.py`; deferred names are
-# all r6/r7/r8/r9-green and stay under the driver-strict local oracle
-# mirror (tests/test_queries_oracle.py) until their rotation slot
-# comes up.
+# Round-11 rotation math: 1 flagship + 0 never-checked + 49 stalest
+# (4 x r6 + 45 x r7) = 50. Generated by `python
+# tools/window_rotation.py`; deferred names are all r7/r8/r9/r10-green
+# and stay under the driver-strict local oracle mirror
+# (tests/test_queries_oracle.py) until their rotation slot comes up.
 
 
 def _apply_registry_order() -> None:
