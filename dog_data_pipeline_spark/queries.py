@@ -3098,24 +3098,45 @@ def _staged_time_ordered_stream(
     at all (reviewer r10; latent on the microsecond-unique test data,
     fatal on any dataset with repeated timestamps). The global sort is
     certificate-scale staging, not an operator cost; ``persist`` keeps
-    the re-evaluations to one sort in the common case."""
+    the re-evaluations to one sort in the common case.
+
+    ARRIVAL ORDER IS PINNED, not inferred (advisor r10): the file
+    source schedules pending files by modification time, and tiles
+    written back-to-back can tie under coarse mtime granularity —
+    a reordered tile would put late events under an already-advanced
+    watermark and silently drop them. Each tile is therefore renamed
+    to a lexicographic ``tile_kNNNN.parquet`` and given an explicitly
+    staggered mtime (k seconds apart), so the replay order is the
+    event-time order by construction on any filesystem."""
     import os
+    import shutil
+    import time
 
     from pyspark.sql import Window as W
 
     src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
     tiled = df.withColumn(
         "__tile", F.ntile(n_files).over(W.orderBy(ts_col, tiebreak)) - 1
     ).persist()
+    base = time.time() - 2 * n_files  # staggered mtimes stay in the past
     try:
         for k in range(n_files):
+            stage = os.path.join(tmp, f"stage_{k}")
             (
                 tiled.filter(F.col("__tile") == k)
                 .drop("__tile")
                 .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
+                .write.mode("overwrite")
+                .parquet(stage)
             )
+            part = next(
+                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"tile_k{k:04d}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            os.utime(dst, (base + k, base + k))
+            shutil.rmtree(stage, ignore_errors=True)
     finally:
         tiled.unpersist()
     return (
@@ -3342,9 +3363,21 @@ def stream_sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
         spark, slim, tmp + "/b", 4, "ts", "event_id"
     )
     sess = session_agg(stream2, gap="2 hours", watermark="1 hour")
-    _run_bounded_stream(
-        spark, sess, tmp, f"sess_{run}", "append", state_partitions=parts
-    )
+    # The oracle's close predicate assumes every session whose end the
+    # final watermark passed is EMITTED: under availableNow that last
+    # emission happens in a terminal no-data micro-batch after the last
+    # file batch advances the watermark. That is the default, but the
+    # certificate's hash depends on it — pin it explicitly rather than
+    # inherit whatever the session was configured with (advisor r10).
+    ndmb = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndmb = spark.conf.get(ndmb, "true")
+    spark.conf.set(ndmb, "true")
+    try:
+        _run_bounded_stream(
+            spark, sess, tmp, f"sess_{run}", "append", state_partitions=parts
+        )
+    finally:
+        spark.conf.set(ndmb, prev_ndmb)
     session_final = (
         spark.table(f"sess_{run}")
         .filter(F.col("n_events") >= 2)

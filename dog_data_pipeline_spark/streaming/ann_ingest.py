@@ -58,6 +58,24 @@ from dog_data_pipeline_spark.operators.similarity import ivf_append
 logger = logging.getLogger(__name__)
 
 
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """The stream identity recorded beside the replay watermark.
+
+    URI checkpoint locations (``s3://…``, ``hdfs://…``, ``file:/…``)
+    are used VERBATIM: ``os.path.abspath`` would cwd-join them into a
+    string that changes across driver restarts (reviewer r10 —
+    cluster-mode drivers get a fresh scratch cwd per attempt, so a
+    replayed micro-batch after failover would present a NEW identity
+    and be applied instead of skipped). Only scheme-less local paths
+    are abspath-normalized, so relative and absolute spellings of the
+    same directory still agree."""
+    from urllib.parse import urlparse
+
+    if urlparse(checkpoint_dir).scheme:
+        return checkpoint_dir
+    return os.path.abspath(checkpoint_dir)
+
+
 def stream_ivf_ingest(
     stream_df: DataFrame,
     path: str,
@@ -78,7 +96,7 @@ def stream_ivf_ingest(
     deployment mode, re-run per arrival wave with the same checkpoint,
     which is also what the certificate's kill-and-resume replays."""
 
-    stream_identity = os.path.abspath(checkpoint_dir)
+    stream_identity = _checkpoint_identity(checkpoint_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

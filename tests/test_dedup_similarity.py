@@ -1946,3 +1946,164 @@ def test_ivf_generation_pointer_swap_and_torn_legacy_repair(spark, tmp_path):
     ivf_compact(spark, legacy, max_files_per_cell=10**6)  # no-op past repair
     assert os.path.isdir(os.path.join(legacy, "index"))
     assert query_ivf_index(spark, legacy, queries, k=5, n_probe=8).count() > 0
+
+
+def test_ivf_sweep_grace_and_stale_generation(spark, tmp_path):
+    """Verdict r10 ask #3 + advisor r10: (a) sweep_min_age_s > 0 makes
+    back-to-back compactions SKIP sweeping a just-displaced generation
+    (dir mtime younger than the guard) and a later old-enough call
+    collects it; (b) a reader whose sidecar snapshot outlives both
+    graces gets IvfStaleGeneration from ivf_index_dir — a clear
+    re-resolve signal, never a bare FileNotFoundError; (c) a torn
+    roll-forward repair PARKS the stranded index.old in the sidecar's
+    grace slot (prev_index_dir) instead of sweeping it in the same
+    call, on both the ivf_compact entry path and ivf_verify
+    repair=True."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        IvfStaleGeneration,
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_index_dir,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+
+    def frag(k: int) -> None:
+        for i in range(3):
+            ivf_append(
+                emb.filter(F.col("vec_id") % 5 == 0).limit(4).select(
+                    (F.col("vec_id") + (k * 10 + i + 1) * 10**6).alias("vec_id"),
+                    "embedding",
+                ),
+                root,
+            )
+
+    # (a) min-age guard: two flips back-to-back, the second would
+    # normally sweep gen0 — with a 1h guard it must survive
+    frag(0)
+    state0 = json.load(open(os.path.join(root, "ivf_meta.json")))
+    gen0 = ivf_index_dir(root)
+    assert ivf_compact(spark, root, max_files_per_cell=1)["compacted"]
+    frag(1)
+    assert ivf_compact(
+        spark, root, max_files_per_cell=1, sweep_min_age_s=3600.0
+    )["compacted"]
+    assert os.path.isdir(gen0), "min-age guard must skip the young gen0"
+    # a later compaction without the guard collects it (old enough at 0)
+    frag(2)
+    assert ivf_compact(spark, root, max_files_per_cell=1)["compacted"]
+    assert not os.path.exists(gen0)
+    # (b) the reader holding the gen0-era snapshot: its generation is
+    # gone, the live one differs -> IvfStaleGeneration with re-resolve
+    # guidance, and re-resolving fresh works
+    with pytest.raises(IvfStaleGeneration, match="Re-load the sidecar"):
+        ivf_index_dir(root, state0)
+    assert os.path.isdir(ivf_index_dir(root))
+    assert query_ivf_index(spark, root, queries, k=5, n_probe=8).count() > 0
+
+    # (c) roll-forward parking, ivf_compact entry path: BOTH
+    # index.compact (_SUCCESS, the finished stage) and index.old (the
+    # displaced generation) present
+    def torn_layout(name: str) -> str:
+        base = str(tmp_path / name)
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), base, n_lists=8, seed=42
+        )
+        side = json.load(open(os.path.join(base, "ivf_meta.json")))
+        side.pop("index_dir", None)
+        side.pop("prev_index_dir", None)
+        with open(os.path.join(base, "ivf_meta.json"), "w") as fh:
+            json.dump(side, fh)
+        live = os.path.join(base, "index")
+        shutil.copytree(live, os.path.join(base, "index.old"))
+        os.rename(live, os.path.join(base, "index.compact"))
+        return base
+
+    legacy = torn_layout("legacy_compact")
+    ivf_compact(spark, legacy, max_files_per_cell=10**6)  # no-op past repair
+    assert os.path.isdir(os.path.join(legacy, "index"))
+    assert os.path.isdir(os.path.join(legacy, "index.old")), (
+        "roll-forward must park index.old, not sweep it in the same call"
+    )
+    side = json.load(open(os.path.join(legacy, "ivf_meta.json")))
+    assert side["prev_index_dir"] == "index.old"
+
+    legacy2 = torn_layout("legacy_verify")
+    fixed = ivf_verify(spark, legacy2, repair=True)
+    assert fixed["torn_swap"] and fixed["repaired"] and fixed["consistent_after"]
+    assert os.path.isdir(os.path.join(legacy2, "index.old"))
+    side2 = json.load(open(os.path.join(legacy2, "ivf_meta.json")))
+    assert side2["prev_index_dir"] == "index.old"
+    assert query_ivf_index(spark, legacy2, queries, k=5, n_probe=8).count() > 0
+
+
+def test_ivf_append_legacy_caller_on_identified_index_warns(
+    spark, tmp_path, caplog
+):
+    """Advisor r10: a legacy caller (batch_id, no stream_id) appending
+    to an index whose replay watermark an IDENTIFIED stream owns is
+    comparing against another stream's watermark — documented, but it
+    must WARN (visible misconfiguration), never skip silently."""
+    import logging
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), root, n_lists=8, seed=42)
+    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(4).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    # an identified stream takes the watermark to 3
+    ivf_append(batch, root, batch_id=3, stream_id="ck://a")
+    with caplog.at_level(
+        logging.WARNING, logger="dog_data_pipeline_spark.operators.similarity"
+    ):
+        stats = ivf_append(
+            batch.select(
+                (F.col("vec_id") + 1).alias("vec_id"), "embedding"
+            ),
+            root,
+            batch_id=2,  # legacy caller, would be dropped as a replay
+        )
+    assert stats["skipped_replay"], "documented legacy comparison unchanged"
+    assert any(
+        "WITHOUT stream_id" in r.message for r in caplog.records
+    ), "the legacy/identified mix must be visible in the logs"
+
+
+def test_stream_checkpoint_identity_scheme_aware():
+    """Advisor r10 (medium): URI checkpoint locations are used VERBATIM
+    as the stream identity — abspath would cwd-join them, so a driver
+    restart with a different cwd (cluster mode) would present a NEW
+    identity for the SAME checkpoint and apply a replayed batch.
+    Scheme-less local paths still abspath-normalize so relative and
+    absolute spellings agree."""
+    import os
+
+    from dog_data_pipeline_spark.streaming.ann_ingest import (
+        _checkpoint_identity,
+    )
+
+    assert _checkpoint_identity("s3://bucket/ck") == "s3://bucket/ck"
+    assert _checkpoint_identity("hdfs://nn:8020/ck") == "hdfs://nn:8020/ck"
+    assert _checkpoint_identity("file:/tmp/ck") == "file:/tmp/ck"
+    assert _checkpoint_identity("/abs/ck") == "/abs/ck"
+    assert _checkpoint_identity("rel/ck") == os.path.join(
+        os.getcwd(), "rel", "ck"
+    )
