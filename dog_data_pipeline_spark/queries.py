@@ -2970,29 +2970,37 @@ def transcode_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful_stream_tracks",
     """
     SELECT user_id,
-           CAST(count(DISTINCT event_id % 4) AS BIGINT) AS n_batches_seen,
+           CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_batches_seen,
            CAST(count(*) AS BIGINT) AS n_events,
            max(value) AS value_max
     FROM events
     GROUP BY user_id
     """,
     "Stateful per-key streaming certificate (SURVEY T3): `events` is "
-    "staged as 4 parquet files keyed by event_id %% 4, replayed as a "
-    "BOUNDED STREAM (maxFilesPerTrigger=1 + availableNow => 4 "
+    "staged as 3 parquet files keyed by event_id %% 3, replayed as a "
+    "BOUNDED STREAM (maxFilesPerTrigger=1 + availableNow => 3 "
     "micro-batches), and run through the real applyInPandasWithState "
     "operator (running per-user count/max carried across batches — the "
     "tracker-state shape, raw_to_samples.py:187 persist=True). The "
     "update-mode emissions land in a memory sink; per user, the number "
     "of emitted rows equals the number of micro-batches containing "
-    "that user (= count(DISTINCT event_id %% 4) — batch-ORDER-"
+    "that user (= count(DISTINCT event_id %% 3) — batch-ORDER-"
     "independent, so the oracle holds under any file scheduling), and "
     "the running aggregates' final values must equal plain SQL "
     "aggregates — which they only do if state genuinely survives "
     "across micro-batches. Dropped state, cross-key leakage, or a "
-    "re-emitted batch each change the hash.",
+    "re-emitted batch each change the hash. Certificate fixed cost "
+    "trimmed r11 (verdict ask #4, same invariants): 3 micro-batches "
+    "instead of 4 (>= 2 proves cross-batch state; every user still "
+    "spans multiple batches), staging is ONE partitionBy job whose "
+    "files move to the flat stream dir (was 3 full scans), and state "
+    "parallelism is sized to the replay's per-batch work via "
+    "_state_partitions instead of pinning all 32 cores' state-store "
+    "commits per trigger.",
 )
 def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import uuid
 
     from dog_data_pipeline_spark.streaming.stateful import running_track_state
@@ -3000,13 +3008,26 @@ def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     tmp = _roundtrip_dir("statestream")
     src = os.path.join(tmp, "src")
-    for k in range(4):
-        (
-            events.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+    os.makedirs(src, exist_ok=True)
+    # one staging job: partitionBy splits the batches, the data files
+    # (written WITHOUT the partition column) move to the flat source dir
+    stage = os.path.join(tmp, "stage")
+    (
+        events.withColumn("__b", F.col("event_id") % 3)
+        .repartition(3, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    for k in range(3):
+        bdir = os.path.join(stage, f"__b={k}")
+        part = next(
+            f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
         )
+        os.replace(
+            os.path.join(bdir, part), os.path.join(src, f"batch_{k}.parquet")
+        )
+    shutil.rmtree(stage, ignore_errors=True)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -3016,14 +3037,16 @@ def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The state store materializes spark.sql.shuffle.partitions state
     # partitions per micro-batch, and applyInPandasWithState's cost is
     # dominated by per-KEY-GROUP python round-trips — so state
-    # parallelism must track the core count, never a small constant
-    # (a hardcoded 4 measured 57s vs ~13s at 10x events / 15k keys:
-    # groups drained through 4 tasks on a 32-core box). Scope the
-    # setting to the stream's lifetime and size it to the cluster.
+    # parallelism must track the WORK, bounded by the core count: a
+    # hardcoded 4 measured 57s vs ~13s at 10x events / 15k keys
+    # (groups drained through 4 tasks on a 32-core box), while pinning
+    # all 32 at certificate scale burned fixed per-partition state-store
+    # commits x 3 triggers for near-empty partitions. Scope the setting
+    # to the stream's lifetime.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
+        str(_state_partitions(spark, events.count())),
     )
     try:
         q = (
@@ -5080,6 +5103,252 @@ def knn_ivf_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_index_opq",
+    "SELECT t.*, TRUE AS opq_rotation_persisted, "
+    "TRUE AS opq_recon_err_improved, TRUE AS opq_append_equals_bulk, "
+    "TRUE AS codes_only_recall10_ge_1, TRUE AS opq_codes_hits_ge_plain "
+    "FROM ("
+    + _KNN_EXACT_CERT_ORACLE.format(recall_col="recall10_ge_2")
+    + ") t",
+    "OPQ-ROTATED persisted IVF+PQ serving path (operators/similarity.py "
+    "build_ivf_index pq_opq=True, Ge et al. CVPR 2013): codes quantize "
+    "the ROTATED residual, so the same bytes/code buy more recall on "
+    "anisotropic embeddings — measured at 2M codes-only recall@10 up "
+    "7.3x at 8B/vec and 3.0x at 16B/vec vs plain PQ "
+    "(BENCH_LOCAL_r10 ivf_opq_recall_2m_r10), and a ~17% reconstruction-"
+    "error reduction on this corpus's residual sample. Driver "
+    "certificate (verdict r10 ask #2) with five pins on top of the "
+    "shared exact-anchor ANN certificate (which rides the rerank=4 "
+    "serving path — rotation moves the shortlist, never the returned "
+    "cosines): opq_rotation_persisted (sidecar rotation is dim x dim "
+    "and orthogonal to 1e-8, codes column binary in the WRITTEN "
+    "index), opq_recon_err_improved (OPQ reconstruction error < 0.95x "
+    "plain PQ on the same seeded residual sample — the deterministic "
+    "twin of tests/test_dedup_similarity.py's 0.9x pin), "
+    "opq_append_equals_bulk (an index built on half the corpus with "
+    "the MAIN index's frozen sidecar quantizer then ivf_append-ed the "
+    "other half holds ROW-IDENTICAL (cell, norm, pq_codes) to the main "
+    "bulk build — code-level parity, strictly stronger than query "
+    "parity since ADC is a deterministic function of the codes), "
+    "codes_only_recall10_ge_1 (the DISTRIBUTED rerank=0 ADC probe "
+    "still finds true neighbors per query: measured min hits 2/2/1 at "
+    "sf0.001/0.01/0.1), opq_codes_hits_ge_plain (total codes-only "
+    "hits@10 >= a plain-PQ twin at equal bytes/code sharing the same "
+    "coarse quantizer, scored on the bounded seeded training sample "
+    "driver-side: 22v22 / 20v18 / 13v12 at the three SFs). SERVING "
+    "DIALS pinned by these measurements + the 2M law: rerank>=4 with "
+    "n_probe=3 for exact user-facing top-k at ~1/64 probe bytes; "
+    "rerank=0 (pure ADC) only for recall-tolerant candidate "
+    "generation, prefer OPQ there and 16B/vec (m_sub=dim/4) over "
+    "8B/vec unless memory-bound — never rerank=0 user-facing at "
+    "8B/vec. Independent distributed legs run CONCURRENTLY (job-level "
+    "thread pool) — certificate fixed cost, not operator cost.",
+)
+def knn_ivf_index_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as _np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        _assign_nearest,
+        _train_centroids,
+        _train_pq_codebooks,
+        _with_norm,
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        ivf_index_dir as _ivf_dir,
+        query_ivf_index,
+    )
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    root = _roundtrip_dir("ivfindexopq")
+    main_root = _os.path.join(root, "main")
+    meta = build_ivf_index(
+        emb, main_root, n_lists=8, seed=42, pq_m_sub=8, pq_ksub=16, pq_opq=True
+    )
+
+    # pin 1: rotation persisted orthogonal + codes column binary, from
+    # the WRITTEN artifacts (re-read, never trusted from the return)
+    side = _json.load(open(_os.path.join(main_root, "ivf_meta.json")))
+    rot = _np.asarray(side.get("pq", {}).get("rotation", []), dtype=_np.float64)
+    idx_schema = {
+        f.name: f.dataType
+        for f in spark.read.parquet(_ivf_dir(main_root)).schema.fields
+    }
+    dim = rot.shape[0] if rot.ndim == 2 else 0
+    rotation_ok = (
+        rot.ndim == 2
+        and dim > 0
+        and rot.shape == (dim, dim)
+        and float(_np.abs(rot @ rot.T - _np.eye(dim)).max()) < 1e-8
+        and isinstance(idx_schema.get("pq_codes"), T.BinaryType)
+    )
+
+    # pins 2+5, driver-side numpy on the SAME seeded training sample
+    # the build used (centroid training is deterministic — same sample,
+    # same centroids as the sidecar; the sample covers the whole corpus
+    # at test SFs and stays <=2048 vectors at any scale): plain-PQ
+    # codebooks trained on identical residuals at equal bytes/code, the
+    # ONLY difference the rotation — recon error and codes-only hits@10
+    # compared without a second persisted index or distributed query
+    c = _with_norm(emb, "vec_id", "embedding", "c")
+    n_rows = c.count()
+    _, sample = _train_centroids(
+        c, 8, 42, balance_bound=4.0, n_rows=n_rows, with_sample=True
+    )
+    cents = _np.asarray(side["centroids"], dtype=_np.float64)
+    assign = _assign_nearest(sample, side["centroids"])
+    residuals = sample - cents[assign]
+    plain_books = _train_pq_codebooks(residuals, 8, 16, 42)
+    opq_books = [
+        _np.asarray(cb, dtype=_np.float64) for cb in side["pq"]["codebooks"]
+    ]
+    dsub = sample.shape[1] // 8
+
+    def _recon(books, rotation) -> "_np.ndarray":
+        # mirror of build-encode + ADC-decode: residual -> (rotate) ->
+        # per-subspace nearest codeword -> (unrotate) -> + centroid
+        y = residuals if rotation is None else residuals @ rotation
+        out = _np.empty_like(y)
+        for mi in range(8):
+            sub = y[:, mi * dsub : (mi + 1) * dsub]
+            cb = books[mi]
+            dist = -2.0 * (sub @ cb.T) + (cb**2).sum(1)[None, :]
+            out[:, mi * dsub : (mi + 1) * dsub] = cb[dist.argmin(1)]
+        if rotation is not None:
+            out = out @ rotation.T
+        return out
+
+    opq_rec, plain_rec = _recon(opq_books, rot), _recon(plain_books, None)
+    recon_ok = float(((residuals - opq_rec) ** 2).sum()) < 0.95 * float(
+        ((residuals - plain_rec) ** 2).sum()
+    )
+
+    qv = _np.asarray(
+        [
+            r["embedding"]
+            for r in queries_df.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=_np.float64,
+    )
+    norms = _np.linalg.norm(sample, axis=1)
+    qn = _np.linalg.norm(qv, axis=1)
+    ex_top = _np.argsort(
+        -(qv @ sample.T) / (qn[:, None] * norms[None, :]), axis=1
+    )[:, :10]
+
+    def _twin_hits(rec) -> int:
+        adc = (qv @ (rec + cents[assign]).T) / (qn[:, None] * norms[None, :])
+        top = _np.argsort(-adc, axis=1)[:, :10]
+        return sum(
+            len(set(ex_top[i]) & set(top[i])) for i in range(len(qv))
+        )
+
+    ge_plain_ok = _twin_hits(opq_rec) >= _twin_hits(plain_rec)
+
+    # distributed legs — independent, so they share the session's job
+    # scheduler concurrently instead of paying 3 serial eval walls
+    def _codes_rows():
+        return query_ivf_index(
+            spark, main_root, queries_df, k=10, n_probe=8, rerank=0
+        ).collect()
+
+    def _parity_ok() -> bool:
+        # pin 3: half-build + append under the frozen sidecar pair must
+        # hold row-identical (cell, norm, pq_codes) to the main bulk
+        # build — append encodes against the sidecar, so any drift
+        # (stale codebooks, missed rotation) shows as a code mismatch
+        inc_root = _os.path.join(root, "inc")
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            inc_root,
+            n_lists=8,
+            centroids=meta["centroids"],
+            pq_codebooks=meta["pq"]["codebooks"],
+            pq_rotation=meta["pq"]["rotation"],
+        )
+        ivf_append(emb.filter(F.col("vec_id") % 2 == 1), inc_root)
+        cols = ["vec_id", "cell", "norm", "pq_codes"]
+        a = spark.read.parquet(_ivf_dir(inc_root)).select(
+            *[F.col(x).alias(f"a_{x}") for x in cols]
+        )
+        b = spark.read.parquet(_ivf_dir(main_root)).select(
+            *[F.col(x).alias(f"b_{x}") for x in cols]
+        )
+        bad = (
+            a.join(b, a["a_vec_id"] == b["b_vec_id"], "full_outer")
+            .filter(
+                F.col("a_vec_id").isNull()
+                | F.col("b_vec_id").isNull()
+                | (F.col("a_cell") != F.col("b_cell"))
+                | (F.col("a_norm") != F.col("b_norm"))
+                | (F.col("a_pq_codes") != F.col("b_pq_codes"))
+            )
+            .count()
+        )
+        return bad == 0
+
+    def _exact_rows():
+        return cosine_topk(
+            emb, queries_df, k=10, id_col="vec_id", vec_col="embedding"
+        ).collect()
+
+    def _approx_rows():
+        return query_ivf_index(
+            spark, main_root, queries_df, k=10, n_probe=3, rerank=4
+        ).collect()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_codes = pool.submit(_codes_rows)
+        f_parity = pool.submit(_parity_ok)
+        f_exact = pool.submit(_exact_rows)
+        f_approx = pool.submit(_approx_rows)
+        codes_rows, parity_ok = f_codes.result(), f_parity.result()
+        exact_rows, approx_rows = f_exact.result(), f_approx.result()
+
+    # pin 4: the DISTRIBUTED codes-only probe (rerank=0 ADC serving)
+    # still lands true neighbors for every query
+    ex_sets: dict = {}
+    for r in exact_rows:
+        ex_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict = {}
+    for r in codes_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    codes_floor_ok = bool(ex_sets) and all(
+        len(ex_sets[q] & got.get(q, set())) >= 1 for q in ex_sets
+    )
+
+    # assemble the shared certificate from the already-collected rows
+    # (local 50-row frames — the driver's final collect re-runs joins
+    # over these, never the ANN queries)
+    schema = "query_id long, vec_id long, cosine double"
+    exact_df = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["cosine"]) for r in exact_rows], schema
+    )
+    approx_df = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["cosine"]) for r in approx_rows], schema
+    )
+    cert = _knn_certificate(
+        exact_df, approx_df, k=10, min_hits=2, recall_col="recall10_ge_2"
+    )
+    return cert.select(
+        "*",
+        F.lit(bool(rotation_ok)).alias("opq_rotation_persisted"),
+        F.lit(bool(recon_ok)).alias("opq_recon_err_improved"),
+        F.lit(bool(parity_ok)).alias("opq_append_equals_bulk"),
+        F.lit(bool(codes_floor_ok)).alias("codes_only_recall10_ge_1"),
+        F.lit(bool(ge_plain_ok)).alias("opq_codes_hits_ge_plain"),
+    )
+
+
+@query(
     "knn_ivf_index_compacted",
     "SELECT t.*, TRUE AS compact_results_unchanged, TRUE AS files_bounded, "
     "TRUE AS sidecar_consistent_after FROM ("
@@ -5186,7 +5455,7 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT TRUE AS pointer_flip_atomic, TRUE AS stale_reader_served, "
     "TRUE AS hot_cell_only_rewrite, TRUE AS results_unchanged, "
     "TRUE AS replay_guard_scoped, TRUE AS torn_swap_repaired, "
-    "(SELECT CAST(count(*) + 42 AS BIGINT) FROM embeddings "
+    "(SELECT CAST(count(*) + 41 AS BIGINT) FROM embeddings "
     "WHERE vec_id % 5 <> 0) AS n_indexed",
     "GENERATION-POINTER certificate for the persisted IVF index "
     "(operators/similarity.py ivf_index_dir/ivf_compact/ivf_append/"
@@ -5213,9 +5482,14 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crash state — live dir missing, data stranded in index.old — is "
     "detected by ivf_verify as torn_swap and repaired under "
     "repair=True, after which queries serve again). n_indexed pins "
-    "the final row count across every mutation: corpus + 2 fragment "
-    "appends + 2 x 20 guard batches, exactly once each, surviving "
-    "the tear/repair.",
+    "the final row count across every mutation: corpus + 1 fragment "
+    "append + 2 x 20 guard batches, exactly once each, surviving "
+    "the tear/repair. Certificate fixed cost trimmed r11 (verdict ask "
+    "#4, same invariants): ONE fragment append (one extra file already "
+    "puts the hot cell over the max_files_per_cell=1 threshold) and "
+    "every append input is a pre-collected local frame — each of the "
+    "4 appends was re-scanning the embeddings parquet for its <=20 "
+    "rows.",
 )
 def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
@@ -5238,15 +5512,28 @@ def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(corpus, root, n_lists=8, seed=42)
     with open(_os.path.join(root, "ivf_meta.json")) as fh:
         stale_meta = _json.load(fh)  # a lagging reader's snapshot
-    # fragment ONE cell: single-vector appends land in the same cell
-    one = emb.filter(F.col("vec_id") % 5 == 0).limit(1)
-    for i in range(2):
-        ivf_append(
-            one.select(
-                (F.col("vec_id") + (i + 1) * 10**6).alias("vec_id"), "embedding"
-            ),
-            root,
+    # every append input below is a PRE-COLLECTED local frame: the
+    # bounded 20-row guard batch is fetched once, and each ivf_append
+    # then plans over a local relation instead of re-scanning the
+    # embeddings parquet per call (4 scans saved — certificate cost,
+    # not operator cost)
+    guard_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .limit(20)
+        .collect()
+    ]
+    vec_schema = "vec_id long, embedding array<double>"
+
+    def _local_batch(shift: int, n: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(vid + shift, v) for vid, v in guard_rows[:n]], vec_schema
         )
+
+    # fragment ONE cell: a single-vector append adds one file to its
+    # cell — already over the max_files_per_cell=1 threshold below
+    ivf_append(_local_batch(10**6, 1), root)
     pre_live = _ivf_dir(root)
     pre_rows = sorted(
         map(tuple, query_ivf_index(spark, root, queries_df, k=10,
@@ -5258,7 +5545,7 @@ def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["compacted"] and live != pre_live and _os.path.isdir(pre_live)
         and _os.path.isdir(live)
     )
-    n_after_frag = corpus.count() + 2
+    n_after_frag = corpus.count() + 1
     stale_reader_served = (
         spark.read.parquet(_ivf_dir(root, stale_meta)).count() == n_after_frag
     )
@@ -5272,16 +5559,9 @@ def ivf_generation_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     results_unchanged = pre_rows == post_rows
     # replay guard scoped to the stream identity
-    batch = emb.filter(F.col("vec_id") % 5 == 0).limit(20)
-
-    def shifted(k):
-        return batch.select(
-            (F.col("vec_id") + k * 10**7).alias("vec_id"), "embedding"
-        )
-
-    sa = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
-    sar = ivf_append(shifted(1), root, batch_id=3, stream_id="ckpt-A")
-    sb = ivf_append(shifted(2), root, batch_id=0, stream_id="ckpt-B")
+    sa = ivf_append(_local_batch(10**7, 20), root, batch_id=3, stream_id="ckpt-A")
+    sar = ivf_append(_local_batch(10**7, 20), root, batch_id=3, stream_id="ckpt-A")
+    sb = ivf_append(_local_batch(2 * 10**7, 20), root, batch_id=0, stream_id="ckpt-B")
     replay_guard_scoped = (
         sa["appended"] == 20
         and sar["appended"] == 0 and sar["skipped_replay"] is True
@@ -10394,17 +10674,23 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # ---- round-11 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # No query was never-checked at rotation time, so all 49 rotating
+    # ONE new query landed this round (knn_ivf_index_opq — the OPQ
+    # rotation certificate for the persisted IVF-PQ path: rotation
+    # persisted+orthogonal, recon-error < 0.95x plain PQ, append-
+    # equals-bulk under the frozen sidecar pair, codes-only serving
+    # floor, OPQ >= plain hits at equal bytes/code) and takes its
+    # slot per the freeze-then-build rule; the 48 remaining rotating
     # slots go to the stale tail: the four r6 stragglers displaced by
     # r10's new certificate (topk_orders, transcode_pipeline_report,
-    # unpivot_measures, window_rank_latest) plus the 45 stalest r7
+    # unpivot_measures, window_rank_latest) plus the 44 stalest r7
     # rows — including the reworked append-mode sliding+session
-    # certificate's family and the exactly-once file sink. The four
-    # r7 rows this defers (stream_interval_join_pairs,
+    # certificate's staging family. The five r7 rows this defers
+    # (stream_file_sink_exactly_once, stream_interval_join_pairs,
     # stream_sliding_session_windows, tfidf_cosine_pairs,
     # token_budget_by_source) re-certify next round at gap 5 — inside
     # MAX_CADENCE; forward simulation (--check) shows zero violations.
     "flagship_segment_stats",  # r10
+    "knn_ivf_index_opq",  # NEW
     "topk_orders",  # r6
     "transcode_pipeline_report",  # r6
     "unpivot_measures",  # r6
@@ -10453,14 +10739,14 @@ _PRIORITY_ORDER = [
     "source_cap_report",  # r7
     "stats_aggregates",  # r7
     "stratified_lang_sample",  # r7
-    "stream_file_sink_exactly_once",  # r7
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-11 rotation math: 1 flagship + 0 never-checked + 49 stalest
-# (4 x r6 + 45 x r7) = 50. Generated by `python
-# tools/window_rotation.py`; deferred names are all r7/r8/r9/r10-green
-# and stay under the driver-strict local oracle mirror
-# (tests/test_queries_oracle.py) until their rotation slot comes up.
+# Round-11 rotation math: 1 flagship + 1 never-checked
+# (knn_ivf_index_opq) + 48 stalest (4 x r6 + 44 x r7) = 50. Generated
+# by `python tools/window_rotation.py`; deferred names are all
+# r7/r8/r9/r10-green and stay under the driver-strict local oracle
+# mirror (tests/test_queries_oracle.py) until their rotation slot
+# comes up.
 
 
 def _apply_registry_order() -> None:
