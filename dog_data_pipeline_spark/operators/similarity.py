@@ -916,7 +916,18 @@ def _cell_salted(
         F.try_element_at(mods, F.col("cell").cast("int") + F.lit(1)), F.lit(1)
     )
     salt = F.pmod(F.xxhash64(F.col(id_col)), salt_mod)
-    return assigned.repartition(F.col("cell"), salt)
+    # Size the exchange to the WORK — the number of intended (cell,
+    # salt) output groups, 2x over-provisioned so hash collisions
+    # rarely merge two hot-cell groups into one oversized file — not
+    # to spark.sql.shuffle.partitions: a small append into a large
+    # session otherwise fans a 20-row batch across 32+ write tasks
+    # (measured ~5s of pure task/python-worker scheduling per tiny
+    # append at certificate scale), while a 32M build's 128 groups
+    # under-parallelize at a session default of 32. Each group is
+    # ~rows_per_file rows by construction, so group count IS the right
+    # parallelism at every scale.
+    n_groups = max(1, 2 * sum(by_cell.values()))
+    return assigned.repartition(n_groups, F.col("cell"), salt)
 
 
 def _write_ivf_meta(path: str, meta: dict) -> None:
