@@ -3000,7 +3000,6 @@ def transcode_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
     import uuid
 
     from dog_data_pipeline_spark.streaming.stateful import running_track_state
@@ -3011,32 +3010,7 @@ def stateful_stream_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "value"
     )
     tmp = _roundtrip_dir("statestream")
-    src = os.path.join(tmp, "src")
-    os.makedirs(src, exist_ok=True)
-    # one staging job: partitionBy splits the batches, the data files
-    # (written WITHOUT the partition column) move to the flat source dir
-    stage = os.path.join(tmp, "stage")
-    (
-        events.withColumn("__b", F.col("event_id") % 3)
-        .repartition(3, "__b")
-        .write.partitionBy("__b")
-        .mode("overwrite")
-        .parquet(stage)
-    )
-    for k in range(3):
-        bdir = os.path.join(stage, f"__b={k}")
-        part = next(
-            f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
-        )
-        os.replace(
-            os.path.join(bdir, part), os.path.join(src, f"batch_{k}.parquet")
-        )
-    shutil.rmtree(stage, ignore_errors=True)
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = _staged_bounded_stream(spark, events, tmp, 3, "event_id")
     name = f"sst_{uuid.uuid4().hex}"
     # The state store materializes spark.sql.shuffle.partitions state
     # partitions per micro-batch, and applyInPandasWithState's cost is
@@ -3087,17 +3061,37 @@ def _staged_bounded_stream(spark, df, tmp: str, n_files: int, split_col: str):
     designed to be batch-ORDER-independent (watermark delay > the data
     span, so nothing is ever dropped or evicted mid-replay and the
     final state equals the batch recompute no matter how the files are
-    scheduled)."""
+    scheduled).
+
+    Staging is ONE partitionBy job (r11 trim): the split column becomes
+    a partition dir, each group's single data file (written WITHOUT the
+    partition column, so the file schema is exactly ``df.schema``)
+    moves to the flat source dir — n_files full input scans become
+    one."""
     import os
+    import shutil
 
     src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    stage = os.path.join(tmp, "stage")
+    (
+        df.withColumn("__b", F.col(split_col) % n_files)
+        .repartition(n_files, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
     for k in range(n_files):
-        (
-            df.filter(F.col(split_col) % n_files == k)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        bdir = os.path.join(stage, f"__b={k}")
+        if not os.path.isdir(bdir):  # an empty split stages no file
+            continue
+        part = next(
+            f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
         )
+        os.replace(
+            os.path.join(bdir, part), os.path.join(src, f"batch_{k}.parquet")
+        )
+    shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -3334,7 +3328,7 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Streaming SLIDING + SESSION window certificate "
     "(streaming/windows.py sliding_agg/session_agg): two bounded "
-    "4-micro-batch replays of events drive BOTH stateful window "
+    "3-micro-batch replays of events drive BOTH stateful window "
     "shapes. Sliding (6h window / 3h slide, per event_type) replays "
     "under maximal disorder (every batch spans the full month, "
     "watermark > data span) in update mode — the memory sink "
@@ -3366,7 +3360,7 @@ def stream_sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     run = uuid.uuid4().hex
     parts = _state_partitions(spark, slim.count())
 
-    stream1 = _staged_bounded_stream(spark, slim, tmp + "/a", 4, "event_id")
+    stream1 = _staged_bounded_stream(spark, slim, tmp + "/a", 3, "event_id")
     slide = sliding_agg(
         stream1, duration="6 hours", slide="3 hours", watermark="40 days"
     )
@@ -3387,7 +3381,7 @@ def stream_sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     stream2 = _staged_time_ordered_stream(
-        spark, slim, tmp + "/b", 4, "ts", "event_id"
+        spark, slim, tmp + "/b", 3, "ts", "event_id"
     )
     sess = session_agg(stream2, gap="2 hours", watermark="1 hour")
     # The oracle's close predicate assumes every session whose end the
