@@ -1,0 +1,236 @@
+"""Round-11 OPQ serving-dial sweep (verdict r10 ask #2, second half).
+
+r10 landed opt-in OPQ (`build_ivf_index(pq_opq=True)`) and measured the
+codes-only recall law at one operating point (n_probe=16, rerank=0,
+`ivf_opq_recall_2m_r10`). What a user deploying the persisted index
+still lacked was a RECIPE: for a given (n_probe, bytes/vec, rerank)
+dial, what recall@10 and per-batch latency to expect, and which dial to
+pick for (a) exact serving and (b) recall-tolerant codes-only candidate
+generation (rerank=0).
+
+This sweep reuses the r10 methodology verbatim — the same 2M
+anisotropic-mixed corpus recipe (seeded, so bit-identical), the same
+coarse quantizer (n_lists=64, seed=42), the same 64 held-out queries
+scored against the exact brute-force top-10 — and varies ONLY the dial:
+
+- bytes/vec in {8, 16}    (pq_m_sub; ksub=256 -> 1 byte/subspace)
+- n_probe   in {8, 16, 32, 64}   (64 = every list: isolates code error)
+- rerank    in {0, 4}     (0 = codes-only ADC; 4 = exact rerank of 4k)
+
+plus the raw-vector probe ceiling at each n_probe (use_pq=False: coarse
+recall with zero code error), so each cell's gap decomposes into
+coarse-probe misses vs ADC shortlist error.
+
+WHAT THE FIRST PASS MEASURED (and why there is a second): the raw
+ceiling is 1.0 already at n_probe=8 — on a clustered corpus every true
+neighbor lives in the first few probed cells — and recall is therefore
+n_probe-INVARIANT at fixed (bytes/vec, rerank): extra probes add only
+far-cell candidates whose ADC scores never crack the shortlist. The
+binding dial for exact serving is the SHORTLIST SIZE (rerank): rerank=4
+keeps only 40 ADC survivors and code error keeps most true neighbors
+out of them. ``--rerank-ext`` sweeps rerank in {16, 64, 256} at
+n_probe=8 and shows recall climbing toward the raw ceiling — the axis a
+deployment should actually turn.
+
+Usage: python tools/serving_dial_r11.py [--rerank-ext]
+Merges/updates ``opq_serving_dial_r11`` in BENCH_LOCAL_r11.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dog_data_pipeline_spark.session import get_spark  # noqa: E402
+from dog_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    build_ivf_index,
+    cosine_topk,
+    query_ivf_index,
+)
+from tools.soak_r8 import gen_vectors, t  # noqa: E402
+
+ARTIFACT = os.path.join(HERE, "BENCH_LOCAL_r11.json")
+BASE = "/tmp/dial_r11_vec"
+
+
+def merge(records: dict) -> None:
+    art: dict = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as fh:
+            art = json.load(fh)
+    art.update(records)
+    tmp = ARTIFACT + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(art, fh, indent=1, sort_keys=True)
+    os.replace(tmp, ARTIFACT)
+    print(f"merged {sorted(records)} into {ARTIFACT}", flush=True)
+
+
+def corr_corpus(spark) -> tuple[str, float]:
+    """The r10 anisotropic-mixed 2M corpus, regenerated bit-identically
+    (same seeds, same mix recipe as tools/soak_r10.py:opq_recall_leg)."""
+    import numpy as np
+
+    base_p = f"{BASE}/corpus2m_base"
+    dt_gen = gen_vectors(spark, base_p, 2_000_000)
+    rng = np.random.RandomState(11)
+    q_mix, _ = np.linalg.qr(rng.randn(64, 64))
+    mix = (np.diag(1.35 ** -np.arange(64)) @ q_mix).astype(np.float64)
+
+    corr_p = f"{BASE}/corpus2m_corr"
+    if not os.path.exists(os.path.join(corr_p, "_SUCCESS")):
+        def _apply_mix(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "embedding": list(x @ mix)}
+                )
+
+        (
+            spark.read.parquet(base_p)
+            .mapInPandas(_apply_mix, "vec_id long, embedding array<double>")
+            .write.mode("overwrite")
+            .parquet(corr_p)
+        )
+    return corr_p, dt_gen
+
+
+def main() -> None:
+    rerank_ext = "--rerank-ext" in sys.argv
+    os.makedirs(BASE, exist_ok=True)
+    spark = get_spark(app_name="dial-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rec: dict = {"n_rows": 2_000_000, "n_lists": 64, "ksub": 256, "k": 10}
+    if rerank_ext and os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as fh:
+            rec = json.load(fh).get("opq_serving_dial_r11", rec)
+    corr_p, rec["datagen_sec"] = corr_corpus(spark)
+    corpus = spark.read.parquet(corr_p)
+
+    queries = corpus.filter(F.col("vec_id") % 31_337 == 7).limit(64).persist()
+    rec["n_queries"] = queries.count()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(
+            corpus, queries, k=10, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+
+    indexes = {}
+    for m_sub in (8, 16):
+        idx = f"{BASE}/ivf2m_opq{m_sub}"
+        if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+            shutil.rmtree(idx, ignore_errors=True)
+            dt, _ = t(
+                lambda: build_ivf_index(
+                    corpus, idx, n_lists=64, seed=42, pq_m_sub=m_sub,
+                    pq_ksub=256, pq_opq=True,
+                )
+            )
+            rec[f"build_opq{m_sub}_sec"] = round(dt, 2)
+        indexes[m_sub] = idx
+
+    def score(idx: str, n_probe: int, rerank: int, use_pq=None) -> dict:
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in query_ivf_index(
+                spark, idx, queries, k=10, n_probe=n_probe,
+                rerank=rerank, use_pq=use_pq,
+            ).collect()
+        }
+        return {
+            "recall10": round(len(got & exact) / max(len(exact), 1), 4),
+            "batch_sec": round(time.time() - t0, 2),
+        }
+
+    table = rec.get("dial_table", [])
+    if not rerank_ext:
+        probes = (8, 16, 32, 64)
+        # raw-vector probe ceiling: coarse recall with zero code error
+        rec["probe_ceiling_raw"] = {
+            f"n_probe={p}": score(indexes[16], p, rerank=1, use_pq=False)
+            for p in probes
+        }
+        table = []
+        for m_sub in (8, 16):
+            for p in probes:
+                for rr in (0, 4):
+                    cell = score(indexes[m_sub], p, rr)
+                    table.append(
+                        {
+                            "bytes_per_vec": m_sub,
+                            "n_probe": p,
+                            "rerank": rr,
+                            **cell,
+                        }
+                    )
+                    print(json.dumps(table[-1]), flush=True)
+    else:
+        # the rerank axis — the dial the first pass showed is binding:
+        # n_probe fixed at 8 (raw ceiling already 1.0 there), shortlist
+        # grown until recall meets the ceiling
+        for m_sub in (8, 16):
+            for rr in (16, 64, 256):
+                cell = score(indexes[m_sub], 8, rr)
+                table.append(
+                    {
+                        "bytes_per_vec": m_sub,
+                        "n_probe": 8,
+                        "rerank": rr,
+                        **cell,
+                    }
+                )
+                print(json.dumps(table[-1]), flush=True)
+    rec["dial_table"] = table
+
+    exact_cells = [c for c in table if c["rerank"] > 0]
+    good = [c for c in exact_cells if c["recall10"] >= 0.95]
+    rec["recommended_exact"] = (
+        min(good, key=lambda c: (c["rerank"], c["bytes_per_vec"]))
+        if good
+        else max(exact_cells, key=lambda c: c["recall10"])
+    )
+    codes_only = [c for c in table if c["rerank"] == 0]
+    rec["best_codes_only"] = max(codes_only, key=lambda c: c["recall10"])
+    rec["note"] = (
+        "Serving recipe for the persisted OPQ index (2M anisotropic-"
+        "mixed stress corpus, same recipe/seeds as ivf_opq_recall_2m_"
+        "r10; milder real-embedding spectra sit strictly above these "
+        "recall floors). MEASURED SHAPE: the raw probe ceiling is 1.0 "
+        "at n_probe=8 and recall is n_probe-invariant at fixed (bytes/"
+        "vec, rerank) — on a clustered corpus extra probes only add "
+        "far-cell candidates that never crack the ADC shortlist, so "
+        "n_probe buys coarse recall only when the ceiling says so "
+        "(probe_ceiling_raw is the diagnostic to run). The binding "
+        "exact-serving dial is RERANK (the ADC shortlist size, "
+        "rerank*k candidates reranked with true cosines): recall "
+        "climbs monotonically along it toward the ceiling, and its "
+        "latency cost is amortized (one probed-cell vector-column read "
+        "per query batch), so recommended_exact is the smallest "
+        "rerank>=0.95-recall cell. Codes-only (rerank=0) is for "
+        "recall-tolerant candidate generation only: it caps at the "
+        "ADC code error regardless of n_probe — budget 16B/vec "
+        "minimum and treat its dial_table recall as the floor you "
+        "accept. Latencies are local[32] per-64-query-batch walls at "
+        "2M rows; relative cost across dials is the portable signal "
+        "(ADC stage cost scales with n_probe = cells scanned; rerank "
+        "adds the amortized exact pass)."
+    )
+    merge({"opq_serving_dial_r11": rec})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
