@@ -142,6 +142,7 @@ def cmd_ivf_build(args: argparse.Namespace) -> int:
         balance_bound=args.balance_bound if args.balance_bound > 0 else None,
         pq_m_sub=args.pq_m_sub,
         pq_ksub=args.pq_ksub,
+        enable_upsert=args.enable_upsert,
     )
     counts = meta["cell_counts"]
     pq = " + pq codes" if meta.get("pq") else ""
@@ -184,6 +185,46 @@ def cmd_ivf_append(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ivf_delete(args: argparse.Namespace) -> int:
+    """Tombstone ids out of an upsert-enabled index (merge-on-read:
+    no data file is rewritten; compaction materializes later)."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_delete
+
+    spark = _spark("cli-ivf-delete")
+    if args.input:
+        ids = spark.read.parquet(args.input)
+    else:
+        ids = [int(x) if x.lstrip("-").isdigit() else x for x in args.ids]
+    stats = ivf_delete(spark, args.index, ids, lock_timeout_s=args.lock_timeout_s)
+    print(
+        f"ivf-delete: {stats['deleted_ids']} id(s) tombstoned at seq "
+        f"{stats['write_seq']} -> {args.index} "
+        f"({stats['n_tombstones']} total; run ivf-compact --fold-all to "
+        "materialize)"
+    )
+    return 0
+
+
+def cmd_ivf_upsert(args: argparse.Namespace) -> int:
+    """Replace-by-id (latest-wins): tombstone the batch's ids, then
+    append the batch — no data file rewritten."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_upsert
+
+    spark = _spark("cli-ivf-upsert")
+    batch = spark.read.parquet(args.input)
+    stats = ivf_upsert(
+        batch,
+        args.index,
+        skew_bound=args.skew_bound,
+        lock_timeout_s=args.lock_timeout_s,
+    )
+    print(
+        f"ivf-upsert: {stats['tombstoned_ids']} id(s) superseded, "
+        f"+{stats['appended']} vectors -> {args.index}"
+    )
+    return 3 if stats.get("rebuild_recommended") else 0
+
+
 def cmd_ivf_compact(args: argparse.Namespace) -> int:
     """Recluster an appended-to index's file layout (no retrain, no
     re-assignment; results bit-identical). Takes the appender lock."""
@@ -195,7 +236,13 @@ def cmd_ivf_compact(args: argparse.Namespace) -> int:
         args.index,
         max_files_per_cell=args.max_files_per_cell,
         rows_per_file=args.rows_per_file,
+        fold_all=args.fold_all,
     )
+    if stats.get("tombstones_gcd") or stats.get("tombstones_remaining"):
+        print(
+            f"ivf-compact: tombstones folded+gc'd {stats['tombstones_gcd']}"
+            f", remaining {stats['tombstones_remaining']}"
+        )
     if stats["compacted"]:
         print(
             f"ivf-compact: {stats['cells_over_threshold']} cell(s) over "
@@ -354,6 +401,14 @@ def build_parser() -> argparse.ArgumentParser:
         "of raw vectors (exact rerank from raw vectors on survivors)",
     )
     sb.add_argument("--pq-ksub", type=int, default=256)
+    sb.add_argument(
+        "--enable-upsert",
+        action="store_true",
+        help="make the index deletable/upsertable via merge-on-read "
+        "tombstones (rows carry a writer-sequence column; see "
+        "ivf-delete / ivf-upsert); off by default — pure overhead for "
+        "append-only corpora",
+    )
     sb.set_defaults(fn=cmd_ivf_build)
 
     sa = sub.add_parser(
@@ -382,7 +437,35 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--index", required=True)
     sk.add_argument("--max-files-per-cell", type=int, default=8)
     sk.add_argument("--rows-per-file", type=int, default=250_000)
+    sk.add_argument(
+        "--fold-all",
+        action="store_true",
+        help="MAJOR compaction: rewrite every cell (not just fragmented "
+        "ones) so all tombstones materialize and garbage-collect",
+    )
     sk.set_defaults(fn=cmd_ivf_compact)
+
+    sd = sub.add_parser(
+        "ivf-delete",
+        help="tombstone ids out of an upsert-enabled index (merge-on-"
+        "read — no data file rewritten; ivf-compact materializes)",
+    )
+    sd.add_argument("--index", required=True)
+    sd.add_argument("--input", help="parquet whose id column names the ids")
+    sd.add_argument("--ids", nargs="*", default=[], help="ids inline")
+    sd.add_argument("--lock-timeout-s", type=float, default=600.0)
+    sd.set_defaults(fn=cmd_ivf_delete)
+
+    su = sub.add_parser(
+        "ivf-upsert",
+        help="replace-by-id (latest-wins): tombstone the batch's ids "
+        "then append the batch; exit 3 = drift guard recommends rebuild",
+    )
+    su.add_argument("--input", required=True, help="replacement-batch parquet")
+    su.add_argument("--index", required=True)
+    su.add_argument("--skew-bound", type=float, default=4.0)
+    su.add_argument("--lock-timeout-s", type=float, default=600.0)
+    su.set_defaults(fn=cmd_ivf_upsert)
 
     sw = sub.add_parser(
         "ivf-verify",

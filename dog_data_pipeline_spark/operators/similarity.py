@@ -640,6 +640,7 @@ def build_ivf_index(
     pq_opq: bool = False,
     pq_rotation: list | None = None,
     lock_timeout_s: float = 600.0,
+    enable_upsert: bool = False,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -693,6 +694,25 @@ def build_ivf_index(
     when ``centroids`` are caller-supplied (nothing was trained) — the
     sidecar then records ``balance_bound: None`` so the meta never
     claims a balance that was not applied.
+
+    ``enable_upsert`` (opt-in) makes the index DELETABLE/UPSERTABLE via
+    merge-on-read tombstones (``ivf_delete`` / ``ivf_upsert``): every
+    data row carries a ``__seq`` column (the monotonically increasing
+    writer sequence, 0 for the build, bumped per append/delete under
+    the appender lock), deletes append ``(id, __del_seq)`` rows to a
+    generation-pointed ``tombstones`` store, readers fold both with one
+    anti-ish left join (a row is live iff no tombstone for its id has
+    ``__del_seq > __seq``), and ``ivf_compact`` MATERIALIZES deletes
+    into any cell it rewrites — the LSM/Iceberg merge-on-read shape,
+    which is the only delete design that doesn't rewrite data files at
+    100 TB. Off by default because the ``__seq`` column and the
+    read-side join are pure overhead for append-only corpora, and a
+    legacy index's files lack the column (``ivf_delete`` on one raises
+    with rebuild guidance). A REBUILD never carries tombstones forward:
+    the caller's ``corpus`` frame defines the new logical dataset
+    (filter deletions out of it before rebuilding), so the rebuild
+    resets ``write_seq`` and points at a FRESH tombstone generation,
+    leaving the old one to the sweep's grace cycle.
 
     ``pq_m_sub`` (opt-in) additionally writes a PRODUCT-QUANTIZED codes
     column into the index and the per-subspace codebooks into the
@@ -793,6 +813,10 @@ def build_ivf_index(
     )
     if encode is not None:
         assigned = assigned.withColumn("pq_codes", encode(vec_col, "cell"))
+    if enable_upsert:
+        # build rows are writer-sequence 0; every later append/delete
+        # bumps the sidecar's write_seq under the appender lock
+        assigned = assigned.withColumn("__seq", F.lit(0).cast("long"))
     # One shuffle before the write bounds the FILE COUNT: an unshuffled
     # partitionBy("cell") writes one file per (task x cell) — measured
     # 81,920 files of ~320KB for a 32M x 512-list build (160 per cell;
@@ -884,6 +908,24 @@ def build_ivf_index(
                     meta[guard] = old_meta[guard]
         if pq_meta is not None:
             meta["pq"] = pq_meta
+        if enable_upsert:
+            # tombstones never carry across a rebuild (the caller's
+            # corpus IS the new logical dataset): point at a FRESH
+            # tombstone generation and leave the old one in the grace
+            # slot for the sweep, exactly like a displaced index
+            # generation
+            old_up = old_meta.get("upsert") or {}
+            tomb = _next_tomb_name(old_up.get("tombstones_dir", ""))
+            meta["upsert"] = {
+                "write_seq": 0,
+                "n_tombstones": 0,
+                "tombstones_dir": tomb,
+                "folded_seq": {},
+            }
+            if old_up.get("tombstones_dir"):
+                meta["upsert"]["prev_tombstones_dir"] = old_up[
+                    "tombstones_dir"
+                ]
         _write_ivf_meta(path, meta)
     return meta
 
@@ -1016,6 +1058,18 @@ def _next_gen_name(live_name: str) -> str:
     if live_name.startswith("index.g"):
         return f"index.g{int(live_name[len('index.g'):]) + 1:06d}"
     return "index.g000001"
+
+
+def _next_tomb_name(live_name: str) -> str:
+    """"" -> tombstones (fresh index); tombstones -> tombstones.g000001;
+    tombstones.gN -> tombstones.g{N+1} — the tombstone store is
+    generation-pointed exactly like the index data dir, so its GC
+    rewrite commits with the same one-atomic-sidecar-flip contract."""
+    if not live_name:
+        return "tombstones"
+    if live_name.startswith("tombstones.g"):
+        return f"tombstones.g{int(live_name[len('tombstones.g'):]) + 1:06d}"
+    return "tombstones.g000001"
 
 
 class IvfAppendLockTimeout(TimeoutError):
@@ -1277,6 +1331,14 @@ def ivf_append(
                     vec_col, "cell"
                 ),
             )
+        if meta.get("upsert"):
+            # an upsert-enabled index versions every row: this append's
+            # rows get the next writer sequence so earlier tombstones
+            # (strictly smaller __del_seq) never apply to them
+            next_seq = int(meta["upsert"].get("write_seq", 0)) + 1
+            assigned = assigned.withColumn(
+                "__seq", F.lit(next_seq).cast("long")
+            )
         # One pass over the batch: cache so the write and the <= n_lists
         # count aggregate don't recompute the assignment.
         assigned = assigned.persist()
@@ -1319,6 +1381,8 @@ def ivf_append(
         mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
         skew = (max(counts.values()) / mean) if counts and mean else 0.0
         meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
+        if meta.get("upsert"):
+            meta["upsert"]["write_seq"] = next_seq
         if batch_id is not None:
             meta["last_stream_batch"] = int(batch_id)
             if stream_id is not None:
@@ -1334,6 +1398,213 @@ def ivf_append(
         }
     )
     return meta
+
+
+def ivf_delete(
+    spark,
+    path: str,
+    ids,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """DELETE ids from an upsert-enabled persisted IVF index — by
+    merge-on-read tombstone, never by rewriting data files.
+
+    At 100 TB a delete that rewrites the cells holding its ids costs a
+    corpus-scale job per delete batch; the LSM/Iceberg answer is to
+    append the delete as DATA: one ``(id, __del_seq)`` row per deleted
+    id into the index's generation-pointed ``tombstones`` store, where
+    ``__del_seq`` is the next writer sequence (taken under the same
+    appender lock every writer holds). Readers fold tombstones at query
+    time (``query_ivf_index``: a row is live iff no tombstone for its
+    id carries ``__del_seq`` strictly greater than the row's
+    ``__seq``), and ``ivf_compact`` MATERIALIZES them into any cell it
+    rewrites, garbage-collecting fully-folded tombstones. Deleting an
+    id the index never held is a no-op by construction.
+
+    The strict ``>`` fold direction is the crash-safety contract: the
+    tombstone parquet lands BEFORE the sidecar bump, so a crash between
+    the two leaves tombstone rows whose sequence a later writer may
+    REUSE — equal-sequence data rows (that writer's append) must
+    survive, and they do, while every row the delete targeted (strictly
+    older) still dies. A replayed delete simply appends duplicate
+    tombstone rows at a newer sequence; the read-side MAX-per-id
+    aggregate makes duplicates harmless.
+
+    ``ids`` is a DataFrame carrying the index's id column, or a plain
+    iterable of ids. Requires ``build_ivf_index(enable_upsert=True)``
+    — a legacy index's data files lack the ``__seq`` column, so there
+    is nothing a tombstone could compare against; raises ValueError
+    with rebuild guidance rather than silently mass-deleting
+    (every legacy row would look older than any tombstone).
+
+    Returns ``{"deleted_ids": n, "write_seq": s, "n_tombstones":
+    total}`` (``deleted_ids`` counts distinct tombstoned ids in this
+    call; ``n_tombstones`` the sidecar's cumulative estimate)."""
+    import json
+    import math
+    import os
+
+    with _ivf_append_lock(path, lock_timeout_s):
+        with open(os.path.join(path, "ivf_meta.json")) as fh:
+            meta = json.load(fh)
+        up = meta.get("upsert")
+        if not up:
+            raise ValueError(
+                f"index at {path} was not built with enable_upsert=True: "
+                "its rows carry no __seq column for tombstones to compare "
+                "against. Rebuild with build_ivf_index(..., "
+                "enable_upsert=True) (filtering already-deleted rows out "
+                "of the corpus) to make it deletable."
+            )
+        id_col = meta["id_col"]
+        if isinstance(ids, DataFrame):
+            del_df = ids.select(id_col).dropDuplicates([id_col])
+            n = del_df.count()
+        else:
+            ids_list = list(dict.fromkeys(ids))
+            n = len(ids_list)
+            del_df = (
+                spark.createDataFrame(pd.DataFrame({id_col: ids_list}))
+                if n
+                else None
+            )
+        if not n:
+            # empty delete: no tombstones, no sequence burn
+            return {
+                "deleted_ids": 0,
+                "write_seq": int(up.get("write_seq", 0)),
+                "n_tombstones": int(up.get("n_tombstones", 0)),
+            }
+        seq = int(up.get("write_seq", 0)) + 1
+        del_df = del_df.withColumn("__del_seq", F.lit(seq).cast("long"))
+        # bound the store's file count: one file per ~5M tombstones
+        (
+            del_df.repartition(max(1, math.ceil(n / 5_000_000)))
+            .write.mode("append")
+            .parquet(os.path.join(path, up["tombstones_dir"]))
+        )
+        up["write_seq"] = seq
+        up["n_tombstones"] = int(up.get("n_tombstones", 0)) + n
+        _write_ivf_meta(path, meta)
+    return {
+        "deleted_ids": n,
+        "write_seq": seq,
+        "n_tombstones": up["n_tombstones"],
+    }
+
+
+def ivf_upsert(new_vectors: DataFrame, path: str, **append_kwargs) -> dict:
+    """UPSERT into an upsert-enabled persisted IVF index: re-embedded
+    documents replace their previous vectors (latest-wins by id).
+
+    Implementation is tombstone-then-append as two sequential locked
+    writes: the batch's ids are tombstoned at sequence S
+    (``ivf_delete``), then the batch itself appends at sequence S+1
+    (``ivf_append``) — the strict ``__del_seq > __seq`` fold kills
+    every older version of those ids and spares the new rows, with no
+    read-modify-write of any data file. The pair is NOT atomic to
+    readers: a query landing between the two sees the ids briefly
+    absent (never a torn mix of old and new). A crash between them
+    leaves the ids deleted but not re-added — re-running the upsert
+    (the natural retry) converges, which is the same
+    effectively-once-by-retry contract the streaming ingest uses.
+    An id new to the index upserts as a plain insert (its tombstone
+    targets nothing).
+
+    Accepts ``ivf_append`` keyword args (``skew_bound``,
+    ``batch_id``/``stream_id`` for streaming upsert, ...). Returns the
+    append's stats dict plus ``{"tombstoned_ids": n}``.
+
+    STREAMING REPLAY is guarded BEFORE the tombstone, not just at the
+    append: a replayed micro-batch that only skipped the append would
+    still write a fresh (newer-sequence) tombstone for ids whose rows
+    the FIRST application already appended — silently deleting the
+    very rows the upsert installed. So when ``batch_id`` is already
+    covered by the index's replay watermark (same stream-identity
+    rules as ``ivf_append``), the whole upsert returns
+    ``{"appended": 0, "skipped_replay": True, "tombstoned_ids": 0}``
+    without touching the store. The guard is read outside the lock —
+    safe under the streaming contract (ONE identified stream per
+    index, micro-batches serialized by foreachBatch); a crash between
+    the delete and the append replays as delete-again + append, which
+    converges."""
+    spark = new_vectors.sparkSession
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_meta.json")) as fh:
+        meta = json.load(fh)
+    batch_id = append_kwargs.get("batch_id")
+    stream_id = append_kwargs.get("stream_id")
+    same_stream = stream_id is None or meta.get("last_stream_id") in (
+        None,
+        stream_id,
+    )
+    if (
+        batch_id is not None
+        and same_stream
+        and int(meta.get("last_stream_batch", -1)) >= int(batch_id)
+    ):
+        return {"appended": 0, "skipped_replay": True, "tombstoned_ids": 0}
+    del_stats = ivf_delete(
+        spark,
+        path,
+        new_vectors.select(meta["id_col"]),
+        lock_timeout_s=append_kwargs.get("lock_timeout_s", 600.0),
+    )
+    stats = ivf_append(new_vectors, path, **append_kwargs)
+    stats["tombstoned_ids"] = del_stats["deleted_ids"]
+    return stats
+
+
+def _tombstones_frame(spark, path: str, meta: dict):
+    """-> (max-__del_seq-per-id DataFrame | None, n_tombstones).
+
+    None when the index is not upsert-enabled or the live tombstone
+    generation holds no files — the common append-only case pays zero
+    read-side cost (one driver-side listdir). The store is read
+    directly (never trusted from ``n_tombstones`` alone) so a delete
+    whose crash landed tombstone rows but not the sidecar bump is
+    still honored by readers."""
+    import os
+
+    up = meta.get("upsert")
+    if not up:
+        return None, 0
+    tomb_dir = os.path.join(path, up.get("tombstones_dir", "tombstones"))
+    try:
+        has_files = any(
+            f.endswith(".parquet") for f in os.listdir(tomb_dir)
+        )
+    except OSError:
+        has_files = False
+    if not has_files:
+        return None, 0
+    tomb = (
+        spark.read.parquet(tomb_dir)
+        .groupBy(meta["id_col"])
+        .agg(F.max("__del_seq").alias("__del_seq"))
+    )
+    return tomb, int(up.get("n_tombstones", 0))
+
+
+def _fold_tombstones(idx: DataFrame, tomb, n_tombstones: int, id_col: str):
+    """Merge-on-read: drop index rows an id-matching tombstone with a
+    STRICTLY newer sequence covers. Broadcast the folded tombstone side
+    while it plausibly fits in executor memory (ids + one long — ~50MB
+    at the 2M bound); past that, fall back to a shuffle join and let
+    AQE size it."""
+    if tomb is None:
+        return idx
+    side = F.broadcast(tomb) if n_tombstones <= 2_000_000 else tomb
+    return (
+        idx.join(side, id_col, "left")
+        .filter(
+            F.col("__del_seq").isNull()
+            | (F.col("__seq") >= F.col("__del_seq"))
+        )
+        .drop("__del_seq")
+    )
 
 
 def query_ivf_index(
@@ -1408,6 +1679,10 @@ def query_ivf_index(
     idx = spark.read.parquet(ivf_index_dir(path, meta)).filter(
         F.col("cell").isin(probed)
     )
+    # upsert-enabled index: fold tombstones before ANY scoring — both
+    # the ADC candidate stage and the exact-rerank fetch reuse `idx`,
+    # so deleted/superseded rows never reach a shortlist or a rerank
+    idx = _fold_tombstones(idx, *_tombstones_frame(spark, path, meta), id_col)
     dot = F.aggregate(
         F.zip_with("q_v", vec_col, lambda x, y: x * y),
         F.lit(0.0),
@@ -1480,6 +1755,7 @@ def ivf_compact(
     rows_per_file: int = 250_000,
     lock_timeout_s: float = 600.0,
     sweep_min_age_s: float = 0.0,
+    fold_all: bool = False,
 ) -> dict:
     """Compact a persisted IVF index's file layout without retraining
     or re-assigning: the maintenance step between appends and the
@@ -1544,6 +1820,20 @@ def ivf_compact(
     generation in-flight readers may still hold) in the sidecar's
     grace slot instead of letting the same call's entry sweep delete
     it (advisor r10).
+
+    On an UPSERT-ENABLED index (``build_ivf_index(enable_upsert=True)``)
+    compaction additionally MATERIALIZES tombstones: every rewritten
+    cell is tombstone-folded (deleted/superseded rows physically
+    dropped, the LSM compaction contract), the sidecar records the
+    folded writer-sequence per cell, and tombstones every remaining
+    cell has folded past are garbage-collected into the next tombstone
+    generation (same one-atomic-sidecar-flip commit as the data
+    generation — both pointers flip in the single meta write).
+    ``fold_all=True`` forces a MAJOR compaction — every cell holding
+    files is rewritten regardless of fragmentation — the switch that
+    drains all tombstones (e.g. before snapshotting an index for
+    distribution); layout-triggered (minor) compactions fold
+    opportunistically and converge over time.
 
     Holds the APPENDER lock throughout (compaction rewrites files an
     appender would race with; readers never take the lock).
@@ -1615,10 +1905,22 @@ def ivf_compact(
         # predecessor (orphan staging dirs from a crashed compaction
         # land here too), unless younger than sweep_min_age_s
         prev_name = meta.get("prev_index_dir")
+        up = meta.get("upsert") or {}
+        tomb_keep = (up.get("tombstones_dir"), up.get("prev_tombstones_dir"))
         for d in os.listdir(path):
             if (
                 (d == "index" or d.startswith("index."))
                 and d not in (live_name, prev_name)
+                and not too_young_to_sweep(d)
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            # tombstone generations follow the same pointer/grace/sweep
+            # lifecycle as index generations (an upsert-less sidecar
+            # keeps none, so a rebuild without enable_upsert strands
+            # its predecessor's store here for exactly one grace pass)
+            if (
+                (d == "tombstones" or d.startswith("tombstones."))
+                and d not in tomb_keep
                 and not too_young_to_sweep(d)
             ):
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
@@ -1636,7 +1938,10 @@ def ivf_compact(
                 math.ceil(counts.get(cell, 0) / rows_per_file),
             )
 
-        over = {c for c, n in before.items() if n > bound(c)}
+        over_gate = {c for c, n in before.items() if n > bound(c)}
+        # major compaction: rewrite every cell holding files so the
+        # tombstone fold reaches the whole corpus in one pass
+        over = set(before) if fold_all else over_gate
         if not over:
             return {
                 "compacted": False,
@@ -1657,12 +1962,38 @@ def ivf_compact(
         idx = spark.read.parquet(live).filter(
             F.col("cell").isin(sorted(int(c) for c in over))
         )
+        # materialize deletes into every rewritten cell (tombstone
+        # reads are consistent for the whole call: this writer holds
+        # the appender lock, so no delete can land mid-compact)
+        tomb, n_tomb = _tombstones_frame(spark, path, meta)
+        folding = tomb is not None
+        if folding:
+            idx = _fold_tombstones(idx, tomb, n_tomb, meta["id_col"])
         clustered = _cell_salted(spark, idx, meta["id_col"], salts)
         (
             clustered.write.mode("overwrite")
             .partitionBy("cell")
             .parquet(staged)
         )
+        if folding:
+            # the fold may have dropped rows: refresh the rewritten
+            # cells' sidecar counts from the staged footers (column-
+            # pruned, <= n_lists result rows) — a fully-dead cell
+            # simply has no staged dir and counts 0
+            staged_counts = {}
+            if any(d.startswith("cell=") for d in os.listdir(staged)):
+                staged_counts = {
+                    int(r["cell"]): int(r["n"])
+                    for r in spark.read.parquet(staged)
+                    .groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            for cell in over:
+                counts[cell] = staged_counts.get(cell, 0)
+            meta["cell_counts"] = {
+                str(k): v for k, v in sorted(counts.items())
+            }
         linked = 0
         for d in os.listdir(live):
             if not d.startswith("cell=") or int(d.split("=", 1)[1]) in over:
@@ -1684,6 +2015,59 @@ def ivf_compact(
                             os.path.join(src_dir, f), os.path.join(dst_dir, f)
                         )
             linked += 1
+        tomb_gcd = 0
+        if meta.get("upsert"):
+            # every rewritten cell is now folded up to the sidecar's
+            # writer sequence (consistent under the appender lock)
+            up = meta["upsert"]
+            prev_tomb_grace = up.get("prev_tombstones_dir")
+            w_seq = int(up.get("write_seq", 0))
+            fs = up.setdefault("folded_seq", {})
+            for cell in over:
+                fs[str(cell)] = max(int(fs.get(str(cell), 0)), w_seq)
+            # GC tombstones no remaining row can match: min folded
+            # sequence over every cell still holding rows is the floor
+            # below which every targeted row is physically gone
+            live_cells = [c for c, n in counts.items() if n > 0]
+            min_folded = min(
+                (int(fs.get(str(c), 0)) for c in live_cells),
+                default=w_seq,
+            )
+            if folding and min_folded > 0:
+                tomb_name = up["tombstones_dir"]
+                store = spark.read.parquet(os.path.join(path, tomb_name))
+                n_total = store.count()
+                remaining = store.filter(F.col("__del_seq") > min_folded)
+                n_rem = remaining.count()
+                if n_rem < n_total:
+                    # stage the surviving tombstones as the NEXT
+                    # tombstone generation; the pointer flips in the
+                    # same sidecar write that commits the data
+                    # generation below (one atomic commit for both)
+                    next_tomb = _next_tomb_name(tomb_name)
+                    staged_tomb = os.path.join(path, next_tomb)
+                    if os.path.isdir(staged_tomb):
+                        shutil.rmtree(staged_tomb)
+                    if n_rem:
+                        (
+                            remaining.repartition(
+                                max(1, math.ceil(n_rem / 5_000_000))
+                            )
+                            .write.mode("overwrite")
+                            .parquet(staged_tomb)
+                        )
+                    else:
+                        os.makedirs(staged_tomb, exist_ok=True)
+                    up["prev_tombstones_dir"] = tomb_name
+                    up["tombstones_dir"] = next_tomb
+                    up["n_tombstones"] = int(n_rem)
+                    tomb_gcd = int(n_total - n_rem)
+            if tomb_gcd == 0 and prev_tomb_grace:
+                # the displaced tombstone store has now had its full
+                # one-compact-cycle grace: release the slot so the NEXT
+                # call's entry sweep collects the directory (mirrors
+                # the index generation's prev -> swept lifecycle)
+                up.pop("prev_tombstones_dir", None)
         # COMMIT: one atomic sidecar rename flips the generation; the
         # displaced generation moves into the grace slot and the slot's
         # previous occupant (now two generations back) is swept
@@ -1697,14 +2081,20 @@ def ivf_compact(
         ):
             shutil.rmtree(os.path.join(path, prev_name), ignore_errors=True)
         after = file_counts(staged)
-        return {
+        stats = {
             "compacted": True,
-            "cells_over_threshold": len(over),
+            "cells_over_threshold": len(over_gate),
             "cells_rewritten": len(over),
             "cells_linked": linked,
             "files_before": sum(before.values()),
             "files_after": sum(after.values()),
         }
+        if meta.get("upsert"):
+            stats["tombstones_gcd"] = tomb_gcd
+            stats["tombstones_remaining"] = int(
+                meta["upsert"].get("n_tombstones", 0)
+            )
+        return stats
 
 
 def ivf_verify(spark, path: str, repair: bool = False) -> dict:
@@ -1822,7 +2212,7 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
             }
             _write_ivf_meta(path, fresh)
         repaired = True
-    return {
+    out = {
         "consistent": not diff and not torn,
         "consistent_after": not diff or repaired,
         "diff": diff,
@@ -1830,6 +2220,18 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
         "lock_held": lock_held,
         "torn_swap": torn,
     }
+    if meta.get("upsert"):
+        # merge-on-read health: how many distinct ids are tombstoned
+        # (reads the live tombstone generation, so a crash-torn delete
+        # whose sidecar bump never landed is still counted) — the
+        # audit's cell counts above are PHYSICAL rows by design
+        # (unfolded cells hold their dead rows on disk)
+        tomb, _ = _tombstones_frame(spark, path, meta)
+        out["tombstoned_ids"] = int(tomb.count()) if tomb is not None else 0
+        out["n_tombstones_recorded"] = int(
+            meta["upsert"].get("n_tombstones", 0)
+        )
+    return out
 
 
 def _train_pq_codebooks(

@@ -5449,6 +5449,155 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_upsert_delete",
+    "SELECT TRUE AS delete_matches_exact, TRUE AS upsert_latest_wins, "
+    "TRUE AS fold_gc_complete, TRUE AS fold_results_unchanged, "
+    "(SELECT CAST(count(*) - 1 AS BIGINT) FROM embeddings) AS n_live",
+    "MERGE-ON-READ DELETE/UPSERT certificate for the persisted IVF "
+    "index (operators/similarity.py ivf_delete/ivf_upsert + the "
+    "tombstone fold in query_ivf_index and ivf_compact, landed r11): "
+    "a training-data corpus re-embeds changed documents and removes "
+    "deduped/contaminated ones, and at 100 TB neither may rewrite "
+    "data files — deletes append (id, __del_seq) tombstone rows to a "
+    "generation-pointed store, every data row carries its writer "
+    "sequence, readers fold the two with one broadcast left join "
+    "(live iff no strictly-newer tombstone), and compaction "
+    "MATERIALIZES deletes into rewritten cells then garbage-collects "
+    "fully-folded tombstones (the LSM/Iceberg shape). Pins, on one "
+    "upsert-enabled index over the embeddings table: "
+    "delete_matches_exact (after deleting a served neighbor id, the "
+    "full-probe top-5 for 3 queries is SET-IDENTICAL — ids, ranks and "
+    "cosines to 1e-12 — to brute-force cosine_topk over "
+    "corpus-minus-victim: merge-on-read equals physical delete), "
+    "upsert_latest_wins (re-embedding an existing id via ivf_upsert "
+    "serves ONLY the new vector, again equal to brute force over the "
+    "updated corpus — the tombstone kills every strictly-older "
+    "version and spares the same-call append), fold_gc_complete (a "
+    "major ivf_compact(fold_all=True) reports zero tombstones "
+    "remaining and the sidecar agrees), fold_results_unchanged (the "
+    "same top-5 set before and after the fold — materialization is "
+    "invisible to serving). n_live pins the post-fold PHYSICAL row "
+    "count at corpus-1: the deleted victim's row is gone from disk "
+    "and the upserted id nets zero (old version dropped, new "
+    "appended) — the count the oracle can state without running the "
+    "pipeline. Crash semantics (torn delete honored, equal-sequence "
+    "append survives, grace-then-sweep of displaced stores) are "
+    "pinned in tests/test_dedup_similarity.py. Upsert input is a "
+    "pre-collected Arrow-backed local frame (certificate fixed-cost "
+    "convention, 16e65be).",
+)
+def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_compact,
+        ivf_delete,
+        ivf_upsert,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _roundtrip_dir("ivfupsert")
+    # n_lists=4 keeps the certificate's quantizer training + per-query
+    # jobs at fixed-cost scale (16e65be convention); the fold semantics
+    # being pinned are cell-count independent
+    meta = build_ivf_index(emb, root, n_lists=4, seed=42, enable_upsert=True)
+    probe_all = len(meta["centroids"])  # full probe: exact modulo fold
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def _topk(frame=None):
+        src = (
+            query_ivf_index(spark, root, q, k=5, n_probe=probe_all)
+            if frame is None
+            else cosine_topk(frame, q, k=5, id_col="vec_id", vec_col="embedding")
+        )
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in src.collect()
+        }
+
+    # pick victim/up_id from the BRUTE pass (full probe makes the index
+    # identical pre-delete; one cheaper job than an index query)
+    base = _topk(emb.select("vec_id", "embedding"))
+    qid0 = min(qq for (qq, *_rest) in base)
+    served0 = sorted(v for (qq, v, *_rest) in base if qq == qid0 and v >= 3)
+    victim, up_id = served0[0], served0[-1]
+
+    ivf_delete(spark, root, [victim])
+    after_del = _topk()
+    delete_matches_exact = after_del == _topk(
+        emb.filter(F.col("vec_id") != victim)
+    )
+
+    # re-embed up_id: its stored vector shifted by +1.0 per dim — a
+    # pre-collected Arrow local frame, one bounded row
+    import pandas as _pd
+
+    old_vec = (
+        emb.filter(F.col("vec_id") == up_id)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    new_vec = [float(x) + 1.0 for x in old_vec]
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = spark.conf.get(arrow_key, "false")
+    spark.conf.set(arrow_key, "true")
+    try:
+        up_df = spark.createDataFrame(
+            _pd.DataFrame({"vec_id": [up_id], "embedding": [new_vec]}),
+            "vec_id long, embedding array<double>",
+        ).coalesce(1)
+    finally:
+        spark.conf.set(arrow_key, prev_arrow)
+    ivf_upsert(up_df, root)
+    updated = (
+        emb.select("vec_id", "embedding")
+        .filter(~F.col("vec_id").isin(victim, up_id))
+        .unionByName(up_df)
+    )
+    after_up = _topk()
+    upsert_latest_wins = after_up == _topk(updated)
+
+    stats = ivf_compact(spark, root, fold_all=True)
+    fold_gc_complete = (
+        stats["compacted"]
+        and stats["tombstones_remaining"] == 0
+        and stats["tombstones_gcd"] >= 2
+    )
+    fold_results_unchanged = _topk() == after_up
+    n_live = spark.read.parquet(
+        _os.path.join(root, _ivf_live_dir(root))
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                bool(delete_matches_exact),
+                bool(upsert_latest_wins),
+                bool(fold_gc_complete),
+                bool(fold_results_unchanged),
+                int(n_live),
+            )
+        ],
+        "delete_matches_exact boolean, upsert_latest_wins boolean, "
+        "fold_gc_complete boolean, fold_results_unchanged boolean, "
+        "n_live long",
+    )
+
+
+def _ivf_live_dir(root: str) -> str:
+    """Live generation dirname via the sidecar pointer (tiny local
+    helper so the certificate reads through the same manifest a real
+    reader resolves)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "ivf_meta.json")) as fh:
+        return _json.load(fh).get("index_dir", "index")
+
+
+@query(
     "ivf_generation_pointer",
     "SELECT TRUE AS pointer_flip_atomic, TRUE AS stale_reader_served, "
     "TRUE AS hot_cell_only_rewrite, TRUE AS results_unchanged, "
@@ -10703,23 +10852,25 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # ---- round-11 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # ONE new query landed this round (knn_ivf_index_opq — the OPQ
-    # rotation certificate for the persisted IVF-PQ path: rotation
+    # TWO new queries landed this round and take their slots per the
+    # freeze-then-build rule: knn_ivf_index_opq (the OPQ rotation
+    # certificate for the persisted IVF-PQ path: rotation
     # persisted+orthogonal, recon-error < 0.95x plain PQ, append-
     # equals-bulk under the frozen sidecar pair, codes-only serving
-    # floor, OPQ >= plain hits at equal bytes/code) and takes its
-    # slot per the freeze-then-build rule; the 48 remaining rotating
-    # slots go to the stale tail: the four r6 stragglers displaced by
-    # r10's new certificate (topk_orders, transcode_pipeline_report,
-    # unpivot_measures, window_rank_latest) plus the 44 stalest r7
-    # rows — including the reworked append-mode sliding+session
-    # certificate's staging family. The five r7 rows this defers
-    # (stream_file_sink_exactly_once, stream_interval_join_pairs,
-    # stream_sliding_session_windows, tfidf_cosine_pairs,
-    # token_budget_by_source) re-certify next round at gap 5 — inside
-    # MAX_CADENCE; forward simulation (--check) shows zero violations.
+    # floor, OPQ >= plain hits at equal bytes/code) and
+    # ivf_upsert_delete (merge-on-read tombstones: delete==exact,
+    # upsert latest-wins, major-compaction fold + tombstone GC,
+    # fold-invisible serving). The 47 rotating slots go to the stale
+    # tail: the four r6 stragglers displaced by r10's new certificate
+    # (topk_orders, transcode_pipeline_report, unpivot_measures,
+    # window_rank_latest) plus the 43 stalest r7 rows — including the
+    # reworked append-mode sliding+session certificate's staging
+    # family. The six r7 rows this defers re-certify next round at
+    # gap 5 — inside MAX_CADENCE; forward simulation (--check) shows
+    # zero violations.
     "flagship_segment_stats",  # r10
     "knn_ivf_index_opq",  # NEW
+    "ivf_upsert_delete",  # NEW
     "topk_orders",  # r6
     "transcode_pipeline_report",  # r6
     "unpivot_measures",  # r6
@@ -10767,7 +10918,6 @@ _PRIORITY_ORDER = [
     "simhash_pigeonhole_dedup",  # r7
     "source_cap_report",  # r7
     "stats_aggregates",  # r7
-    "stratified_lang_sample",  # r7
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
 # Round-11 rotation math: 1 flagship + 1 never-checked

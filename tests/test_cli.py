@@ -282,3 +282,46 @@ def test_cli_ivf_compact(spark, tmp_path):
     # second call: already tight -> no-op, still exit 0
     assert main(["ivf-compact", "--index", idx,
                  "--max-files-per-cell", "1"]) == 0
+
+
+def test_cli_ivf_delete_upsert(spark, tmp_path):
+    """ivf-delete / ivf-upsert through the CLI: build with
+    --enable-upsert, tombstone one id inline, upsert a replacement
+    batch from parquet, major-compact with --fold-all, and verify —
+    the deleted id is gone from query output and the store drains."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus_p = str(tmp_path / "corpus")
+    emb.write.parquet(corpus_p)
+    idx = str(tmp_path / "idx")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "8", "--enable-upsert"]) == 0
+
+    assert main(["ivf-delete", "--index", idx, "--ids", "7"]) == 0
+    up_p = str(tmp_path / "up")
+    emb.filter(F.col("vec_id") == 9).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias("embedding"),
+    ).write.parquet(up_p)
+    assert main(["ivf-upsert", "--input", up_p, "--index", idx]) == 0
+
+    queries_p = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 3).write.parquet(queries_p)
+    out_p = str(tmp_path / "out")
+    assert main(["ivf-query", "--index", idx, "--queries", queries_p,
+                 "--output", out_p, "--k", "5", "--n-probe", "8"]) == 0
+    got = {r["vec_id"] for r in spark.read.parquet(out_p).collect()}
+    assert 7 not in got
+
+    assert main(["ivf-compact", "--index", idx, "--fold-all"]) == 0
+    meta = json.load(open(os.path.join(idx, "ivf_meta.json")))
+    assert meta["upsert"]["n_tombstones"] == 0
+    assert main(["ivf-verify", "--index", idx]) == 0

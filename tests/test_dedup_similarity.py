@@ -2107,3 +2107,340 @@ def test_stream_checkpoint_identity_scheme_aware():
     assert _checkpoint_identity("rel/ck") == os.path.join(
         os.getcwd(), "rel", "ck"
     )
+
+
+def _upsert_corpus(spark, n=400, dim=16, k=8, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(k, dim)
+    rows = [
+        (i, (base[i % k] + 0.05 * rng.randn(dim)).tolist()) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_delete_upsert_merge_on_read_matches_exact(spark, tmp_path):
+    """ivf_delete / ivf_upsert lifecycle on an upsert-enabled index:
+    (a) a deleted id disappears from serving and the full-probe result
+    equals brute-force over corpus-minus-deleted; (b) an upserted id
+    serves its NEW vector (latest-wins), again equal to brute force on
+    the updated corpus; (c) a MAJOR compaction (fold_all) materializes
+    the deletes, garbage-collects the tombstone store to zero, and
+    leaves results bit-identical; (d) a legacy (non-upsert) index
+    raises with rebuild guidance instead of mass-deleting."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_compact,
+        ivf_delete,
+        ivf_upsert,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "up")
+    meta = build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    assert meta["upsert"]["write_seq"] == 0
+
+    q = corpus.filter(F.col("vec_id") < 3)
+    top0 = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    victim = sorted(v for (qq, v) in top0 if qq == 0)[0]
+    st = ivf_delete(spark, root, [victim])
+    assert (st["deleted_ids"], st["write_seq"]) == (1, 1)
+
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(
+            corpus.filter(F.col("vec_id") != victim),
+            q,
+            k=5,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).collect()
+    }
+    assert victim not in {v for _, v in got}
+    assert got == exact
+
+    # upsert: re-embed vec 7 far away; latest-wins
+    new_vec = (10.0 * np.ones(16)).tolist()
+    up_df = spark.createDataFrame(
+        [(7, new_vec)], "vec_id long, embedding array<double>"
+    )
+    st = ivf_upsert(up_df, root)
+    assert (st["appended"], st["tombstoned_ids"]) == (1, 1)
+    corpus2 = corpus.filter(~F.col("vec_id").isin(victim, 7)).union(up_df)
+    exact2 = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(
+            corpus2, q, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert got2 == exact2
+    audit = ivf_verify(spark, root)
+    assert audit["consistent"] and audit["tombstoned_ids"] == 2
+
+    # major compaction: deletes materialized, tombstones GC'd, results
+    # unchanged, physical dead rows gone from the new generation
+    st = ivf_compact(spark, root, fold_all=True)
+    assert st["compacted"] and st["tombstones_remaining"] == 0
+    assert st["tombstones_gcd"] == 2
+    m = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert m["upsert"]["n_tombstones"] == 0
+    assert m["upsert"]["tombstones_dir"] != "tombstones"
+    got3 = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert got3 == exact2
+    assert ivf_verify(spark, root)["tombstoned_ids"] == 0
+    # sidecar counts reflect the fold (victim + old vec 7 dropped,
+    # new vec 7 appended): total live rows = 400 - 2 + 1
+    assert sum(m["cell_counts"].values()) == 399
+
+    legacy = str(tmp_path / "legacy")
+    build_ivf_index(corpus, legacy, n_lists=4, seed=1)
+    with pytest.raises(ValueError, match="enable_upsert"):
+        ivf_delete(spark, legacy, [1])
+
+
+def test_ivf_tombstone_crash_semantics(spark, tmp_path):
+    """The strict __del_seq > __seq fold is the crash contract:
+    (a) a TORN delete (tombstone parquet landed, sidecar bump lost) is
+    still honored by readers — the store is read from disk, never
+    gated on n_tombstones; (b) a writer REUSING the torn delete's
+    sequence (the crash-recovery interleaving) appends rows that
+    SURVIVE the equal-sequence tombstone while the delete's actual
+    targets (strictly older) stay dead."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "torn")
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    q = corpus.filter(F.col("vec_id") == 0)
+    served = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    victim = sorted(served)[0]
+
+    # delete, then roll the sidecar back to simulate the crash landing
+    # tombstone rows without the meta bump
+    meta_p = os.path.join(root, "ivf_meta.json")
+    pre = json.load(open(meta_p))
+    ivf_delete(spark, root, [victim])
+    post = json.load(open(meta_p))
+    post["upsert"] = pre["upsert"]  # write_seq back to 0, n_tombstones 0
+    with open(meta_p, "w") as fh:
+        json.dump(post, fh)
+
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert victim not in got, "torn delete must still be honored"
+
+    # recovery writer reuses sequence 1 (= the torn tombstone's):
+    # re-insert the victim id — the equal-sequence row must SURVIVE
+    row = corpus.filter(F.col("vec_id") == victim)
+    st = ivf_append(row, root)
+    assert st["appended"] == 1
+    got2 = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert victim in got2, "equal-sequence append must outlive the tombstone"
+
+
+def test_ivf_minor_compact_folds_rewritten_cells_only(spark, tmp_path):
+    """A layout-triggered (minor) compaction folds tombstones into the
+    cells it rewrites and ONLY those; tombstones survive until every
+    live cell has folded past them (no premature GC), and serving is
+    correct throughout."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "minor")
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    # fragment ONE cell with repeated tiny appends of one row
+    hot = corpus.filter(F.col("vec_id") == 5)
+    for i in range(4):
+        ivf_append(
+            hot.select(
+                (F.col("vec_id") + 1000 + i).alias("vec_id"), "embedding"
+            ),
+            root,
+        )
+    # delete an id that lives in a cell the compaction will NOT rewrite
+    q = corpus.filter(F.col("vec_id") == 0)
+    victim = sorted(
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    )[0]
+    ivf_delete(spark, root, [victim])
+
+    st = ivf_compact(spark, root, max_files_per_cell=1)
+    assert st["compacted"] and st["cells_rewritten"] < 8
+    assert st["tombstones_gcd"] == 0, "GC must wait for a full fold"
+    assert st["tombstones_remaining"] == 1
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert victim not in got
+
+    # the major pass drains it
+    st = ivf_compact(spark, root, fold_all=True)
+    assert st["tombstones_gcd"] == 1 and st["tombstones_remaining"] == 0
+    m = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert m["upsert"]["n_tombstones"] == 0
+    got2 = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert got2 == got
+
+
+def test_ivf_upsert_with_pq_codes_and_rebuild_reset(spark, tmp_path):
+    """(a) Tombstones fold on the PQ serving path too — both the ADC
+    shortlist (rerank>=1) and codes-only (rerank=0) never surface a
+    deleted id; (b) a REBUILD defines a new logical dataset: tombstones
+    do not carry forward, the store pointer advances, and the displaced
+    store is swept by the next compaction's grace pass."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_compact,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "pqup")
+    build_ivf_index(
+        corpus, root, n_lists=8, seed=1, enable_upsert=True, pq_m_sub=4
+    )
+    q = corpus.filter(F.col("vec_id") == 0)
+    # pick the victim from the RAW path (exact top-5): the post-rebuild
+    # index has no codes, so membership must be compared exact-to-exact
+    victim = sorted(
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, root, q, k=5, n_probe=8, use_pq=False
+        ).collect()
+    )[0]
+    ivf_delete(spark, root, [victim])
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, root, q, k=5, n_probe=8, use_pq=False
+        ).collect()
+    }
+    assert victim not in got, "raw path served a deleted id"
+    for rr in (0, 4):
+        got = {
+            r["vec_id"]
+            for r in query_ivf_index(
+                spark, root, q, k=5, n_probe=8, rerank=rr
+            ).collect()
+        }
+        assert victim not in got, f"rerank={rr} served a deleted id"
+
+    # rebuild over the live index: fresh store, victim serves again
+    # (the caller's corpus still contains it — their call, not ours)
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    m = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert m["upsert"]["n_tombstones"] == 0
+    assert m["upsert"]["tombstones_dir"] == "tombstones.g000001"
+    assert m["upsert"]["prev_tombstones_dir"] == "tombstones"
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert victim in got
+    # two compactions sweep the displaced store: the first grants its
+    # full-cycle grace (dir still on disk for pre-rebuild readers) and
+    # releases the slot at commit; the second's entry sweep collects it
+    ivf_compact(spark, root, fold_all=True)
+    assert os.path.isdir(os.path.join(root, "tombstones"))
+    m2 = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert "prev_tombstones_dir" not in m2["upsert"]
+    ivf_compact(spark, root, fold_all=True)
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+
+
+def test_ivf_upsert_streaming_replay_does_not_tombstone(spark, tmp_path):
+    """A REPLAYED streaming upsert must be a full no-op: guarding only
+    the append would let the replay write a fresh (newer-sequence)
+    tombstone for ids whose rows the first application already
+    installed — deleting the upsert's own rows. The guard runs before
+    the tombstone, honoring the same stream-identity rules as
+    ivf_append; a NEW stream identity applies normally."""
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_upsert,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "replay")
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    new_vec = [5.0] * 16
+    up_df = spark.createDataFrame(
+        [(7, new_vec)], "vec_id long, embedding array<double>"
+    )
+    st = ivf_upsert(up_df, root, batch_id=3, stream_id="ckpt-A")
+    assert (st["appended"], st["tombstoned_ids"]) == (1, 1)
+
+    replay = ivf_upsert(up_df, root, batch_id=3, stream_id="ckpt-A")
+    assert replay == {
+        "appended": 0,
+        "skipped_replay": True,
+        "tombstoned_ids": 0,
+    }
+    # the upserted row still serves (query near the new vector)
+    q = spark.createDataFrame(
+        [(999999, [5.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=1, n_probe=8).collect()
+    }
+    assert got == {7}, "replayed upsert tombstoned its own rows"
