@@ -916,6 +916,15 @@ def build_ivf_index(
             # generation
             old_up = old_meta.get("upsert") or {}
             tomb = _next_tomb_name(old_up.get("tombstones_dir", ""))
+            # the sidecar is the only authority a NON-upsert rebuild
+            # leaves behind — it drops the upsert block without sweeping
+            # the store, so a later re-enable computing names from the
+            # (empty) sidecar history could land back on a stale
+            # populated dir whose old tombstones would silently delete
+            # the fresh corpus's seq-0 rows (reviewer r11). Advance past
+            # any name that already exists on disk.
+            while os.path.isdir(os.path.join(path, tomb)):
+                tomb = _next_tomb_name(tomb)
             meta["upsert"] = {
                 "write_seq": 0,
                 "n_tombstones": 0,
@@ -1334,8 +1343,20 @@ def ivf_append(
         if meta.get("upsert"):
             # an upsert-enabled index versions every row: this append's
             # rows get the next writer sequence so earlier tombstones
-            # (strictly smaller __del_seq) never apply to them
+            # (strictly smaller __del_seq) never apply to them. The
+            # sequence is RESERVED — written to the sidecar — before any
+            # row lands (reviewer r11): without the reservation, a crash
+            # between the parquet write and the sidecar update leaves
+            # rows at write_seq+1 that the NEXT delete (also write_seq+1)
+            # could never kill under the strict > fold — served rows a
+            # delete silently fails to remove. With it, a crash after
+            # the reservation merely burns a sequence number, and a
+            # crash after the parquet write leaves rows at a sequence
+            # the watermark already covers (stale counts only — the
+            # same ivf_verify-repairable window as a non-upsert append).
             next_seq = int(meta["upsert"].get("write_seq", 0)) + 1
+            meta["upsert"]["write_seq"] = next_seq
+            _write_ivf_meta(path, meta)
             assigned = assigned.withColumn(
                 "__seq", F.lit(next_seq).cast("long")
             )
@@ -1381,11 +1402,33 @@ def ivf_append(
         mean = sum(counts.values()) / max(len(meta["centroids"]), 1)
         skew = (max(counts.values()) / mean) if counts and mean else 0.0
         meta["cell_counts"] = {str(k): v for k, v in sorted(counts.items())}
-        if meta.get("upsert"):
-            meta["upsert"]["write_seq"] = next_seq
         if batch_id is not None:
+            old_watermark = int(meta.get("last_stream_batch", -1))
             meta["last_stream_batch"] = int(batch_id)
             if stream_id is not None:
+                if (
+                    meta.get("last_stream_id") not in (None, stream_id)
+                    and int(batch_id) <= old_watermark
+                ):
+                    # identity takeover at a batch id the old identity's
+                    # watermark already covered: legitimate for a truly
+                    # NEW checkpoint (ids restart at 0), but ALSO the
+                    # exact signature of the same checkpoint whose
+                    # recorded identity changed form (e.g. the r11
+                    # abspath->verbatim-URI fix), where this batch is a
+                    # duplicate. Loud either way (reviewer r11) —
+                    # operators upgrading URI-checkpoint indexes should
+                    # clear last_stream_batch in the sidecar first.
+                    logger.warning(
+                        "ivf_append: stream identity takeover %r -> %r at "
+                        "batch_id=%s (old watermark %s): if this is the "
+                        "SAME checkpoint under a changed identity form, "
+                        "this batch was applied as a duplicate.",
+                        meta.get("last_stream_id"),
+                        stream_id,
+                        batch_id,
+                        old_watermark,
+                    )
                 # a new checkpoint/query takes over the replay guard;
                 # its ids compare only against its own high-water mark
                 meta["last_stream_id"] = stream_id
@@ -2026,9 +2069,14 @@ def ivf_compact(
             for cell in over:
                 fs[str(cell)] = max(int(fs.get(str(cell), 0)), w_seq)
             # GC tombstones no remaining row can match: min folded
-            # sequence over every cell still holding rows is the floor
-            # below which every targeted row is physically gone
-            live_cells = [c for c, n in counts.items() if n > 0]
+            # sequence over every cell still holding FILES in the new
+            # generation is the floor below which every targeted row is
+            # physically gone. Physical files, not sidecar counts
+            # (reviewer r11): a crashed append can leave rows in a cell
+            # the sidecar never counted — a count-based floor would GC
+            # a tombstone whose target still sits in that unfolded
+            # file, resurrecting the deleted row.
+            live_cells = [c for c, n in file_counts(staged).items() if n > 0]
             min_folded = min(
                 (int(fs.get(str(c), 0)) for c in live_cells),
                 default=w_seq,

@@ -5487,13 +5487,12 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convention, 16e65be).",
 )
 def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
     from dog_data_pipeline_spark.operators.similarity import (
         build_ivf_index,
         cosine_topk,
         ivf_compact,
         ivf_delete,
+        ivf_index_dir as _ivf_dir,
         ivf_upsert,
         query_ivf_index,
     )
@@ -5567,9 +5566,7 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         and stats["tombstones_gcd"] >= 2
     )
     fold_results_unchanged = _topk() == after_up
-    n_live = spark.read.parquet(
-        _os.path.join(root, _ivf_live_dir(root))
-    ).count()
+    n_live = spark.read.parquet(_ivf_dir(root)).count()
     return spark.createDataFrame(
         [
             (
@@ -5584,17 +5581,6 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold_gc_complete boolean, fold_results_unchanged boolean, "
         "n_live long",
     )
-
-
-def _ivf_live_dir(root: str) -> str:
-    """Live generation dirname via the sidecar pointer (tiny local
-    helper so the certificate reads through the same manifest a real
-    reader resolves)."""
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(root, "ivf_meta.json")) as fh:
-        return _json.load(fh).get("index_dir", "index")
 
 
 @query(
@@ -10920,12 +10906,12 @@ _PRIORITY_ORDER = [
     "stats_aggregates",  # r7
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-11 rotation math: 1 flagship + 1 never-checked
-# (knn_ivf_index_opq) + 48 stalest (4 x r6 + 44 x r7) = 50. Generated
-# by `python tools/window_rotation.py`; deferred names are all
-# r7/r8/r9/r10-green and stay under the driver-strict local oracle
-# mirror (tests/test_queries_oracle.py) until their rotation slot
-# comes up.
+# Round-11 rotation math: 1 flagship + 2 never-checked
+# (knn_ivf_index_opq, ivf_upsert_delete) + 47 stalest (4 x r6 +
+# 43 x r7) = 50. Generated by `python tools/window_rotation.py`;
+# deferred names are all r7/r8/r9/r10-green and stay under the
+# driver-strict local oracle mirror (tests/test_queries_oracle.py)
+# until their rotation slot comes up.
 
 
 def _apply_registry_order() -> None:

@@ -68,7 +68,17 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
     replayed micro-batch after failover would present a NEW identity
     and be applied instead of skipped). Only scheme-less local paths
     are abspath-normalized, so relative and absolute spellings of the
-    same directory still agree."""
+    same directory still agree.
+
+    MIGRATION (one-time, URI checkpoints only): an index fed under the
+    pre-fix code recorded the cwd-joined form; after upgrading, the
+    first append presents the verbatim URI, which the guard treats as
+    a new stream — a failover replay straddling the upgrade would
+    apply one duplicate batch and take over the guard (ivf_append
+    logs a takeover warning naming both identities). To upgrade
+    losslessly, clear ``last_stream_batch``/``last_stream_id`` in the
+    sidecar while the stream is stopped; otherwise accept the one
+    flagged duplicate."""
     from urllib.parse import urlparse
 
     if urlparse(checkpoint_dir).scheme:

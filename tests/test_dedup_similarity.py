@@ -2444,3 +2444,96 @@ def test_ivf_upsert_streaming_replay_does_not_tombstone(spark, tmp_path):
         for r in query_ivf_index(spark, root, q, k=1, n_probe=8).collect()
     }
     assert got == {7}, "replayed upsert tombstoned its own rows"
+
+
+def test_ivf_upsert_reenable_never_reuses_stale_store(spark, tmp_path):
+    """Re-enabling upsert after an intermediate NON-upsert rebuild must
+    not point the fresh index at the stale (unswept) tombstone store —
+    old tombstones would silently delete the new corpus's seq-0 rows
+    (reviewer r11). The re-enable advances past any on-disk name."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "reen")
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    q = corpus.filter(F.col("vec_id") == 0)
+    victim = sorted(
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    )[0]
+    ivf_delete(spark, root, [victim])
+    # intermediate NON-upsert rebuild drops the upsert block but leaves
+    # tombstones/ on disk (only a compaction sweeps it)
+    build_ivf_index(corpus, root, n_lists=8, seed=1)
+    assert os.path.isdir(os.path.join(root, "tombstones"))
+    # re-enable: must NOT resolve back to the stale populated store
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    m = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert m["upsert"]["tombstones_dir"] != "tombstones"
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=5, n_probe=8).collect()
+    }
+    assert victim in got, "stale tombstones deleted fresh rows"
+
+
+def test_ivf_torn_append_rows_stay_deletable(spark, tmp_path):
+    """ivf_append RESERVES its sequence in the sidecar before any row
+    lands (reviewer r11): rows stranded by a crash between the parquet
+    write and the final sidecar update sit at a sequence the watermark
+    already covers, so the next ivf_delete (strictly newer) can still
+    remove them. Without the reservation they were served forever."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark)
+    root = str(tmp_path / "tornapp")
+    build_ivf_index(corpus, root, n_lists=8, seed=1, enable_upsert=True)
+    meta_p = os.path.join(root, "ivf_meta.json")
+
+    # simulate the torn append: run a real append (rows land at seq 1,
+    # reservation makes write_seq 1), then roll ONLY the cell counts
+    # back — the crash window is now "parquet written, final sidecar
+    # update lost", and the reservation must have survived
+    from dog_data_pipeline_spark.operators.similarity import ivf_append
+
+    new_row = spark.createDataFrame(
+        [(5000, [2.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    pre = json.load(open(meta_p))
+    ivf_append(new_row, root)
+    post = json.load(open(meta_p))
+    assert post["upsert"]["write_seq"] == 1
+    torn = dict(post)
+    torn["cell_counts"] = pre["cell_counts"]  # counts update "lost"
+    with open(meta_p, "w") as fh:
+        json.dump(torn, fh)
+
+    q = spark.createDataFrame(
+        [(999999, [2.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    served = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=1, n_probe=8).collect()
+    }
+    assert served == {5000}, "torn-append row should serve pre-delete"
+    st = ivf_delete(spark, root, [5000])
+    assert st["write_seq"] == 2
+    served = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, root, q, k=1, n_probe=8).collect()
+    }
+    assert 5000 not in served, "torn-append row must be deletable"

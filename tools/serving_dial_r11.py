@@ -203,7 +203,8 @@ def main() -> None:
         else max(exact_cells, key=lambda c: c["recall10"])
     )
     codes_only = [c for c in table if c["rerank"] == 0]
-    rec["best_codes_only"] = max(codes_only, key=lambda c: c["recall10"])
+    if codes_only:  # --rerank-ext alone never produces rerank=0 cells
+        rec["best_codes_only"] = max(codes_only, key=lambda c: c["recall10"])
     rec["note"] = (
         "Serving recipe for the persisted OPQ index (2M anisotropic-"
         "mixed stress corpus, same recipe/seeds as ivf_opq_recall_2m_"
