@@ -10836,80 +10836,74 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY_ORDER = [
-    # ---- round-11 rotation: GENERATED by tools/window_rotation.py
+    # ---- round-12 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # TWO new queries landed this round and take their slots per the
-    # freeze-then-build rule: knn_ivf_index_opq (the OPQ rotation
-    # certificate for the persisted IVF-PQ path: rotation
-    # persisted+orthogonal, recon-error < 0.95x plain PQ, append-
-    # equals-bulk under the frozen sidecar pair, codes-only serving
-    # floor, OPQ >= plain hits at equal bytes/code) and
-    # ivf_upsert_delete (merge-on-read tombstones: delete==exact,
-    # upsert latest-wins, major-compaction fold + tombstone GC,
-    # fold-invisible serving). The 47 rotating slots go to the stale
-    # tail: the four r6 stragglers displaced by r10's new certificate
-    # (topk_orders, transcode_pipeline_report, unpivot_measures,
-    # window_rank_latest) plus the 43 stalest r7 rows — including the
-    # reworked append-mode sliding+session certificate's staging
-    # family. The six r7 rows this defers re-certify next round at
-    # gap 5 — inside MAX_CADENCE; forward simulation (--check) shows
-    # zero violations.
-    "flagship_segment_stats",  # r10
-    "knn_ivf_index_opq",  # NEW
-    "ivf_upsert_delete",  # NEW
-    "topk_orders",  # r6
-    "transcode_pipeline_report",  # r6
-    "unpivot_measures",  # r6
-    "window_rank_latest",  # r6
-    "audio_fingerprint_dedup",  # r7
-    "binary_listing_stats",  # r7
-    "ccnet_quality_tiers",  # r7
-    "chunk_documents",  # r7
-    "corpus_datacard",  # r7
-    "corpus_snapshot_diff",  # r7
-    "csv_catalog_roundtrip",  # r7
-    "curriculum_order",  # r7
-    "dedup_clusters",  # r7
-    "deterministic_split_profile",  # r7
-    "dq_violation_report",  # r7
-    "duplicate_span_stats",  # r7
-    "embedding_quantization_audit",  # r7
-    "gap_filled_daily_counts",  # r7
-    "grouping_sets_lineitem",  # r7
-    "hybrid_rrf_search",  # r7
-    "incremental_dedup_newbatch",  # r7
-    "join_skew_report",  # r7
-    "json_map_roundtrip",  # r7
-    "knn_cosine_ivf",  # r7
-    "knn_cosine_ivfpq",  # r7
-    "knn_cosine_lsh",  # r7
-    "knn_ivf_index_appended",  # r7
-    "lm_perplexity_scores",  # r7
-    "mixture_weights_plan",  # r7
-    "multimodal_track_summary",  # r7
-    "ngram_jaccard_dedup_capped",  # r7
-    "packed_sequence_stats",  # r7
-    "percentile_quantities",  # r7
-    "pii_masked_customers",  # r7
-    "pivot_event_counts",  # r7
-    "prototype_pruning",  # r7
-    "quality_classifier_scores",  # r7
-    "rolling_fingerprint",  # r7
-    "salted_skew_join",  # r7
-    "segment_dedup_stats",  # r7
-    "semantic_dedup",  # r7
-    "sessionization",  # r7
-    "sharded_export_roundtrip",  # r7
-    "simhash_dedup",  # r7
-    "simhash_pigeonhole_dedup",  # r7
-    "source_cap_report",  # r7
-    "stats_aggregates",  # r7
+    # No new queries this round yet (any landed later MUST take a slot
+    # in the same commit, per the freeze-then-build rule). The 49
+    # rotating slots go to the stale tail: the six r7 rows deferred by
+    # the r11 rotation -- notably the streaming trio
+    # (stream_file_sink_exactly_once, stream_interval_join_pairs,
+    # stream_sliding_session_windows) whose r11 determinism fixes
+    # (noDataMicroBatches pinned, lexicographic staggered-mtime tiles)
+    # get their first driver re-cert here, plus tfidf_cosine_pairs /
+    # stratified_lang_sample / token_budget_by_source -- and the 43
+    # stalest r8 rows. Forward simulation (--check) shows zero
+    # cadence violations at the 5-round bound.
+    "flagship_segment_stats",  # r11
+    "stratified_lang_sample",  # r7
+    "stream_file_sink_exactly_once",  # r7
+    "stream_interval_join_pairs",  # r7
+    "stream_sliding_session_windows",  # r7
+    "tfidf_cosine_pairs",  # r7
+    "token_budget_by_source",  # r7
+    "audio_active_segments",  # r8
+    "benchmark_span_scrub",  # r8
+    "blocklist_screening",  # r8
+    "bm25_keyword_search",  # r8
+    "char_entropy_profile",  # r8
+    "corpus_curation_v2",  # r8
+    "cross_source_overlap",  # r8
+    "customer_order_distribution",  # r8
+    "dedup_best_keeper",  # r8
+    "disjunctive_filter_revenue",  # r8
+    "duplicate_span_stats_rolling",  # r8
+    "edit_distance_pairs",  # r8
+    "except_all_lines",  # r8
+    "feature_drift_psi",  # r8
+    "file_compaction_plan",  # r8
+    "file_copy_pipeline",  # r8
+    "forecast_revenue_change",  # r8
+    "half_stock_suppliers",  # r8
+    "headerless_csv_roundtrip",  # r8
+    "heavy_hitters_cms",  # r8
+    "hll_distinct_rollup",  # r8
+    "idle_rich_customers",  # r8
+    "image_dhash_dedup",  # r8
+    "important_stock_parts",  # r8
+    "incremental_agg_state",  # r8
+    "intersect_statuses",  # r8
+    "jsonl_corpus_roundtrip",  # r8
+    "k_anonymity_report",  # r8
+    "lead_lag_order_gaps",  # r8
+    "minhash_lsh_dedup",  # r8
+    "mixture_sampled_tokens",  # r8
+    "mixture_upsampled_tokens",  # r8
+    "ngram_jaccard_dedup_prefix",  # r8
+    "orc_corpus_roundtrip",  # r8
+    "pii_detection_scan",  # r8
+    "priority_waiting_orders",  # r8
+    "product_type_profit",  # r8
+    "quantile_sketch_bounds",  # r8
+    "running_revenue",  # r8
+    "small_qty_order_revenue",  # r8
+    "sole_blame_supplier",  # r8
+    "supplier_count_by_part_attrs",  # r8
+    "top_bigrams",  # r8
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-11 rotation math: 1 flagship + 2 never-checked
-# (knn_ivf_index_opq, ivf_upsert_delete) + 47 stalest (4 x r6 +
-# 43 x r7) = 50. Generated by `python tools/window_rotation.py`;
-# deferred names are all r7/r8/r9/r10-green and stay under the
+# Round-12 rotation math: 1 flagship + 0 never-checked + 49 stalest
+# (6 x r7 + 43 x r8) = 50. Generated by `python tools/window_rotation.py`;
+# deferred names are all r8/r9/r10/r11-green and stay under the
 # driver-strict local oracle mirror (tests/test_queries_oracle.py)
 # until their rotation slot comes up.
 

@@ -455,3 +455,13 @@ def test_window_rotation_planner_invariants():
     # the bound itself is part of the contract (5 = natural 4-round
     # cadence for 197 queries / 49 rotating slots + one round of slack)
     assert wr.MAX_CADENCE == 5
+    # r11 verdict ask #5 — window-capacity rule: a 50-slot window
+    # (1 flagship + 49 rotating) can keep at most 49*5+1 = 246 queries
+    # within the 5-round cadence bound; past that the bound is
+    # unsatisfiable regardless of rotation, and --check must say so at
+    # landing time instead of surfacing mysterious per-query
+    # violations.
+    assert wr.capacity() == (wr.WINDOW - 1) * wr.MAX_CADENCE + 1 == 246
+    assert len(names) <= wr.capacity(), (
+        f"registry {len(names)} exceeds rotation capacity {wr.capacity()}"
+    )

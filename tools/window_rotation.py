@@ -45,6 +45,22 @@ WINDOW = 50
 MAX_CADENCE = 5
 
 
+def capacity() -> int:
+    """Largest registry the rotation can keep fresh.
+
+    The flagship holds one slot every round, so (WINDOW - 1) slots
+    rotate.  Under the oldest-first policy a non-flagship query is
+    re-certified every ceil((N - 1) / (WINDOW - 1)) rounds; the bound
+    gap <= MAX_CADENCE therefore requires
+    N <= (WINDOW - 1) * MAX_CADENCE + 1.  Past that the cadence bound
+    is unsatisfiable NO MATTER how the window is chosen — the failure
+    should be reported as saturation at landing time, not discovered
+    later as mysterious per-query cadence violations (r11 verdict
+    ask #5).
+    """
+    return (WINDOW - 1) * MAX_CADENCE + 1
+
+
 def latest_green_round() -> dict[str, int]:
     """name -> newest round with a driver row (green or not: the driver
     writes a row per attempted query; a red row still counts as
@@ -149,10 +165,20 @@ def main() -> int:
         slow = cadence_violations(names, "flagship_segment_stats", _PRIORITY_ORDER)
         for q, gap in slow:
             print(f"CADENCE EXCEEDED ({gap} > {MAX_CADENCE} rounds): {q}")
+        cap = capacity()
+        saturated = len(names) > cap
+        if saturated:
+            print(
+                f"WINDOW SATURATED: registry has {len(names)} queries but a "
+                f"{WINDOW}-slot window (1 flagship + {WINDOW - 1} rotating) "
+                f"can keep at most {cap} fresh within {MAX_CADENCE} rounds — "
+                "stop landing queries, widen WINDOW, or raise MAX_CADENCE."
+            )
         print(f"registry={len(names)} window={len(_PRIORITY_ORDER)} "
               f"never-checked-outside-window={len(missing)} "
-              f"cadence-violations={len(slow)} (bound {MAX_CADENCE})")
-        return 1 if missing or slow else 0
+              f"cadence-violations={len(slow)} (bound {MAX_CADENCE}) "
+              f"capacity={cap} headroom={cap - len(names)}")
+        return 1 if missing or slow or saturated else 0
 
     window, deferred = plan(names, "flagship_segment_stats")
     print("_PRIORITY_ORDER = [")
