@@ -185,23 +185,77 @@ def cmd_ivf_append(args: argparse.Namespace) -> int:
     return 0
 
 
+def _coerce_inline_ids(tokens: list[str], index_path: str, id_type: str | None):
+    """Coerce ``--ids`` tokens UNIFORMLY to the index's id type.
+
+    Per-token int-if-digit-like mapping (the old behavior) breaks two
+    ways (reviewer r12): a mixed list like ``7 abc`` produces a
+    mixed-type column Spark schema inference rejects, and a
+    numeric-LOOKING string id (``007``) is silently coerced to an int
+    that matches nothing in a string id column. The authority is the
+    index sidecar's recorded ``row_schema`` (the id column's actual
+    type); ``--id-type`` overrides it; a legacy sidecar without the
+    field falls back to all-int iff EVERY token is digit-like, else
+    all-str — uniform either way, never mixed."""
+    import json
+    import os
+
+    if id_type is None:
+        try:
+            with open(os.path.join(index_path, "ivf_meta.json")) as fh:
+                meta = json.load(fh)
+            schema = json.loads(meta.get("row_schema") or "{}")
+            id_field = next(
+                f for f in schema.get("fields", [])
+                if f["name"] == meta["id_col"]
+            )
+            id_type = "int" if id_field["type"] in (
+                "byte", "short", "integer", "long",
+            ) else "str"
+        except (OSError, KeyError, ValueError, StopIteration):
+            id_type = (
+                "int"
+                if tokens and all(t.lstrip("-").isdigit() for t in tokens)
+                else "str"
+            )
+    return [int(t) for t in tokens] if id_type == "int" else list(tokens)
+
+
 def cmd_ivf_delete(args: argparse.Namespace) -> int:
     """Tombstone ids out of an upsert-enabled index (merge-on-read:
-    no data file is rewritten; compaction materializes later)."""
+    no data file is rewritten; compaction materializes later). Exits 3
+    when tombstones have accumulated past --fold-bound of the indexed
+    rows (fold_recommended) so schedulers can branch into
+    ivf-compact --fold-all, mirroring ivf-append's rebuild exit."""
     from dog_data_pipeline_spark.operators.similarity import ivf_delete
 
     spark = _spark("cli-ivf-delete")
     if args.input:
         ids = spark.read.parquet(args.input)
     else:
-        ids = [int(x) if x.lstrip("-").isdigit() else x for x in args.ids]
-    stats = ivf_delete(spark, args.index, ids, lock_timeout_s=args.lock_timeout_s)
-    print(
+        ids = _coerce_inline_ids(args.ids, args.index, args.id_type)
+    stats = ivf_delete(
+        spark,
+        args.index,
+        ids,
+        lock_timeout_s=args.lock_timeout_s,
+        fold_bound=args.fold_bound,
+    )
+    msg = (
         f"ivf-delete: {stats['deleted_ids']} id(s) tombstoned at seq "
         f"{stats['write_seq']} -> {args.index} "
         f"({stats['n_tombstones']} total; run ivf-compact --fold-all to "
         "materialize)"
     )
+    if stats["fold_recommended"]:
+        print(
+            msg
+            + f" — FOLD RECOMMENDED (tombstones at "
+            f"{stats['tombstone_ratio']:.1%} of indexed rows; run "
+            "ivf-compact --fold-all)"
+        )
+        return 3
+    print(msg)
     return 0
 
 
@@ -218,11 +272,21 @@ def cmd_ivf_upsert(args: argparse.Namespace) -> int:
         skew_bound=args.skew_bound,
         lock_timeout_s=args.lock_timeout_s,
     )
+    notes = []
+    if stats.get("rebuild_recommended"):
+        notes.append("REBUILD RECOMMENDED (drift)")
+    if stats.get("fold_recommended"):
+        notes.append(
+            f"FOLD RECOMMENDED (tombstones at "
+            f"{stats['tombstone_ratio']:.1%} of indexed rows; run "
+            "ivf-compact --fold-all)"
+        )
     print(
         f"ivf-upsert: {stats['tombstoned_ids']} id(s) superseded, "
         f"+{stats['appended']} vectors -> {args.index}"
+        + ("".join(" — " + n for n in notes))
     )
-    return 3 if stats.get("rebuild_recommended") else 0
+    return 3 if notes else 0
 
 
 def cmd_ivf_compact(args: argparse.Namespace) -> int:
@@ -261,6 +325,10 @@ def cmd_ivf_verify(args: argparse.Namespace) -> int:
     """Audit a persisted index's sidecar counts against the index;
     --repair rewrites the sidecar from the index. Exit 4 = inconsistent
     (and not repaired)."""
+    import json
+    import os
+    import re
+
     from dog_data_pipeline_spark.operators.similarity import ivf_verify
 
     spark = _spark("cli-ivf-verify")
@@ -269,6 +337,27 @@ def cmd_ivf_verify(args: argparse.Namespace) -> int:
         print(
             f"ivf-verify: append lock held by pid {audit['lock_held']} "
             "(in-flight or crashed appender)"
+        )
+    try:
+        with open(os.path.join(args.index, "ivf_meta.json")) as fh:
+            sid = json.load(fh).get("last_stream_id") or ""
+    except OSError:
+        sid = ""
+    if re.search(r"/[A-Za-z][A-Za-z0-9+.-]*:/", sid):
+        # an absolute path with an embedded `scheme:/` segment is the
+        # signature of the pre-r11 cwd-joined URI identity
+        # (os.path.abspath("s3://bucket/ck") -> "/cwd/s3:/bucket/ck");
+        # the current code records URIs verbatim, so the NEXT append
+        # from the upgraded stream presents a new identity — one
+        # flagged duplicate batch unless the guard is cleared first
+        print(
+            f"ivf-verify: stream identity {sid!r} looks CWD-JOINED "
+            "(recorded by pre-upgrade code from a URI checkpoint). To "
+            "upgrade losslessly, stop the stream and clear "
+            "last_stream_batch/last_stream_id in ivf_meta.json before "
+            "the first post-upgrade append; otherwise the guard accepts "
+            "one duplicate batch and takes over (see README: 'URI "
+            "checkpoint identity migration')."
         )
     if audit["consistent"]:
         print(f"ivf-verify: {args.index} sidecar consistent")
@@ -448,18 +537,34 @@ def build_parser() -> argparse.ArgumentParser:
     sd = sub.add_parser(
         "ivf-delete",
         help="tombstone ids out of an upsert-enabled index (merge-on-"
-        "read — no data file rewritten; ivf-compact materializes)",
+        "read — no data file rewritten; ivf-compact materializes); "
+        "exit 3 = tombstone fold recommended",
     )
     sd.add_argument("--index", required=True)
     sd.add_argument("--input", help="parquet whose id column names the ids")
     sd.add_argument("--ids", nargs="*", default=[], help="ids inline")
+    sd.add_argument(
+        "--id-type",
+        choices=("int", "str"),
+        help="coerce inline --ids to this type (default: the id "
+        "column's type from the index sidecar; legacy sidecars fall "
+        "back to all-int iff every token is digit-like)",
+    )
+    sd.add_argument(
+        "--fold-bound",
+        type=float,
+        default=0.10,
+        help="exit 3 (fold recommended) when tombstones exceed this "
+        "fraction of indexed rows",
+    )
     sd.add_argument("--lock-timeout-s", type=float, default=600.0)
     sd.set_defaults(fn=cmd_ivf_delete)
 
     su = sub.add_parser(
         "ivf-upsert",
         help="replace-by-id (latest-wins): tombstone the batch's ids "
-        "then append the batch; exit 3 = drift guard recommends rebuild",
+        "then append the batch; exit 3 = maintenance recommended "
+        "(drift rebuild or tombstone fold)",
     )
     su.add_argument("--input", required=True, help="replacement-batch parquet")
     su.add_argument("--index", required=True)

@@ -895,6 +895,15 @@ def build_ivf_index(
             "centroids": centroids,
             "cell_counts": {str(k): v for k, v in sorted(counts.items())},
         }
+        # row schema for readers of an EMPTY generation (reviewer r12:
+        # a fold_all compaction can legally drop every row; readers
+        # then need the typed schema the parquet files would have
+        # carried). Taken from the written index read-back, so it is
+        # exactly what a non-empty read yields (partition column
+        # included).
+        meta["row_schema"] = (
+            spark.read.parquet(os.path.join(path, gen_name)).schema.json()
+        )
         if rebuilding:
             # the displaced generation gets the same one-cycle grace
             # window a compaction grants, and the streaming replay
@@ -1061,6 +1070,35 @@ class IvfStaleGeneration(RuntimeError):
     a parquet scan fail with FileNotFoundError (verdict r10 ask #3)."""
 
 
+def _scan_index(spark, index_dir: str, meta: dict) -> DataFrame:
+    """Read a generation's data rows, serving an EMPTY typed frame for
+    an empty generation (reviewer r12): a ``fold_all`` compaction that
+    drops every row (entire corpus tombstoned) commits a generation
+    with no parquet files — a legal index state — and a bare
+    ``spark.read.parquet`` on it fails with unable-to-infer-schema
+    instead of returning zero rows. The sidecar carries ``row_schema``
+    (recorded at every build/compact commit) precisely so readers can
+    construct the typed empty frame. A legacy sidecar without the
+    field falls through to the raw read — same error as before, never
+    a silently-wrong schema."""
+    import json as _json
+    import os
+
+    try:
+        empty = not any(
+            d.startswith("cell=") for d in os.listdir(index_dir)
+        )
+    except OSError:
+        empty = False  # missing dir: let the parquet read raise
+    if empty and meta.get("row_schema"):
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(meta["row_schema"]))
+        )
+    return spark.read.parquet(index_dir)
+
+
 def _next_gen_name(live_name: str) -> str:
     """index -> index.g000001; index.gN -> index.g{N+1} (zero-padded
     so lexicographic order is generation order)."""
@@ -1083,6 +1121,17 @@ def _next_tomb_name(live_name: str) -> str:
 
 class IvfAppendLockTimeout(TimeoutError):
     """Another writer holds the index's append lock (and is alive)."""
+
+
+# Per-process re-entry depth for _ivf_append_lock, keyed by the lock
+# file's abspath. Without it, a composite writer (ivf_upsert holding
+# the lock across its delete+append halves, reviewer r12) would
+# deadlock against ITSELF: the inner acquisition sees a lockfile whose
+# pid is alive (its own) and waits out the full timeout. The lock
+# stays process-scoped — the dict only short-circuits re-acquisition
+# by the SAME process; cross-process exclusion is still the lockfile.
+_LOCK_DEPTH: dict[str, int] = {}
+_LOCK_DEPTH_GUARD = __import__("threading").Lock()
 
 
 @contextmanager
@@ -1127,6 +1176,22 @@ def _ivf_append_lock(path: str, timeout_s: float):
     import time
 
     lock = os.path.join(path, "ivf_meta.lock")
+    key = os.path.abspath(lock)
+    with _LOCK_DEPTH_GUARD:
+        held = _LOCK_DEPTH.get(key, 0)
+        if held:
+            # REENTRANT within the process: ivf_upsert wraps its
+            # delete+append halves in one outer acquisition so no
+            # other writer can interleave between them; the halves'
+            # own `with` blocks nest here instead of self-deadlocking.
+            _LOCK_DEPTH[key] = held + 1
+    if held:
+        try:
+            yield
+        finally:
+            with _LOCK_DEPTH_GUARD:
+                _LOCK_DEPTH[key] -= 1
+        return
     deadline = time.monotonic() + timeout_s
     while True:
         try:
@@ -1160,9 +1225,13 @@ def _ivf_append_lock(path: str, timeout_s: float):
                     "(readers are unaffected)"
                 )
             time.sleep(0.25)
+    with _LOCK_DEPTH_GUARD:
+        _LOCK_DEPTH[key] = 1
     try:
         yield
     finally:
+        with _LOCK_DEPTH_GUARD:
+            _LOCK_DEPTH.pop(key, None)
         try:
             os.unlink(lock)
         except OSError:
@@ -1177,6 +1246,7 @@ def ivf_append(
     rows_per_file: int = 250_000,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    fold_bound: float = 0.10,
 ) -> dict:
     """INCREMENTAL append to a persisted ``build_ivf_index`` layout: the
     operation a serving corpus needs — assign ONLY the new batch against
@@ -1248,7 +1318,11 @@ def ivf_append(
     rebuild removes the duplicate rows.
 
     Returns the updated meta plus ``{"appended": n, "max_mean_skew": s,
-    "rebuild_recommended": bool}``."""
+    "rebuild_recommended": bool}``; on an upsert-enabled index also
+    the tombstone-accumulation signal (``n_tombstones``,
+    ``tombstone_ratio``, ``fold_recommended`` vs ``fold_bound`` — see
+    ``_fold_signal``), so a pure-append caller still learns when a
+    delete-heavy index is due for ``ivf_compact(fold_all=True)``."""
     import json
     import os
 
@@ -1314,6 +1388,8 @@ def ivf_append(
                     "rebuild_recommended": skew > skew_bound,
                 }
             )
+            if meta.get("upsert"):
+                meta.update(_fold_signal(meta, fold_bound))
             return meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
 
@@ -1440,7 +1516,38 @@ def ivf_append(
             "rebuild_recommended": skew > skew_bound,
         }
     )
+    if meta.get("upsert"):
+        meta.update(_fold_signal(meta, fold_bound))
     return meta
+
+
+def _fold_signal(meta: dict, fold_bound: float) -> dict:
+    """Thresholded live-tombstones-vs-indexed-rows signal (r11 verdict
+    ask #2) — the delete-side mirror of ``rebuild_recommended``: the
+    merge-on-read design bounds read cost only "by compaction cadence",
+    so the writers must TELL the caller when that cadence is due.
+
+    ``tombstone_ratio`` = sidecar ``n_tombstones`` / sum(cell_counts);
+    ``fold_recommended`` trips when the ratio exceeds ``fold_bound``
+    (default 0.10: tombstones at 10% of indexed rows — the measured 2M
+    fold put 5% overhead below box noise, so 10% flags well before the
+    read-side join is felt). Both terms are sidecar ESTIMATES: counts
+    include not-yet-folded superseded rows, and ``n_tombstones``
+    overcounts duplicate replays / undercounts a torn delete — fine
+    for an operational trigger, never used for correctness (readers
+    always fold from the store itself). The caller's response is
+    ``ivf_compact(..., fold_all=True)`` (or an opportunistic minor
+    compaction), which materializes the fold and GCs the tombstones.
+    """
+    counts = meta.get("cell_counts", {})
+    indexed = sum(int(v) for v in counts.values())
+    n_tomb = int((meta.get("upsert") or {}).get("n_tombstones", 0))
+    ratio = n_tomb / max(indexed, 1)
+    return {
+        "n_tombstones": n_tomb,
+        "tombstone_ratio": round(ratio, 6),
+        "fold_recommended": n_tomb > 0 and ratio > fold_bound,
+    }
 
 
 def ivf_delete(
@@ -1448,6 +1555,7 @@ def ivf_delete(
     path: str,
     ids,
     lock_timeout_s: float = 600.0,
+    fold_bound: float = 0.10,
 ) -> dict:
     """DELETE ids from an upsert-enabled persisted IVF index — by
     merge-on-read tombstone, never by rewriting data files.
@@ -1481,8 +1589,12 @@ def ivf_delete(
     (every legacy row would look older than any tombstone).
 
     Returns ``{"deleted_ids": n, "write_seq": s, "n_tombstones":
-    total}`` (``deleted_ids`` counts distinct tombstoned ids in this
-    call; ``n_tombstones`` the sidecar's cumulative estimate)."""
+    total, "tombstone_ratio": r, "fold_recommended": bool}``
+    (``deleted_ids`` counts distinct tombstoned ids in this call;
+    ``n_tombstones`` the sidecar's cumulative estimate;
+    ``fold_recommended`` trips when tombstones exceed ``fold_bound``
+    of the indexed rows — the caller's cue to schedule
+    ``ivf_compact(fold_all=True)``, see ``_fold_signal``)."""
     import json
     import math
     import os
@@ -1516,7 +1628,7 @@ def ivf_delete(
             return {
                 "deleted_ids": 0,
                 "write_seq": int(up.get("write_seq", 0)),
-                "n_tombstones": int(up.get("n_tombstones", 0)),
+                **_fold_signal(meta, fold_bound),
             }
         seq = int(up.get("write_seq", 0)) + 1
         del_df = del_df.withColumn("__del_seq", F.lit(seq).cast("long"))
@@ -1532,7 +1644,7 @@ def ivf_delete(
     return {
         "deleted_ids": n,
         "write_seq": seq,
-        "n_tombstones": up["n_tombstones"],
+        **_fold_signal(meta, fold_bound),
     }
 
 
@@ -1540,19 +1652,25 @@ def ivf_upsert(new_vectors: DataFrame, path: str, **append_kwargs) -> dict:
     """UPSERT into an upsert-enabled persisted IVF index: re-embedded
     documents replace their previous vectors (latest-wins by id).
 
-    Implementation is tombstone-then-append as two sequential locked
-    writes: the batch's ids are tombstoned at sequence S
-    (``ivf_delete``), then the batch itself appends at sequence S+1
-    (``ivf_append``) — the strict ``__del_seq > __seq`` fold kills
-    every older version of those ids and spares the new rows, with no
-    read-modify-write of any data file. The pair is NOT atomic to
-    readers: a query landing between the two sees the ids briefly
-    absent (never a torn mix of old and new). A crash between them
-    leaves the ids deleted but not re-added — re-running the upsert
-    (the natural retry) converges, which is the same
-    effectively-once-by-retry contract the streaming ingest uses.
-    An id new to the index upserts as a plain insert (its tombstone
-    targets nothing).
+    Implementation is tombstone-then-append under ONE appender-lock
+    acquisition held across both halves: the batch's ids are
+    tombstoned at sequence S (``ivf_delete``), then the batch itself
+    appends at sequence S+1 (``ivf_append``) — the strict
+    ``__del_seq > __seq`` fold kills every older version of those ids
+    and spares the new rows, with no read-modify-write of any data
+    file. Holding the lock across the pair (reviewer r12) is what
+    makes concurrent upserts of the same id serialize as whole
+    operations — released between halves, two upserts could
+    interleave as del@1, del@2, app@3, app@4 and leave TWO live
+    versions of the id forever (both appends newer than both
+    tombstones), silently breaking latest-wins. The pair is still NOT
+    atomic to READERS (who never take the lock): a query landing
+    between the halves sees the ids briefly absent (never a torn mix
+    of old and new). A crash between them leaves the ids deleted but
+    not re-added — re-running the upsert (the natural retry)
+    converges, which is the same effectively-once-by-retry contract
+    the streaming ingest uses. An id new to the index upserts as a
+    plain insert (its tombstone targets nothing).
 
     Accepts ``ivf_append`` keyword args (``skew_bound``,
     ``batch_id``/``stream_id`` for streaming upsert, ...). Returns the
@@ -1589,54 +1707,78 @@ def ivf_upsert(new_vectors: DataFrame, path: str, **append_kwargs) -> dict:
         and int(meta.get("last_stream_batch", -1)) >= int(batch_id)
     ):
         return {"appended": 0, "skipped_replay": True, "tombstoned_ids": 0}
-    del_stats = ivf_delete(
-        spark,
-        path,
-        new_vectors.select(meta["id_col"]),
-        lock_timeout_s=append_kwargs.get("lock_timeout_s", 600.0),
-    )
-    stats = ivf_append(new_vectors, path, **append_kwargs)
+    lock_timeout_s = append_kwargs.get("lock_timeout_s", 600.0)
+    # ONE lock acquisition across both halves (the inner ivf_delete /
+    # ivf_append acquisitions re-enter it): concurrent upserts of the
+    # same id serialize as whole del+append operations, never
+    # interleaved halves (reviewer r12 — see docstring).
+    with _ivf_append_lock(path, lock_timeout_s):
+        del_stats = ivf_delete(
+            spark,
+            path,
+            new_vectors.select(meta["id_col"]),
+            lock_timeout_s=lock_timeout_s,
+        )
+        stats = ivf_append(new_vectors, path, **append_kwargs)
     stats["tombstoned_ids"] = del_stats["deleted_ids"]
     return stats
 
 
 def _tombstones_frame(spark, path: str, meta: dict):
-    """-> (max-__del_seq-per-id DataFrame | None, n_tombstones).
+    """-> (max-__del_seq-per-id DataFrame | None, n_tombstones_est).
 
     None when the index is not upsert-enabled or the live tombstone
     generation holds no files — the common append-only case pays zero
     read-side cost (one driver-side listdir). The store is read
     directly (never trusted from ``n_tombstones`` alone) so a delete
     whose crash landed tombstone rows but not the sidecar bump is
-    still honored by readers."""
+    still honored by readers.
+
+    The returned count is a broadcast-sizing estimate derived from the
+    STORE, not the sidecar alone (reviewer r12): the sidecar's
+    ``n_tombstones`` undercounts exactly when it matters — a torn
+    delete lands tombstone parquet without the sidecar bump, and
+    sizing the fold join from the stale counter could broadcast a
+    store far past the intended memory bound. The same scandir that
+    finds the files sums their bytes; the estimate is
+    ``max(sidecar_count, total_bytes // 8)`` — the sidecar as a lower
+    bound, and bytes/8 as a deliberately conservative rows-per-byte
+    floor for an (id, long) parquet (dictionary-compressed stores
+    undercount rows, but then the broadcast is small in BYTES, which
+    is what the bound protects)."""
     import os
 
     up = meta.get("upsert")
     if not up:
         return None, 0
     tomb_dir = os.path.join(path, up.get("tombstones_dir", "tombstones"))
+    store_bytes = 0
     try:
-        has_files = any(
-            f.endswith(".parquet") for f in os.listdir(tomb_dir)
-        )
+        with os.scandir(tomb_dir) as it:
+            for entry in it:
+                if entry.name.endswith(".parquet") and entry.is_file():
+                    store_bytes += entry.stat().st_size
     except OSError:
-        has_files = False
-    if not has_files:
+        store_bytes = 0
+    if not store_bytes:
         return None, 0
     tomb = (
         spark.read.parquet(tomb_dir)
         .groupBy(meta["id_col"])
         .agg(F.max("__del_seq").alias("__del_seq"))
     )
-    return tomb, int(up.get("n_tombstones", 0))
+    n_est = max(int(up.get("n_tombstones", 0)), store_bytes // 8)
+    return tomb, n_est
 
 
 def _fold_tombstones(idx: DataFrame, tomb, n_tombstones: int, id_col: str):
     """Merge-on-read: drop index rows an id-matching tombstone with a
     STRICTLY newer sequence covers. Broadcast the folded tombstone side
     while it plausibly fits in executor memory (ids + one long — ~50MB
-    at the 2M bound); past that, fall back to a shuffle join and let
-    AQE size it."""
+    at the 2M bound; the count is ``_tombstones_frame``'s store-derived
+    estimate, so a torn delete's unrecorded rows still push past the
+    bound); past that, fall back to a shuffle join and let AQE size
+    it."""
     if tomb is None:
         return idx
     side = F.broadcast(tomb) if n_tombstones <= 2_000_000 else tomb
@@ -1719,7 +1861,7 @@ def query_ivf_index(
         "cell", F.explode(_nearest_cells(centroids, "q_v", n_probe))
     )
     probed = sorted(r["cell"] for r in q_cells.select("cell").distinct().collect())
-    idx = spark.read.parquet(ivf_index_dir(path, meta)).filter(
+    idx = _scan_index(spark, ivf_index_dir(path, meta), meta).filter(
         F.col("cell").isin(probed)
     )
     # upsert-enabled index: fold tombstones before ANY scoring — both
@@ -1876,7 +2018,13 @@ def ivf_compact(
     files is rewritten regardless of fragmentation — the switch that
     drains all tombstones (e.g. before snapshotting an index for
     distribution); layout-triggered (minor) compactions fold
-    opportunistically and converge over time.
+    opportunistically and converge over time. The OPERATIONAL TRIGGER
+    for the major fold is ``fold_recommended`` in the stats every
+    writer returns (``ivf_delete`` / ``ivf_upsert`` / ``ivf_append``,
+    r11 verdict ask #2): when live tombstones exceed ``fold_bound``
+    (default 10%) of indexed rows, schedule
+    ``ivf_compact(fold_all=True)`` — the delete-side mirror of
+    ``rebuild_recommended`` -> ``build_ivf_index``.
 
     Holds the APPENDER lock throughout (compaction rewrites files an
     appender would race with; readers never take the lock).
@@ -2116,6 +2264,13 @@ def ivf_compact(
                 # call's entry sweep collects the directory (mirrors
                 # the index generation's prev -> swept lifecycle)
                 up.pop("prev_tombstones_dir", None)
+        if "row_schema" not in meta:
+            # legacy sidecar (pre-r12 build): record the row schema so
+            # readers can serve an EMPTY generation (all rows
+            # tombstoned) as a typed zero-row frame instead of failing
+            # schema inference. `clustered` is the exact row shape the
+            # staged files carry.
+            meta["row_schema"] = clustered.schema.json()
         # COMMIT: one atomic sidecar rename flips the generation; the
         # displaced generation moves into the grace slot and the slot's
         # previous occupant (now two generations back) is swept
@@ -2234,7 +2389,7 @@ def ivf_verify(spark, path: str, repair: bool = False) -> dict:
         }
     actual = {
         int(r["cell"]): int(r["n"])
-        for r in spark.read.parquet(live)
+        for r in _scan_index(spark, live, meta)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

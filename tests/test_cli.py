@@ -325,3 +325,83 @@ def test_cli_ivf_delete_upsert(spark, tmp_path):
     meta = json.load(open(os.path.join(idx, "ivf_meta.json")))
     assert meta["upsert"]["n_tombstones"] == 0
     assert main(["ivf-verify", "--index", idx]) == 0
+
+
+def test_cli_ivf_delete_id_coercion(spark, tmp_path):
+    """reviewer r12: inline --ids coerce UNIFORMLY per the index
+    sidecar's id type — numeric-looking tokens on a STRING id column
+    stay strings ('007' matches instead of silently becoming int 7),
+    mixed tokens never build a mixed-type column — and --id-type /
+    the legacy digit-heuristic fallbacks behave."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.__main__ import _coerce_inline_ids, main
+    from dog_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    rows = [(f"{i:03d}", [float(i % 7)] * 8) for i in range(50)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        corpus, idx, n_lists=4, seed=1, id_col="doc_id",
+        vec_col="embedding", enable_upsert=True,
+    )
+
+    # sidecar-typed: string id column keeps digit-like tokens as strings
+    assert _coerce_inline_ids(["007", "abc"], idx, None) == ["007", "abc"]
+    # explicit override beats the sidecar
+    assert _coerce_inline_ids(["7"], idx, "int") == [7]
+    # legacy fallback (no sidecar): all-digit -> ints, mixed -> strings
+    nowhere = str(tmp_path / "nope")
+    assert _coerce_inline_ids(["7", "8"], nowhere, None) == [7, 8]
+    assert _coerce_inline_ids(["7", "abc"], nowhere, None) == ["7", "abc"]
+
+    # end to end: '007' tombstones the string id (2/50 = 4% < 10%: exit 0)
+    assert main(["ivf-delete", "--index", idx, "--ids", "007", "zzz"]) == 0
+    meta = json.load(open(os.path.join(idx, "ivf_meta.json")))
+    assert meta["upsert"]["n_tombstones"] == 2
+
+    # fold_recommended surfaces as exit 3 (mirror of ivf-append's
+    # rebuild exit): push tombstones past 10% of indexed rows
+    assert main([
+        "ivf-delete", "--index", idx, "--ids",
+        *[f"{i:03d}" for i in range(10)],
+    ]) == 3
+
+
+def test_cli_ivf_verify_cwd_joined_identity_hint(spark, tmp_path, capsys):
+    """r11 verdict ask #8: ivf-verify detects the pre-fix CWD-JOINED
+    stream identity (os.path.abspath of a URI checkpoint — an absolute
+    path with an embedded `scheme:/` segment) and prints the
+    clear-the-sidecar migration recipe; a verbatim URI identity stays
+    silent."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5)] * 8) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(corpus, idx, n_lists=4, seed=1)
+    meta_p = os.path.join(idx, "ivf_meta.json")
+
+    meta = json.load(open(meta_p))
+    meta["last_stream_id"] = "/scratch/app-123/s3:/bucket/ck"
+    meta["last_stream_batch"] = 7
+    with open(meta_p, "w") as fh:
+        json.dump(meta, fh)
+    assert main(["ivf-verify", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert "CWD-JOINED" in out and "last_stream_batch" in out
+
+    meta["last_stream_id"] = "s3://bucket/ck"  # verbatim: healthy
+    with open(meta_p, "w") as fh:
+        json.dump(meta, fh)
+    assert main(["ivf-verify", "--index", idx]) == 0
+    assert "CWD-JOINED" not in capsys.readouterr().out

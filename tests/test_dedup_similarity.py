@@ -2537,3 +2537,201 @@ def test_ivf_torn_append_rows_stay_deletable(spark, tmp_path):
         for r in query_ivf_index(spark, root, q, k=1, n_probe=8).collect()
     }
     assert 5000 not in served, "torn-append row must be deletable"
+
+
+def test_ivf_append_lock_reentrant_and_upsert_holds_it(spark, tmp_path, monkeypatch):
+    """reviewer r12 (ADVICE): the appender lock is REENTRANT within the
+    process, and ivf_upsert holds ONE outer acquisition across its
+    delete+append halves — released between them, two concurrent
+    same-id upserts could interleave as del@1, del@2, app@3, app@4 and
+    leave TWO live versions of the id forever (both appends newer than
+    both tombstones), breaking latest-wins persistently. Pins: (a)
+    nested acquisition neither deadlocks nor releases the lockfile
+    early; (b) the delete half runs with the upsert's outer hold
+    already in place; (c) a lock held by another ALIVE process still
+    times out (reentrancy is same-process only)."""
+    import json
+    import os
+
+    import pytest
+
+    from dog_data_pipeline_spark.operators import similarity as S
+
+    root = str(tmp_path / "up")
+    S.build_ivf_index(
+        _upsert_corpus(spark, n=50), root, n_lists=4, seed=1,
+        enable_upsert=True,
+    )
+    lock = os.path.join(root, "ivf_meta.lock")
+    key = os.path.abspath(lock)
+
+    with S._ivf_append_lock(root, 5.0):
+        assert os.path.exists(lock)
+        with S._ivf_append_lock(root, 5.0):
+            assert S._LOCK_DEPTH[key] == 2
+        # inner exit must NOT release the file or the outer hold
+        assert os.path.exists(lock) and S._LOCK_DEPTH[key] == 1
+    assert not os.path.exists(lock) and key not in S._LOCK_DEPTH
+
+    # (b) the upsert's delete half observes the outer hold: depth >= 1
+    # at entry (its own acquisition then nests to 2)
+    seen = []
+    orig_delete = S.ivf_delete
+
+    def spy_delete(*a, **k):
+        seen.append((S._LOCK_DEPTH.get(key, 0), os.path.exists(lock)))
+        return orig_delete(*a, **k)
+
+    monkeypatch.setattr(S, "ivf_delete", spy_delete)
+    up = spark.createDataFrame(
+        [(7, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    st = S.ivf_upsert(up, root)
+    assert st["tombstoned_ids"] == 1 and st["appended"] == 1
+    assert seen == [(1, True)], "delete half must run under the outer lock"
+    assert not os.path.exists(lock), "upsert must release on exit"
+
+    # (c) cross-process exclusion unchanged: a lockfile owned by an
+    # alive foreign pid (pid 1) is honored until timeout
+    with open(lock, "w") as fh:
+        json.dump({"pid": 1, "acquired_unix": 0}, fh)
+    with pytest.raises(S.IvfAppendLockTimeout):
+        with S._ivf_append_lock(root, 0.6):
+            pass
+    os.unlink(lock)
+
+
+def test_ivf_fold_recommended_signal(spark, tmp_path):
+    """r11 verdict ask #2: every writer on an upsert-enabled index
+    surfaces a thresholded live-tombstones-vs-indexed-rows signal —
+    the delete-side mirror of rebuild_recommended — so a delete-heavy
+    deployment has an operator-surfaced trigger for the fold-compact
+    the merge-on-read design's read cost depends on. Threshold pinned
+    at fold_bound=0.10 of sum(cell_counts); the major fold resets it."""
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_upsert,
+    )
+
+    corpus = _upsert_corpus(spark, n=100)
+    root = str(tmp_path / "up")
+    build_ivf_index(corpus, root, n_lists=4, seed=1, enable_upsert=True)
+
+    st = ivf_delete(spark, root, list(range(5)))  # 5/100 = 5%
+    assert st["n_tombstones"] == 5 and st["fold_recommended"] is False
+    assert abs(st["tombstone_ratio"] - 0.05) < 1e-9
+
+    st = ivf_delete(spark, root, list(range(5, 11)))  # 11/100 = 11%
+    assert st["fold_recommended"] is True
+    assert abs(st["tombstone_ratio"] - 0.11) < 1e-9
+
+    # the knob: a laxer bound un-trips the same state
+    st = ivf_delete(spark, root, [], fold_bound=0.5)
+    assert st["deleted_ids"] == 0 and st["fold_recommended"] is False
+
+    # a pure APPEND caller learns too (counts grow to 105: 11/105 > 10%)
+    batch = spark.createDataFrame(
+        [(200 + i, [float(i)] * 16) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    ap = ivf_append(batch, root)
+    assert ap["n_tombstones"] == 11 and ap["fold_recommended"] is True
+
+    # ivf_upsert returns the signal through its append stats
+    up = spark.createDataFrame(
+        [(1, [9.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    st = ivf_upsert(up, root)
+    assert st["fold_recommended"] is True and st["n_tombstones"] == 12
+
+    # the documented response — ivf_compact(fold_all=True) — resets it
+    ivf_compact(spark, root, fold_all=True)
+    st = ivf_delete(spark, root, [200])
+    assert st["n_tombstones"] == 1 and st["fold_recommended"] is False
+
+
+def test_ivf_empty_generation_after_full_tombstone_fold(spark, tmp_path):
+    """reviewer r12 (ADVICE): a fold_all compaction that drops EVERY
+    row (entire corpus tombstoned) commits a generation with no
+    parquet files — a legal state readers must serve as ZERO rows
+    (typed via the sidecar's row_schema) instead of failing parquet
+    schema inference. query/verify work on the empty index and a later
+    append revives it."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_verify,
+        query_ivf_index,
+    )
+
+    corpus = _upsert_corpus(spark, n=60)
+    root = str(tmp_path / "up")
+    meta = build_ivf_index(corpus, root, n_lists=4, seed=1, enable_upsert=True)
+    assert "row_schema" in meta  # recorded at build for exactly this case
+
+    ivf_delete(spark, root, list(range(60)))
+    st = ivf_compact(spark, root, fold_all=True)
+    assert st["compacted"] and st["files_after"] == 0
+    assert st["tombstones_gcd"] == 60 and st["tombstones_remaining"] == 0
+
+    q = corpus.filter(F.col("vec_id") < 2)
+    assert query_ivf_index(spark, root, q, k=5, n_probe=4).count() == 0
+    audit = ivf_verify(spark, root)
+    assert audit["consistent"] and audit["tombstoned_ids"] == 0
+    m = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert sum(m["cell_counts"].values()) == 0
+
+    # the empty index is still writable, and a revived index serves
+    revived = _upsert_corpus(spark, n=10, seed=9)
+    ap = ivf_append(revived, root)
+    assert ap["appended"] == 10
+    got = query_ivf_index(spark, root, q, k=3, n_probe=4)
+    assert got.count() > 0
+
+
+def test_ivf_tombstone_broadcast_hint_reads_store_not_sidecar(spark, tmp_path):
+    """reviewer r12 (ADVICE): _fold_tombstones sizes its broadcast
+    from the STORE (file bytes), treating the sidecar's n_tombstones
+    as a lower bound — a torn delete (tombstone parquet landed,
+    sidecar bump lost) must push the estimate up, not hide behind the
+    stale counter."""
+    import json
+    import os
+
+    from dog_data_pipeline_spark.operators import similarity as S
+
+    corpus = _upsert_corpus(spark, n=80)
+    root = str(tmp_path / "up")
+    S.build_ivf_index(corpus, root, n_lists=4, seed=1, enable_upsert=True)
+    meta_p = os.path.join(root, "ivf_meta.json")
+
+    pre = json.load(open(meta_p))
+    S.ivf_delete(spark, root, list(range(10)))
+    post = json.load(open(meta_p))
+    # simulate the torn delete: roll the sidecar back (bump "lost")
+    torn = dict(post)
+    torn["upsert"] = dict(post["upsert"])
+    torn["upsert"]["n_tombstones"] = 0
+    with open(meta_p, "w") as fh:
+        json.dump(torn, fh)
+
+    tomb, n_est = S._tombstones_frame(spark, root, torn)
+    assert tomb is not None and tomb.count() == 10
+    store = os.path.join(root, torn["upsert"]["tombstones_dir"])
+    store_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(store)
+        if e.name.endswith(".parquet")
+    )
+    assert n_est == max(0, store_bytes // 8) and n_est > 0, (
+        "estimate must come from the store when the sidecar undercounts"
+    )
+    assert pre["upsert"]["n_tombstones"] == 0
