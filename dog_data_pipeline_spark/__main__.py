@@ -143,6 +143,7 @@ def cmd_ivf_build(args: argparse.Namespace) -> int:
         pq_m_sub=args.pq_m_sub,
         pq_ksub=args.pq_ksub,
         enable_upsert=args.enable_upsert,
+        attr_cols=args.attr_cols or None,
     )
     counts = meta["cell_counts"]
     pq = " + pq codes" if meta.get("pq") else ""
@@ -386,6 +387,7 @@ def cmd_ivf_query(args: argparse.Namespace) -> int:
         n_probe=args.n_probe,
         use_pq=False if args.no_pq else None,
         rerank=args.rerank,
+        where=args.where,
     )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
@@ -498,6 +500,14 @@ def build_parser() -> argparse.ArgumentParser:
         "ivf-delete / ivf-upsert); off by default — pure overhead for "
         "append-only corpora",
     )
+    sb.add_argument(
+        "--attr-cols",
+        nargs="*",
+        default=[],
+        help="store these corpus columns beside each vector for "
+        "FILTERED ANN (ivf-query --where pushes predicates on them "
+        "into the probed-cell scan); appends must carry them",
+    )
     sb.set_defaults(fn=cmd_ivf_build)
 
     sa = sub.add_parser(
@@ -596,6 +606,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=4,
         help="pq probe shortlist size multiplier (top rerank*k ADC "
         "survivors get the exact raw-vector rerank)",
+    )
+    sv.add_argument(
+        "--where",
+        default=None,
+        help="FILTERED ANN: SQL predicate over the index's columns "
+        "(id, cell, and the attr_cols stored at build) — a pre-filter "
+        "pushed into the probed-cell scan, never a post-filter",
     )
     sv.add_argument("--output", default=None, help="write results parquet here")
     sv.add_argument("--limit", type=int, default=20)

@@ -30,10 +30,18 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+def _with_norm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     return df.select(
-        F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_v")
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_v"),
+        *[F.col(a) for a in extra_cols],
     ).withColumn(
         f"{prefix}_norm",
         F.sqrt(F.aggregate(f"{prefix}_v", F.lit(0.0), lambda acc, x: acc + x * x)),
@@ -641,6 +649,7 @@ def build_ivf_index(
     pq_rotation: list | None = None,
     lock_timeout_s: float = 600.0,
     enable_upsert: bool = False,
+    attr_cols: list[str] | None = None,
 ) -> dict:
     """Build and PERSIST an IVF index: train-once / query-many.
 
@@ -739,10 +748,33 @@ def build_ivf_index(
     append-encode and ADC-decode. Pass ``pq_codebooks`` (with
     ``centroids``, and ``pq_rotation`` if the quantizer was OPQ) to
     encode against a GIVEN quantizer pair — ``ivf_append``'s bulk twin
-    for the append-equals-rebuild certificate."""
+    for the append-equals-rebuild certificate.
+
+    ``attr_cols`` (opt-in) carries ATTRIBUTE columns into the index
+    rows for FILTERED ANN (``query_ivf_index(where=...)``): the
+    attributes are stored beside each vector in the cell-partitioned
+    parquet, so a filtered query's predicate is PUSHED DOWN into the
+    probed-cell scan (partition pruning on ``cell`` + parquet
+    predicate/column pushdown on the attributes — pre-filtering, never
+    a post-filter of an unfiltered top-k, and no side join at query
+    time). Appends must carry the same columns; they ride through
+    compaction, upsert and rebuild untouched. At 100 TB this is the
+    right shape for selective serving filters (tenant, language,
+    license...): the alternative — joining an attribute table at query
+    time — shuffles corpus-scale rows per query batch."""
     import os
 
-    c = _with_norm(corpus, id_col, vec_col, "c")
+    reserved = {id_col, vec_col, "norm", "cell", "pq_codes", "__seq", "__del_seq"}
+    attr_cols = list(attr_cols or [])
+    bad = [a for a in attr_cols if a in reserved]
+    if bad:
+        raise ValueError(
+            f"attr_cols {bad} collide with reserved index columns {sorted(reserved)}"
+        )
+    missing = [a for a in attr_cols if a not in corpus.columns]
+    if missing:
+        raise ValueError(f"attr_cols {missing} not in corpus columns {corpus.columns}")
+    c = _with_norm(corpus, id_col, vec_col, "c", extra_cols=tuple(attr_cols))
     n_rows = c.count()
     sample = None
     if centroids is None:
@@ -810,6 +842,7 @@ def build_ivf_index(
         F.col("c_v").alias(vec_col),
         F.col("c_norm").alias("norm"),
         "cell",
+        *attr_cols,
     )
     if encode is not None:
         assigned = assigned.withColumn("pq_codes", encode(vec_col, "cell"))
@@ -893,6 +926,7 @@ def build_ivf_index(
             # to index.gNNNNNN
             "index_dir": gen_name,
             "centroids": centroids,
+            "attr_cols": attr_cols,
             "cell_counts": {str(k): v for k, v in sorted(counts.items())},
         }
         # row schema for readers of an EMPTY generation (reviewer r12:
@@ -1393,7 +1427,15 @@ def ivf_append(
             return meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
 
-        c = _with_norm(new_vectors, id_col, vec_col, "c")
+        attrs = list(meta.get("attr_cols") or [])
+        missing = [a for a in attrs if a not in new_vectors.columns]
+        if missing:
+            raise ValueError(
+                f"index at {path} carries attribute columns {attrs} "
+                f"(filtered-ANN build): the append batch is missing "
+                f"{missing}"
+            )
+        c = _with_norm(new_vectors, id_col, vec_col, "c", extra_cols=tuple(attrs))
         assigned = c.withColumn(
             "cell", _nearest_cells(meta["centroids"], "c_v", 1)[0]
         ).select(
@@ -1401,6 +1443,7 @@ def ivf_append(
             F.col("c_v").alias(vec_col),
             F.col("c_norm").alias("norm"),
             "cell",
+            *attrs,
         )
         if meta.get("pq"):
             # the index carries PQ codes: encode the batch against the
@@ -1801,6 +1844,8 @@ def query_ivf_index(
     exclude_self: bool = True,
     use_pq: bool | None = None,
     rerank: int = 4,
+    where: str | None = None,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine against a persisted ``build_ivf_index`` layout.
 
@@ -1843,7 +1888,21 @@ def query_ivf_index(
     path's marginal per-query cost is the ADC stage's. ``rerank=0``
     skips the fetch entirely and returns the ADC approximation in the
     ``cosine`` column (codes-only serving: probed bytes are the codes,
-    full stop — the mode for recall-tolerant candidate generation)."""
+    full stop — the mode for recall-tolerant candidate generation).
+
+    FILTERED ANN (r12): ``where`` is a SQL predicate over the index's
+    own columns — the id, ``cell``, and any ``attr_cols`` the build
+    stored beside the vectors — applied as a PRE-filter: candidates
+    are restricted before ADC scoring, ranking and rerank, so the
+    result is the exact (modulo probe recall) top-k AMONG matching
+    rows, never a post-filtered top-k that comes back short. Because
+    the attributes live in the index parquet, the predicate pushes
+    into the probed-cell scan (partition pruning + PushedFilters) with
+    no query-time join. ``allowed_ids`` (a DataFrame carrying the id
+    column) is the companion for bounded id sets — ACLs, candidate
+    shortlists — applied as a broadcast semi-join; corpus-scale
+    filters belong in ``where``. Both compose with each other, with
+    PQ/rerank, and with the tombstone fold."""
     import json
     import os
 
@@ -1864,6 +1923,26 @@ def query_ivf_index(
     idx = _scan_index(spark, ivf_index_dir(path, meta), meta).filter(
         F.col("cell").isin(probed)
     )
+    # FILTERED ANN (pre-filter, never post-filter): the predicate and
+    # the id semi-join restrict the candidate set BEFORE any scoring,
+    # so the returned top-k is the exact filtered top-k of the probed
+    # cells — a post-filter of an unfiltered top-k would return < k
+    # rows whenever the filter is selective. `where` references the
+    # index's own columns (id, cell, and any attr_cols stored at
+    # build), so Catalyst pushes it into the probed-cell parquet scan
+    # (PushedFilters) on top of the cell partition pruning; both the
+    # ADC candidate stage and the exact-rerank fetch reuse the
+    # filtered `idx`, so the filter holds through rerank too.
+    if where is not None:
+        idx = idx.filter(F.expr(where))
+    if allowed_ids is not None:
+        # bounded id sets (ACLs, candidate lists) broadcast; a
+        # corpus-scale filter belongs in `where` over attr columns
+        idx = idx.join(
+            F.broadcast(allowed_ids.select(id_col).dropDuplicates([id_col])),
+            id_col,
+            "left_semi",
+        )
     # upsert-enabled index: fold tombstones before ANY scoring — both
     # the ADC candidate stage and the exact-rerank fetch reuse `idx`,
     # so deleted/superseded rows never reach a shortlist or a rerank

@@ -5389,6 +5389,124 @@ def knn_ivf_index_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_index_filtered",
+    "SELECT TRUE AS filtered_matches_exact, TRUE AS allowed_ids_match, "
+    "TRUE AS predicate_pushed, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM embeddings "
+    "WHERE label = 2 AND vec_id % 2 = 0) AS n_filtered",
+    "FILTERED ANN certificate for the persisted IVF index "
+    "(operators/similarity.py query_ivf_index where=/allowed_ids=, "
+    "landed r12): serving filters — tenant, language, license, ACL — "
+    "are the standard vector-DB companion to similarity search, and "
+    "at 100 TB they must PRE-filter (restrict candidates before "
+    "scoring: a post-filtered top-k comes back short whenever the "
+    "filter is selective) WITHOUT a query-time join against an "
+    "attribute table (corpus-scale shuffle per query batch). The "
+    "build therefore stores attr_cols beside each vector in the "
+    "cell-partitioned parquet, and a where-predicate over them pushes "
+    "into the probed-cell scan — cell partition pruning + parquet "
+    "PushedFilters, verified from the executed plan. Pins, on an "
+    "attr-carrying index over the even-id half of the embeddings "
+    "table: filtered_matches_exact (full-probe where='label = 2' "
+    "top-5 for 3 queries is SET-IDENTICAL — ids, ranks, cosines to "
+    "1e-12 — to brute-force cosine_topk over the label-filtered "
+    "corpus), allowed_ids_match (the same filter expressed as a "
+    "bounded id set through the broadcast semi-join leg returns the "
+    "identical set), predicate_pushed (the executed plan's scan "
+    "carries the label predicate in PushedFilters — the filter runs "
+    "in the parquet reader, not after the scan), and n_filtered (the "
+    "filtered-corpus cardinality both engines can state). PQ/rerank "
+    "and tombstone-fold composition are pinned in "
+    "tests/test_dedup_similarity.py. Fixed-cost conventions: half "
+    "corpus, n_lists=4, Arrow-local query frame, ONE brute pass.",
+)
+def knn_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding", "label"
+    )
+    root = _roundtrip_dir("ivffilter")
+    meta = build_ivf_index(
+        corpus, root, n_lists=4, seed=42, attr_cols=["label"]
+    )
+    probe_all = len(meta["centroids"])
+
+    q_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = spark.conf.get(arrow_key, "false")
+    spark.conf.set(arrow_key, "true")
+    try:
+        q = spark.createDataFrame(
+            _pd.DataFrame(
+                {
+                    "vec_id": [i for i, _ in q_rows],
+                    "embedding": [v for _, v in q_rows],
+                }
+            ),
+            "vec_id long, embedding array<double>",
+        ).coalesce(1)
+    finally:
+        spark.conf.set(arrow_key, prev_arrow)
+
+    def _set(df):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in df.collect()
+        }
+
+    filtered = corpus.filter(F.col("label") == 2)
+    exact = _set(
+        cosine_topk(filtered, q, k=5, id_col="vec_id", vec_col="embedding")
+    )
+    where_leg = query_ivf_index(
+        spark, root, q, k=5, n_probe=probe_all, where="label = 2"
+    )
+    filtered_matches_exact = _set(where_leg) == exact
+    allowed_leg = query_ivf_index(
+        spark,
+        root,
+        q,
+        k=5,
+        n_probe=probe_all,
+        allowed_ids=filtered.select("vec_id"),
+    )
+    allowed_ids_match = _set(allowed_leg) == exact
+    plan = (
+        query_ivf_index(spark, root, q, k=5, n_probe=2, where="label = 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    predicate_pushed = "PushedFilters" in plan and "label" in plan
+    n_filtered = filtered.count()
+    return spark.createDataFrame(
+        [
+            (
+                bool(filtered_matches_exact),
+                bool(allowed_ids_match),
+                bool(predicate_pushed),
+                int(n_filtered),
+            )
+        ],
+        "filtered_matches_exact boolean, allowed_ids_match boolean, "
+        "predicate_pushed boolean, n_filtered long",
+    )
+
+
+@query(
     "knn_ivf_index_compacted",
     "SELECT t.*, TRUE AS compact_results_unchanged, TRUE AS files_bounded, "
     "TRUE AS sidecar_consistent_after FROM ("
@@ -10995,18 +11113,21 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # ---- round-12 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # No new queries this round yet (any landed later MUST take a slot
-    # in the same commit, per the freeze-then-build rule). The 49
+    # ONE new query landed this round and takes its slot per the
+    # freeze-then-build rule: knn_ivf_index_filtered (the filtered-ANN
+    # certificate: attr columns stored in the index, where-predicate
+    # pre-filter pushed into the probed-cell scan, allowed_ids
+    # broadcast semi-join leg, plan-verified PushedFilters). The 48
     # rotating slots go to the stale tail: the six r7 rows deferred by
     # the r11 rotation -- notably the streaming trio
     # (stream_file_sink_exactly_once, stream_interval_join_pairs,
-    # stream_sliding_session_windows) whose r11 determinism fixes
-    # (noDataMicroBatches pinned, lexicographic staggered-mtime tiles)
-    # get their first driver re-cert here, plus tfidf_cosine_pairs /
-    # stratified_lang_sample / token_budget_by_source -- and the 43
+    # stream_sliding_session_windows) whose r11 determinism fixes get
+    # their first driver re-cert here, plus tfidf_cosine_pairs /
+    # stratified_lang_sample / token_budget_by_source -- and the 42
     # stalest r8 rows. Forward simulation (--check) shows zero
     # cadence violations at the 5-round bound.
     "flagship_segment_stats",  # r11
+    "knn_ivf_index_filtered",  # NEW
     "stratified_lang_sample",  # r7
     "stream_file_sink_exactly_once",  # r7
     "stream_interval_join_pairs",  # r7
@@ -11055,13 +11176,13 @@ _PRIORITY_ORDER = [
     "small_qty_order_revenue",  # r8
     "sole_blame_supplier",  # r8
     "supplier_count_by_part_attrs",  # r8
-    "top_bigrams",  # r8
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-12 rotation math: 1 flagship + 0 never-checked + 49 stalest
-# (6 x r7 + 43 x r8) = 50. Generated by `python tools/window_rotation.py`;
-# deferred names are all r8/r9/r10/r11-green and stay under the
-# driver-strict local oracle mirror (tests/test_queries_oracle.py)
+# Round-12 rotation math: 1 flagship + 1 never-checked
+# (knn_ivf_index_filtered) + 48 stalest (6 x r7 + 42 x r8) = 50.
+# Generated by `python tools/window_rotation.py`; deferred names are
+# all r8/r9/r10/r11-green and stay under the driver-strict local
+# oracle mirror (tests/test_queries_oracle.py)
 # until their rotation slot comes up.
 
 

@@ -405,3 +405,37 @@ def test_cli_ivf_verify_cwd_joined_identity_hint(spark, tmp_path, capsys):
         json.dump(meta, fh)
     assert main(["ivf-verify", "--index", idx]) == 0
     assert "CWD-JOINED" not in capsys.readouterr().out
+
+
+def test_cli_ivf_filtered_query(spark, tmp_path):
+    """ivf-build --attr-cols + ivf-query --where through the CLI: the
+    filtered result contains only matching ids (pre-filter — full k
+    rows despite the selective predicate)."""
+    from pyspark.sql import functions as F
+
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    corpus_p = str(tmp_path / "corpus")
+    emb.write.parquet(corpus_p)
+    idx = str(tmp_path / "idx")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "4", "--attr-cols", "label"]) == 0
+    queries_p = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 2).write.parquet(queries_p)
+    out_p = str(tmp_path / "out")
+    assert main(["ivf-query", "--index", idx, "--queries", queries_p,
+                 "--output", out_p, "--k", "5", "--n-probe", "4",
+                 "--where", "label = 2"]) == 0
+    got = spark.read.parquet(out_p)
+    n = got.count()
+    assert n > 0
+    labels = {
+        r["label"]
+        for r in got.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels == {2}

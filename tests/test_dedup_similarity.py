@@ -2735,3 +2735,149 @@ def test_ivf_tombstone_broadcast_hint_reads_store_not_sidecar(spark, tmp_path):
         "estimate must come from the store when the sidecar undercounts"
     )
     assert pre["upsert"]["n_tombstones"] == 0
+
+
+def test_ivf_filtered_ann_pre_filter_matches_brute(spark, tmp_path):
+    """FILTERED ANN (r12): attributes stored at build ride the index
+    rows, and query_ivf_index(where=...) / (allowed_ids=...) PRE-filter
+    the candidate set — the full-probe filtered top-k equals brute
+    force over the filtered corpus exactly (a post-filter would come
+    back short whenever the filter is selective), the predicate holds
+    through the PQ+rerank path, appended rows carry their attributes,
+    and the filter composes with the tombstone fold."""
+    import numpy as np
+    import pytest
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        ivf_delete,
+        query_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, (rng.randn(16)).tolist(), int(i % 3), "en" if i % 2 else "de")
+        for i in range(240)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, lang string"
+    )
+    root = str(tmp_path / "fidx")
+    meta = build_ivf_index(
+        corpus, root, n_lists=4, seed=1,
+        attr_cols=["label", "lang"], enable_upsert=True,
+    )
+    assert meta["attr_cols"] == ["label", "lang"]
+    probe_all = len(meta["centroids"])
+    q = corpus.filter(F.col("vec_id") < 3)
+
+    def _got(**kw):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in query_ivf_index(
+                spark, root, q, k=5, n_probe=probe_all, **kw
+            ).collect()
+        }
+
+    def _exact(frame):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in cosine_topk(
+                frame, q, k=5, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+
+    pred = "label = 1 AND lang = 'en'"
+    filtered = corpus.filter(F.expr(pred))
+    assert _got(where=pred) == _exact(filtered)
+
+    # allowed_ids semi-join leg: same filter expressed as an id set
+    assert _got(allowed_ids=filtered.select("vec_id")) == _exact(filtered)
+    # where AND allowed_ids compose (conjunction)
+    assert _got(
+        where="label = 1", allowed_ids=corpus.filter("lang = 'en'").select("vec_id")
+    ) == _exact(filtered)
+
+    # appended rows carry attributes and join the filtered result
+    extra = spark.createDataFrame(
+        [(1000 + i, rows[i][1], 1, "en") for i in range(5)],
+        "vec_id long, embedding array<double>, label int, lang string",
+    )
+    ivf_append(extra, root)
+    assert _got(where=pred) == _exact(filtered.unionByName(extra))
+
+    # a missing-attribute append batch fails loudly
+    with pytest.raises(ValueError, match="missing"):
+        ivf_append(
+            spark.createDataFrame(
+                [(2000, rows[0][1])], "vec_id long, embedding array<double>"
+            ),
+            root,
+        )
+
+    # composes with the tombstone fold: delete one filtered id
+    victim = int(filtered.limit(1).collect()[0]["vec_id"])
+    ivf_delete(spark, root, [victim])
+    assert _got(where=pred) == _exact(
+        filtered.unionByName(extra).filter(F.col("vec_id") != victim)
+    )
+
+    # reserved-name collision refused at build
+    with pytest.raises(ValueError, match="reserved"):
+        build_ivf_index(
+            corpus.withColumn("norm", F.lit(1)),
+            str(tmp_path / "bad"),
+            n_lists=4,
+            attr_cols=["norm"],
+        )
+
+
+def test_ivf_filtered_ann_pq_rerank_and_pushdown(spark, tmp_path):
+    """The filter pre-applies on the PQ path too (ADC candidates and
+    the exact rerank both see only matching rows — every returned id
+    satisfies the predicate and the filtered exact rerank equals brute
+    force over the filtered corpus), and the predicate reaches the
+    parquet scan as a pushed filter."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist(), int(i % 2)) for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    root = str(tmp_path / "fpq")
+    meta = build_ivf_index(
+        corpus, root, n_lists=4, seed=1, pq_m_sub=4, pq_ksub=16,
+        attr_cols=["label"],
+    )
+    q = corpus.filter(F.col("vec_id") < 2)
+    got = query_ivf_index(
+        spark, root, q, k=5, n_probe=len(meta["centroids"]),
+        rerank=60,  # shortlist >> filtered corpus: rerank is exhaustive
+        where="label = 0",
+    )
+    got_set = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+        for r in got.collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+        for r in cosine_topk(
+            corpus.filter("label = 0"), q, k=5,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    }
+    assert got_set == exact
+    # predicate pushdown: the probed-cell scan carries the label filter
+    plan = query_ivf_index(
+        spark, root, q, k=5, n_probe=2, where="label = 0"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
