@@ -53,7 +53,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from dog_data_pipeline_spark.operators.similarity import ivf_append
+from dog_data_pipeline_spark.operators.similarity import ivf_append, ivf_upsert
 
 logger = logging.getLogger(__name__)
 
@@ -95,6 +95,8 @@ def stream_ivf_ingest(
     available_now: bool = True,
     on_rebuild_recommended: Callable[[dict], None] | None = None,
     on_skipped_replay: Callable[[dict], None] | None = None,
+    upsert: bool = False,
+    on_fold_recommended: Callable[[dict], None] | None = None,
 ):
     """Start a streaming query that appends every micro-batch of
     (id, vector) rows to the persisted IVF index at ``path``.
@@ -104,14 +106,31 @@ def stream_ivf_ingest(
     ``available_now=True`` (the default) the query drains whatever the
     source currently holds and terminates — the incremental-batch
     deployment mode, re-run per arrival wave with the same checkpoint,
-    which is also what the certificate's kill-and-resume replays."""
+    which is also what the certificate's kill-and-resume replays.
+
+    ``upsert=True`` (r12) is the RE-EMBEDDING pipeline mode: each
+    micro-batch goes through ``ivf_upsert`` instead of ``ivf_append``,
+    so ids already in the index serve ONLY their newest vector
+    (latest-wins via merge-on-read tombstones) while new ids insert
+    plainly — the continuous ingestion shape for a corpus whose
+    embedding model or documents change under it. Requires the index
+    built with ``enable_upsert=True``. The same replay guard covers
+    the WHOLE upsert (tombstone + append): a replayed micro-batch is
+    skipped before it can tombstone the rows its first application
+    installed, and ``ivf_upsert`` holds the appender lock across both
+    halves, so a crash mid-batch replays as delete-again + append and
+    converges. ``on_fold_recommended`` fires when accumulated
+    tombstones pass the fold bound — schedule
+    ``ivf_compact(fold_all=True)`` there (upsert-heavy streams
+    accumulate one tombstone per re-embedded id per wave)."""
 
     stream_identity = _checkpoint_identity(checkpoint_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        stats = ivf_append(
+        op = ivf_upsert if upsert else ivf_append
+        stats = op(
             batch,
             path,
             skew_bound=skew_bound,
@@ -132,6 +151,8 @@ def stream_ivf_ingest(
                 on_skipped_replay(stats)
         if stats.get("rebuild_recommended") and on_rebuild_recommended is not None:
             on_rebuild_recommended(stats)
+        if stats.get("fold_recommended") and on_fold_recommended is not None:
+            on_fold_recommended(stats)
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

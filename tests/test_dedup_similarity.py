@@ -2881,3 +2881,101 @@ def test_ivf_filtered_ann_pq_rerank_and_pushdown(spark, tmp_path):
         spark, root, q, k=5, n_probe=2, where="label = 0"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "label" in plan
+
+
+def test_stream_ivf_ingest_upsert_mode_latest_wins(spark, tmp_path):
+    """Streaming RE-EMBEDDING ingest (r12): stream_ivf_ingest(
+    upsert=True) routes each micro-batch through ivf_upsert, so across
+    waves an id serves only its newest vector (latest-wins), new ids
+    insert plainly, the replay guard covers the whole
+    tombstone+append, and tombstone accumulation surfaces through
+    on_fold_recommended."""
+    import os
+
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators import similarity as S
+    from dog_data_pipeline_spark.streaming.ann_ingest import stream_ivf_ingest
+
+    rng = np.random.RandomState(3)
+    base_vecs = {i: rng.randn(16).tolist() for i in range(50)}
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in base_vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "idx")
+    meta = S.build_ivf_index(
+        corpus, root, n_lists=4, seed=1, enable_upsert=True
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _stage(ids, shift):
+        spark.createDataFrame(
+            [(i, [x + shift for x in base_vecs[i]]) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    folds = []
+
+    def _drain():
+        q = stream_ivf_ingest(
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            root,
+            ckpt,
+            upsert=True,
+            on_fold_recommended=folds.append,
+        )
+        q.awaitTermination()
+
+    _stage(range(10), 1.0)
+    _drain()  # wave 1: re-embed ids 0..9 (+1)
+    _stage(range(5, 15), 2.0)
+    _drain()  # wave 2, same checkpoint: re-embed ids 5..14 (+2)
+
+    # final logical corpus: 0..4 wave1, 5..14 wave2, 15..49 base
+    final = {i: v for i, v in base_vecs.items()}
+    final.update({i: [x + 1.0 for x in base_vecs[i]] for i in range(5)})
+    final.update({i: [x + 2.0 for x in base_vecs[i]] for i in range(5, 15)})
+    fin_df = spark.createDataFrame(
+        [(i, v) for i, v in final.items()],
+        "vec_id long, embedding array<double>",
+    )
+    q_df = corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+        for r in S.query_ivf_index(
+            spark, root, q_df, k=5, n_probe=len(meta["centroids"])
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+        for r in S.cosine_topk(
+            fin_df, q_df, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert got == exact
+
+    # 20 tombstones vs ~60 indexed rows: the fold signal fired
+    assert folds and folds[-1]["fold_recommended"] is True
+
+    # replay of the last applied batch id: whole upsert skipped —
+    # no new tombstones, nothing appended
+    import json
+
+    side = json.load(open(os.path.join(root, "ivf_meta.json")))
+    pre_tombs = side["upsert"]["n_tombstones"]
+    up_df = spark.createDataFrame(
+        [(0, [9.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    st = S.ivf_upsert(
+        up_df, root,
+        batch_id=int(side["last_stream_batch"]),
+        stream_id=side["last_stream_id"],
+    )
+    assert st["skipped_replay"] is True and st["tombstoned_ids"] == 0
+    side2 = json.load(open(os.path.join(root, "ivf_meta.json")))
+    assert side2["upsert"]["n_tombstones"] == pre_tombs
