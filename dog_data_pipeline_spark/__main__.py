@@ -373,6 +373,22 @@ def cmd_ivf_verify(args: argparse.Namespace) -> int:
     return 4
 
 
+def cmd_ivf_snapshot(args: argparse.Namespace) -> int:
+    """Consistent hard-linked export of the live index generation."""
+    from dog_data_pipeline_spark.operators.similarity import ivf_snapshot
+
+    spark = _spark("cli-ivf-snapshot")
+    stats = ivf_snapshot(
+        spark, args.index, args.dest, compact_first=args.compact_first
+    )
+    print(
+        f"ivf-snapshot: {stats['files_linked']} data file(s) + "
+        f"{stats['tombstone_files']} tombstone file(s) -> {stats['dest']}"
+        f" ({stats['n_tombstones']} tombstones ride along)"
+    )
+    return 0
+
+
 def cmd_ivf_query(args: argparse.Namespace) -> int:
     """Top-k cosine neighbors from a persisted IVF index."""
     from dog_data_pipeline_spark.operators.similarity import query_ivf_index
@@ -589,6 +605,22 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--index", required=True)
     sw.add_argument("--repair", action="store_true")
     sw.set_defaults(fn=cmd_ivf_verify)
+
+    sn = sub.add_parser(
+        "ivf-snapshot",
+        help="export a consistent hard-linked snapshot of the live "
+        "index generation (+ tombstones) to a fresh directory — new "
+        "lineage: the streaming replay guard is dropped",
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+    sn.add_argument(
+        "--compact-first",
+        action="store_true",
+        help="run a major fold-compact on the SOURCE first so the "
+        "snapshot ships tombstone-free",
+    )
+    sn.set_defaults(fn=cmd_ivf_snapshot)
 
     sv = sub.add_parser("ivf-query", help="top-k cosine from a persisted index")
     sv.add_argument("--index", required=True)

@@ -5507,6 +5507,154 @@ def knn_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_snapshot_lineage",
+    "SELECT TRUE AS snapshot_serves_identical, "
+    "TRUE AS isolated_from_source, TRUE AS lineage_guard_dropped, "
+    "TRUE AS snapshot_writable, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM embeddings "
+    "WHERE vec_id % 2 = 1) AS n_source_rows",
+    "SNAPSHOT / DISTRIBUTION certificate for the persisted IVF index "
+    "(operators/similarity.py ivf_snapshot, landed r12): shipping a "
+    "serving corpus to another cluster (or freezing a backup) must "
+    "not copy bytes, must not tear mid-write, and must not inherit "
+    "the source's streaming identity. The snapshot hard-links the "
+    "live generation + live tombstone store under the appender lock "
+    "(a consistent pair — O(file count), zero data bytes on the same "
+    "filesystem; the object-store analog is a manifest copy over "
+    "immutable objects) and writes a fresh sidecar. Pins, on an "
+    "upsert-enabled index over the odd-id half of the embeddings "
+    "table carrying a replay-guard watermark and one live tombstone: "
+    "snapshot_serves_identical (full-probe top-5 from the snapshot == "
+    "the source at snapshot time, tombstone folded identically — "
+    "ids, ranks, cosines at 1e-12), isolated_from_source (a SOURCE "
+    "delete of a currently-served id after the snapshot does not "
+    "change the snapshot's results — hard links share bytes, never "
+    "state), lineage_guard_dropped (the snapshot sidecar carries no "
+    "last_stream_batch/last_stream_id/prev_* — a snapshot-fed stream "
+    "must start its own checkpoint, else fresh batches would be "
+    "dropped as replays), snapshot_writable (an append to the "
+    "snapshot lands and the continued writer sequence keeps the "
+    "strict tombstone fold valid). n_source_rows pins the source "
+    "corpus cardinality both engines can state. compact_first "
+    "(tombstone-free shipping) and never-overwrite are pinned in "
+    "tests/test_dedup_similarity.py. Fixed-cost conventions: half "
+    "corpus, n_lists=4, Arrow-local query and append frames.",
+)
+def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    import pandas as _pd
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_delete,
+        ivf_snapshot,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    tmp = _roundtrip_dir("ivfsnap")
+    root, dest = _os.path.join(tmp, "src"), _os.path.join(tmp, "snap")
+    meta = build_ivf_index(corpus, root, n_lists=4, seed=42, enable_upsert=True)
+    probe_all = len(meta["centroids"])
+
+    def _arrow_local(pdf, schema):
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev_arrow = spark.conf.get(arrow_key, "false")
+        spark.conf.set(arrow_key, "true")
+        try:
+            return spark.createDataFrame(pdf, schema).coalesce(1)
+        finally:
+            spark.conf.set(arrow_key, prev_arrow)
+
+    q_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = _arrow_local(
+        _pd.DataFrame(
+            {"vec_id": [i for i, _ in q_rows], "embedding": [v for _, v in q_rows]}
+        ),
+        "vec_id long, embedding array<double>",
+    )
+
+    def _serve(path):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in query_ivf_index(
+                spark, path, q, k=5, n_probe=probe_all
+            ).collect()
+        }
+
+    # replay-guard watermark + one live tombstone on the source, so the
+    # snapshot has real lineage state to drop and a real fold to carry
+    ivf_append(
+        _arrow_local(
+            _pd.DataFrame(
+                {"vec_id": [10**6 + 1], "embedding": [q_rows[0][1]]}
+            ),
+            "vec_id long, embedding array<double>",
+        ),
+        root,
+        batch_id=3,
+        stream_id="ckpt-src",
+    )
+    src_before = _serve(root)
+    served = sorted(v for (_qq, v, *_r) in src_before if v > 5)
+    victim1, victim2 = served[0], served[-1]
+    ivf_delete(spark, root, [victim1])
+    src_at_snap = _serve(root)
+
+    ivf_snapshot(spark, root, dest)
+    snapshot_serves_identical = _serve(dest) == src_at_snap
+
+    side = _json.load(open(_os.path.join(dest, "ivf_meta.json")))
+    lineage_guard_dropped = (
+        "last_stream_batch" not in side
+        and "last_stream_id" not in side
+        and "prev_index_dir" not in side
+        and side["index_dir"] == "index"
+    )
+
+    # a post-snapshot SOURCE delete of a served id must not leak in
+    ivf_delete(spark, root, [victim2])
+    isolated_from_source = _serve(dest) == src_at_snap
+
+    ap = ivf_append(
+        _arrow_local(
+            _pd.DataFrame(
+                {"vec_id": [10**6 + 2], "embedding": [q_rows[0][1]]}
+            ),
+            "vec_id long, embedding array<double>",
+        ),
+        dest,
+    )
+    snapshot_writable = ap["appended"] == 1 and len(_serve(dest)) == len(
+        src_at_snap
+    )
+    n_source_rows = corpus.count()
+    return spark.createDataFrame(
+        [
+            (
+                bool(snapshot_serves_identical),
+                bool(isolated_from_source),
+                bool(lineage_guard_dropped),
+                bool(snapshot_writable),
+                int(n_source_rows),
+            )
+        ],
+        "snapshot_serves_identical boolean, isolated_from_source boolean, "
+        "lineage_guard_dropped boolean, snapshot_writable boolean, "
+        "n_source_rows long",
+    )
+
+
+@query(
     "knn_ivf_index_compacted",
     "SELECT t.*, TRUE AS compact_results_unchanged, TRUE AS files_bounded, "
     "TRUE AS sidecar_consistent_after FROM ("
@@ -11113,21 +11261,25 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORDER = [
     # ---- round-12 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # ONE new query landed this round and takes its slot per the
-    # freeze-then-build rule: knn_ivf_index_filtered (the filtered-ANN
-    # certificate: attr columns stored in the index, where-predicate
-    # pre-filter pushed into the probed-cell scan, allowed_ids
-    # broadcast semi-join leg, plan-verified PushedFilters). The 48
-    # rotating slots go to the stale tail: the six r7 rows deferred by
-    # the r11 rotation -- notably the streaming trio
-    # (stream_file_sink_exactly_once, stream_interval_join_pairs,
-    # stream_sliding_session_windows) whose r11 determinism fixes get
-    # their first driver re-cert here, plus tfidf_cosine_pairs /
-    # stratified_lang_sample / token_budget_by_source -- and the 42
-    # stalest r8 rows. Forward simulation (--check) shows zero
-    # cadence violations at the 5-round bound.
+    # TWO new queries landed this round and take their slots per the
+    # freeze-then-build rule: knn_ivf_index_filtered (filtered ANN:
+    # attr columns stored in the index, where-predicate pre-filter
+    # pushed into the probed-cell scan, allowed_ids broadcast semi-
+    # join leg, plan-verified PushedFilters) and ivf_snapshot_lineage
+    # (consistent hard-linked snapshot: serves identically at snapshot
+    # time, isolated from later source mutations, streaming lineage
+    # guard dropped, independently writable). The 47 rotating slots go
+    # to the stale tail: the six r7 rows deferred by the r11 rotation
+    # -- notably the streaming trio (stream_file_sink_exactly_once,
+    # stream_interval_join_pairs, stream_sliding_session_windows)
+    # whose r11 determinism fixes get their first driver re-cert here,
+    # plus tfidf_cosine_pairs / stratified_lang_sample /
+    # token_budget_by_source -- and the 41 stalest r8 rows. Forward
+    # simulation (--check) shows zero cadence violations at the
+    # 5-round bound.
     "flagship_segment_stats",  # r11
     "knn_ivf_index_filtered",  # NEW
+    "ivf_snapshot_lineage",  # NEW
     "stratified_lang_sample",  # r7
     "stream_file_sink_exactly_once",  # r7
     "stream_interval_join_pairs",  # r7
@@ -11175,14 +11327,13 @@ _PRIORITY_ORDER = [
     "running_revenue",  # r8
     "small_qty_order_revenue",  # r8
     "sole_blame_supplier",  # r8
-    "supplier_count_by_part_attrs",  # r8
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-12 rotation math: 1 flagship + 1 never-checked
-# (knn_ivf_index_filtered) + 48 stalest (6 x r7 + 42 x r8) = 50.
-# Generated by `python tools/window_rotation.py`; deferred names are
-# all r8/r9/r10/r11-green and stay under the driver-strict local
-# oracle mirror (tests/test_queries_oracle.py)
+# Round-12 rotation math: 1 flagship + 2 never-checked
+# (knn_ivf_index_filtered, ivf_snapshot_lineage) + 47 stalest
+# (6 x r7 + 41 x r8) = 50. Generated by `python tools/window_rotation.py`;
+# deferred names are all r8/r9/r10/r11-green and stay under the
+# driver-strict local oracle mirror (tests/test_queries_oracle.py)
 # until their rotation slot comes up.
 
 

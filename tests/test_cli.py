@@ -439,3 +439,20 @@ def test_cli_ivf_filtered_query(spark, tmp_path):
         for r in got.join(emb.select("vec_id", "label"), "vec_id").collect()
     }
     assert labels == {2}
+
+
+def test_cli_ivf_snapshot(spark, tmp_path):
+    """ivf-snapshot through the CLI: the destination is a complete,
+    verifiable index."""
+    from dog_data_pipeline_spark.__main__ import main
+    from dog_data_pipeline_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus_p = str(tmp_path / "corpus")
+    emb.write.parquet(corpus_p)
+    idx, snap = str(tmp_path / "idx"), str(tmp_path / "snap")
+    assert main(["ivf-build", "--input", corpus_p, "--index", idx,
+                 "--n-lists", "4"]) == 0
+    assert main(["ivf-snapshot", "--index", idx, "--dest", snap]) == 0
+    assert main(["ivf-verify", "--index", snap]) == 0

