@@ -5512,7 +5512,7 @@ def knn_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TRUE AS isolated_from_source, TRUE AS lineage_guard_dropped, "
     "TRUE AS snapshot_writable, "
     "(SELECT CAST(count(*) AS BIGINT) FROM embeddings "
-    "WHERE vec_id % 2 = 1) AS n_source_rows",
+    "WHERE vec_id % 4 = 1) AS n_source_rows",
     "SNAPSHOT / DISTRIBUTION certificate for the persisted IVF index "
     "(operators/similarity.py ivf_snapshot, landed r12): shipping a "
     "serving corpus to another cluster (or freezing a backup) must "
@@ -5522,8 +5522,9 @@ def knn_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a consistent pair — O(file count), zero data bytes on the same "
     "filesystem; the object-store analog is a manifest copy over "
     "immutable objects) and writes a fresh sidecar. Pins, on an "
-    "upsert-enabled index over the odd-id half of the embeddings "
-    "table carrying a replay-guard watermark and one live tombstone: "
+    "upsert-enabled index over the vec_id %% 4 == 1 quarter of the "
+    "embeddings table carrying a replay-guard watermark and one live "
+    "tombstone: "
     "snapshot_serves_identical (full-probe top-5 from the snapshot == "
     "the source at snapshot time, tombstone folded identically — "
     "ids, ranks, cosines at 1e-12), isolated_from_source (a SOURCE "
@@ -5534,10 +5535,13 @@ def knn_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must start its own checkpoint, else fresh batches would be "
     "dropped as replays), snapshot_writable (an append to the "
     "snapshot lands and the continued writer sequence keeps the "
-    "strict tombstone fold valid). n_source_rows pins the source "
-    "corpus cardinality both engines can state. compact_first "
+    "strict tombstone fold valid — verified by appended==1 plus the "
+    "destination generation's footer row count). n_source_rows pins "
+    "the source corpus cardinality: the build's recorded cell_counts "
+    "sum (derived from the written index's parquet footers) vs the "
+    "oracle's count over the same predicate. compact_first "
     "(tombstone-free shipping) and never-overwrite are pinned in "
-    "tests/test_dedup_similarity.py. Fixed-cost conventions: half "
+    "tests/test_dedup_similarity.py. Fixed-cost conventions: quarter "
     "corpus, n_lists=4, Arrow-local query and append frames.",
 )
 def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5555,7 +5559,7 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
     tmp = _roundtrip_dir("ivfsnap")
     root, dest = _os.path.join(tmp, "src"), _os.path.join(tmp, "snap")
     meta = build_ivf_index(corpus, root, n_lists=4, seed=42, enable_upsert=True)
@@ -5572,7 +5576,7 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_rows = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in corpus.filter(F.col("vec_id") < 6)
+        for r in corpus.filter(F.col("vec_id") < 12)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -5634,10 +5638,19 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dest,
     )
-    snapshot_writable = ap["appended"] == 1 and len(_serve(dest)) == len(
-        src_at_snap
+    # writable pin: the append landed and is physically present in the
+    # destination generation (footer-metadata count — serving through
+    # the appended index is already pinned by the two serves above)
+    from dog_data_pipeline_spark.operators.similarity import (
+        ivf_index_dir as _snap_dir,
     )
-    n_source_rows = corpus.count()
+
+    n_dest = spark.read.parquet(_snap_dir(dest)).count()
+    # source rows = build's recorded cell counts (footer-derived at
+    # build time, before the guard append); dest holds them + the
+    # guard row + this append
+    n_source_rows = sum(int(v) for v in meta["cell_counts"].values())
+    snapshot_writable = ap["appended"] == 1 and n_dest == n_source_rows + 2
     return spark.createDataFrame(
         [
             (
@@ -5761,7 +5774,7 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT TRUE AS delete_matches_exact, TRUE AS upsert_latest_wins, "
     "TRUE AS fold_gc_complete, TRUE AS fold_results_unchanged, "
     "(SELECT CAST(count(*) - 1 AS BIGINT) FROM embeddings "
-    "WHERE vec_id % 2 = 0) AS n_live",
+    "WHERE vec_id % 4 = 0) AS n_live",
     "MERGE-ON-READ DELETE/UPSERT certificate for the persisted IVF "
     "index (operators/similarity.py ivf_delete/ivf_upsert + the "
     "tombstone fold in query_ivf_index and ivf_compact, landed r11): "
@@ -5773,9 +5786,9 @@ def knn_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(live iff no strictly-newer tombstone), and compaction "
     "MATERIALIZES deletes into rewritten cells then garbage-collects "
     "fully-folded tombstones (the LSM/Iceberg shape). Pins, on one "
-    "upsert-enabled index over the even-id half of the embeddings "
-    "table (corpus-size-independent invariants; the oracle's n_live "
-    "uses the same predicate): "
+    "upsert-enabled index over the vec_id %% 4 == 0 quarter of the "
+    "embeddings table (corpus-size-independent invariants; the "
+    "oracle's n_live uses the same predicate): "
     "delete_matches_exact (after deleting a served neighbor id, the "
     "full-probe top-5 for 3 queries is SET-IDENTICAL — ids, ranks and "
     "cosines to 1e-12 — to brute-force cosine_topk over "
@@ -5822,13 +5835,13 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # even-id half corpus (r12 trim): every lifecycle invariant below
-    # is corpus-size independent — build/delete/upsert/fold semantics
-    # are what is pinned, and the brute/serving passes each scan the
-    # corpus, so halving it halves the certificate's fixed scan cost
-    # the same way n_lists=4 bounds its quantizer cost (16e65be
+    # quarter corpus (r12 trim): every lifecycle invariant below is
+    # corpus-size independent — build/delete/upsert/fold semantics are
+    # what is pinned, and the brute/serving passes each scan the
+    # corpus, so shrinking it shrinks the certificate's fixed scan
+    # cost the same way n_lists=4 bounds its quantizer cost (16e65be
     # convention); the oracle states n_live over the same predicate
-    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    corpus = emb.filter(F.col("vec_id") % 4 == 0)
     root = _roundtrip_dir("ivfupsert")
     # n_lists=4 keeps the certificate's quantizer training + per-query
     # jobs at fixed-cost scale (16e65be convention); the fold semantics
@@ -5850,7 +5863,7 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet per serving call (16e65be fixed-cost convention)
     q_rows = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in corpus.filter(F.col("vec_id") < 6)
+        for r in corpus.filter(F.col("vec_id") < 12)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -5915,7 +5928,7 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical choice to the former k=5 brute pass)
     base = _brute5()
     qid0 = min(qq for (qq, *_rest) in base)
-    served0 = sorted(v for (qq, v, *_rest) in base if qq == qid0 and v >= 6)
+    served0 = sorted(v for (qq, v, *_rest) in base if qq == qid0 and v >= 12)
     victim, up_id = served0[0], served0[-1]
 
     ivf_delete(spark, root, [victim])
