@@ -906,10 +906,10 @@ def build_ivf_index(
         # assignment pass: grouping on the partition column reads only
         # parquet footers (row counts), never vector bytes. Bounded
         # collect: <= n_lists rows.
+        written = spark.read.parquet(os.path.join(path, gen_name))
         counts = {
             int(r["cell"]): int(r["n"])
-            for r in spark.read.parquet(os.path.join(path, gen_name))
-            .groupBy("cell")
+            for r in written.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -935,9 +935,11 @@ def build_ivf_index(
         # carried). Taken from the written index read-back, so it is
         # exactly what a non-empty read yields (partition column
         # included).
-        meta["row_schema"] = (
-            spark.read.parquet(os.path.join(path, gen_name)).schema.json()
-        )
+        # same read-back relation as the counts (one file-listing /
+        # footer pass, not two): the schema is exactly what a non-empty
+        # read of the written generation yields, partition column
+        # included
+        meta["row_schema"] = written.schema.json()
         if rebuilding:
             # the displaced generation gets the same one-cycle grace
             # window a compaction grants, and the streaming replay
@@ -1934,7 +1936,18 @@ def query_ivf_index(
     q_cells = q.withColumn(
         "cell", F.explode(_nearest_cells(centroids, "q_v", n_probe))
     )
-    probed = sorted(r["cell"] for r in q_cells.select("cell").distinct().collect())
+    if n_probe >= len(centroids):
+        # FULL probe: _nearest_cells clamps to len(centroids), so every
+        # query probes every cell and the probed set is statically all
+        # centroid ids — skip the distinct-collect job (one Spark action
+        # per query batch, pure fixed cost; the certificates' exactness
+        # legs all serve full-probe). Empty-query batches still return
+        # empty below (the scoring join is against the empty q_cells).
+        probed = list(range(len(centroids)))
+    else:
+        probed = sorted(
+            r["cell"] for r in q_cells.select("cell").distinct().collect()
+        )
     idx = _scan_index(spark, ivf_index_dir(path, meta), meta).filter(
         F.col("cell").isin(probed)
     )

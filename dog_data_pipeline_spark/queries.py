@@ -5369,12 +5369,34 @@ def knn_ivf_index_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (local 50-row frames — the driver's final collect re-runs joins
     # over these, never the ANN queries)
     schema = "query_id long, vec_id long, cosine double"
-    exact_df = spark.createDataFrame(
-        [(r["query_id"], r["vec_id"], r["cosine"]) for r in exact_rows], schema
-    )
-    approx_df = spark.createDataFrame(
-        [(r["query_id"], r["vec_id"], r["cosine"]) for r in approx_rows], schema
-    )
+    # Arrow-backed one-partition local frames (16e65be convention): a
+    # plain-list createDataFrame parallelizes into defaultParallelism
+    # pickled python slices, so every downstream certificate stage pays
+    # a python-worker round trip per slice (and coalescing THAT kind of
+    # frame serializes the pulls); the Arrow path scans JVM-side and
+    # coalesce(1) keeps the certificate joins single-task
+    import pandas as _pd
+
+    def _local_scores(rows):
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev_arrow = spark.conf.get(arrow_key, "false")
+        spark.conf.set(arrow_key, "true")
+        try:
+            return spark.createDataFrame(
+                _pd.DataFrame(
+                    {
+                        "query_id": [r["query_id"] for r in rows],
+                        "vec_id": [r["vec_id"] for r in rows],
+                        "cosine": [r["cosine"] for r in rows],
+                    }
+                ),
+                schema,
+            ).coalesce(1)
+        finally:
+            spark.conf.set(arrow_key, prev_arrow)
+
+    exact_df = _local_scores(exact_rows)
+    approx_df = _local_scores(approx_rows)
     cert = _knn_certificate(
         exact_df, approx_df, k=10, min_hits=2, recall_col="recall10_ge_2"
     )
