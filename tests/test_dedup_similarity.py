@@ -3055,3 +3055,52 @@ def test_ivf_snapshot_consistent_new_lineage(spark, tmp_path):
     side2 = json.load(open(os.path.join(dest2, "ivf_meta.json")))
     assert side2["upsert"]["n_tombstones"] == 0
     assert _serve(dest2) == _serve(root)
+
+
+def test_ivf_full_probe_shortcut_matches_brute_and_partial(spark, tmp_path):
+    """r12 optimization pin: when n_probe covers every centroid,
+    query_ivf_index skips the probed-cell distinct-collect (the probed
+    set is statically all cells). The shortcut must be invisible:
+    full-probe results equal brute force exactly, an over-sized
+    n_probe equals the exact-cover n_probe row-for-row (both take the
+    shortcut; _nearest_cells clamps), and an empty query batch still
+    returns an empty (not failing) frame."""
+    import numpy as np
+
+    from dog_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(180)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "fpidx")
+    meta = build_ivf_index(corpus, root, n_lists=4, seed=3)
+    n_cells = len(meta["centroids"])
+    q = corpus.filter(F.col("vec_id") < 3)
+
+    def _got(n_probe):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+            for r in query_ivf_index(
+                spark, root, q, k=5, n_probe=n_probe
+            ).collect()
+        }
+
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 12))
+        for r in cosine_topk(
+            corpus, q, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    full = _got(n_cells)
+    assert full == exact  # full probe == brute force
+    assert _got(n_cells + 7) == full  # clamped over-probe identical
+
+    empty_q = corpus.filter(F.col("vec_id") < 0)
+    assert (
+        query_ivf_index(spark, root, empty_q, k=5, n_probe=n_cells).count()
+        == 0
+    )
