@@ -11294,80 +11294,68 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY_ORDER = [
-    # ---- round-12 rotation: GENERATED by tools/window_rotation.py
+    # ---- round-13 rotation: GENERATED by tools/window_rotation.py
     # (flagship + never-driver-checked + stalest certified tail).
-    # TWO new queries landed this round and take their slots per the
-    # freeze-then-build rule: knn_ivf_index_filtered (filtered ANN:
-    # attr columns stored in the index, where-predicate pre-filter
-    # pushed into the probed-cell scan, allowed_ids broadcast semi-
-    # join leg, plan-verified PushedFilters) and ivf_snapshot_lineage
-    # (consistent hard-linked snapshot: serves identically at snapshot
-    # time, isolated from later source mutations, streaming lineage
-    # guard dropped, independently writable). The 47 rotating slots go
-    # to the stale tail: the six r7 rows deferred by the r11 rotation
-    # -- notably the streaming trio (stream_file_sink_exactly_once,
-    # stream_interval_join_pairs, stream_sliding_session_windows)
-    # whose r11 determinism fixes get their first driver re-cert here,
-    # plus tfidf_cosine_pairs / stratified_lang_sample /
-    # token_budget_by_source -- and the 41 stalest r8 rows. Forward
-    # simulation (--check) shows zero cadence violations at the
-    # 5-round bound.
-    "flagship_segment_stats",  # r11
-    "knn_ivf_index_filtered",  # NEW
-    "ivf_snapshot_lineage",  # NEW
-    "stratified_lang_sample",  # r7
-    "stream_file_sink_exactly_once",  # r7
-    "stream_interval_join_pairs",  # r7
-    "stream_sliding_session_windows",  # r7
-    "tfidf_cosine_pairs",  # r7
-    "token_budget_by_source",  # r7
-    "audio_active_segments",  # r8
-    "benchmark_span_scrub",  # r8
-    "blocklist_screening",  # r8
-    "bm25_keyword_search",  # r8
-    "char_entropy_profile",  # r8
-    "corpus_curation_v2",  # r8
-    "cross_source_overlap",  # r8
-    "customer_order_distribution",  # r8
-    "dedup_best_keeper",  # r8
-    "disjunctive_filter_revenue",  # r8
-    "duplicate_span_stats_rolling",  # r8
-    "edit_distance_pairs",  # r8
-    "except_all_lines",  # r8
-    "feature_drift_psi",  # r8
-    "file_compaction_plan",  # r8
-    "file_copy_pipeline",  # r8
-    "forecast_revenue_change",  # r8
-    "half_stock_suppliers",  # r8
-    "headerless_csv_roundtrip",  # r8
-    "heavy_hitters_cms",  # r8
-    "hll_distinct_rollup",  # r8
-    "idle_rich_customers",  # r8
-    "image_dhash_dedup",  # r8
-    "important_stock_parts",  # r8
-    "incremental_agg_state",  # r8
-    "intersect_statuses",  # r8
-    "jsonl_corpus_roundtrip",  # r8
-    "k_anonymity_report",  # r8
-    "lead_lag_order_gaps",  # r8
-    "minhash_lsh_dedup",  # r8
-    "mixture_sampled_tokens",  # r8
-    "mixture_upsampled_tokens",  # r8
-    "ngram_jaccard_dedup_prefix",  # r8
-    "orc_corpus_roundtrip",  # r8
-    "pii_detection_scan",  # r8
-    "priority_waiting_orders",  # r8
-    "product_type_profit",  # r8
-    "quantile_sketch_bounds",  # r8
-    "running_revenue",  # r8
-    "small_qty_order_revenue",  # r8
-    "sole_blame_supplier",  # r8
+    # ZERO new queries this round (optimization round — no features),
+    # so all 49 rotating slots go to the stale tail: the 8 remaining
+    # r8 rows and the 41 stalest r9 rows, every one previously
+    # driver-green. Forward simulation (--check) shows zero cadence
+    # violations at the 5-round bound.
+    "flagship_segment_stats",  # r12
+    "supplier_count_by_part_attrs",  # r8
+    "top_bigrams",  # r8
+    "top_revenue_supplier",  # r8
+    "training_shuffle_order",  # r8
+    "video_scene_cuts",  # r8
+    "volume_shipping",  # r8
+    "weighted_priority_sample",  # r8
+    "zorder_locality_report",  # r8
+    "anti_join_idempotence",  # r9
+    "approx_distinct_parts",  # r9
+    "asof_join_latest_event",  # r9
+    "bigram_lm_scores",  # r9
+    "broadcast_dim_join",  # r9
+    "classifier_calibration_bins",  # r9
+    "cohort_retention",  # r9
+    "copurchase_triangle_stats",  # r9
+    "dead_letter_split",  # r9
+    "decayed_engagement",  # r9
+    "dense_sequential_ids",  # r9
+    "dp_release_report",  # r9
+    "dsir_selection_report",  # r9
+    "embedding_pca_report",  # r9
+    "embedding_space_audit",  # r9
+    "event_funnel",  # r9
+    "event_transitions",  # r9
+    "filter_agreement_audit",  # r9
+    "filter_project_in",  # r9
+    "hard_negative_mining",  # r9
+    "incoherent_span_stats",  # r9
+    "json_props_extract",  # r9
+    "kmeans_corpus_clusters",  # r9
+    "knn_ivf_index_compacted",  # r9
+    "knn_ivf_index_pq",  # r9
+    "last_touch_attribution",  # r9
+    "length_bucket_padding",  # r9
+    "map_array_functions",  # r9
+    "market_basket_rules",  # r9
+    "ngram_novelty_profile",  # r9
+    "ordered_collect_seq",  # r9
+    "pagerank_event_graph",  # r9
+    "per_source_quality_quota",  # r9
+    "pmi_collocations",  # r9
+    "range_join_event_pairs",  # r9
+    "robust_outlier_report",  # r9
+    "scd2_event_type_history",  # r9
+    "schema_evolution_roundtrip",  # r9
+    "semantic_contamination",  # r9
+    "shipmode_priority_counts",  # r9
+    "split_leakage_audit",  # r9
 ]
 # NOTE: the list holds exactly 50 names — the driver's window.
-# Round-12 rotation math: 1 flagship + 2 never-checked
-# (knn_ivf_index_filtered, ivf_snapshot_lineage) + 47 stalest
-# (6 x r7 + 41 x r8) = 50. Generated by `python tools/window_rotation.py`;
-# deferred names are all r8/r9/r10/r11-green and stay under the
+# Round-13 rotation math: 1 flagship + 0 never-checked + 49 stalest
+# (8 x r8 + 41 x r9) = 50. Generated by `python tools/window_rotation.py`;
+# deferred names are all r9/r10/r11/r12-green and stay under the
 # driver-strict local oracle mirror (tests/test_queries_oracle.py)
 # until their rotation slot comes up.
 
