@@ -123,31 +123,53 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(payload))
-    # The driver's tail capture has repeatedly truncated the 200-query
-    # line mid-dict (BENCH_r07..r09 all landed "parsed": null), so ALSO
-    # emit a compact summary line LAST — few hundred bytes, always
-    # inside any fixed-size tail window — carrying the headline totals
-    # plus a queries_sha256 so it can be matched to the verbatim local
-    # copy (BENCH_LOCAL_r{N}.json) this process writes below.
+    # The driver parses a JSON object from the LAST ~2000 chars of
+    # stdout (every BENCH_r* artifact stores a 2000-char tail; rounds
+    # 1-9, whose final line was the full per-query dict at ~6 KB, all
+    # landed "parsed": null because the line's start fell outside that
+    # window). The r12 verdict asks for the per-query dict back in the
+    # parsed final line — but the full 205-name dict is >=4.8 KB even
+    # with zero-width values (the names alone), so it can NEVER fit.
+    # Compromise: the final line carries the totals plus a REAL
+    # "queries" dict holding the heaviest queries that fit a fixed
+    # byte budget (failures first, then greedy by descending wall —
+    # the entries that matter for perf comparison), with
+    # queries_truncated/n_queries_emitted flagging the omission and a
+    # queries_sha256 matching the verbatim full dict printed on the
+    # previous line and persisted to BENCH_LOCAL_r{N}.json below.
     import hashlib
 
     qjson = json.dumps(timings, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "n_failed": sum(1 for t in timings.values() if t < 0),
-                "queries_sha256": hashlib.sha256(qjson.encode()).hexdigest(),
-                "queries": "see BENCH_LOCAL artifact (compact line; "
-                "full per-query dict on the previous line)",
-            },
-            sort_keys=True,
-        )
-    )
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "queries_sha256": hashlib.sha256(qjson.encode()).hexdigest(),
+        "queries_truncated": True,
+        "n_queries_emitted": 0,
+        "queries": {},
+    }
+    budget = 1850  # proven-safe margin inside the 2000-char tail window
+    size = len(json.dumps(compact, sort_keys=True, separators=(",", ":")))
+    emitted: dict[str, float] = {}
+    # failures first (their NAMES matter, not just n_failed), then
+    # heaviest first; greedy so short names can still slot in late
+    for name, t in sorted(
+        timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1])
+    ):
+        cost = len(json.dumps({name: round(t, 2)}, separators=(",", ":"))) - 2
+        if emitted:
+            cost += 1  # joining comma
+        if size + cost <= budget:
+            emitted[name] = round(t, 2)
+            size += cost
+    compact["queries"] = emitted
+    compact["n_queries_emitted"] = len(emitted)
+    compact["queries_truncated"] = len(emitted) < len(timings)
+    print(json.dumps(compact, sort_keys=True, separators=(",", ":")))
     # Also persist the full dict into the repo: the driver's BENCH_r{N}
     # artifact has truncated its tail before (round 2 lost queries a-i),
     # so every round keeps a verbatim local copy. N = next round number
