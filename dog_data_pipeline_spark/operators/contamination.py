@@ -40,6 +40,8 @@ def contamination_report(
     an executor (the normal case); set False only for benchmark sets so
     large the build side would OOM, falling back to a shuffle join.
     """
+    from dog_data_pipeline_spark.operators.dedup import _spread
+
     grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
     # The per-doc total is COUNTED from the exploded rows rather than
     # carried as a size(grams) column: a computed pass-through column
@@ -47,9 +49,18 @@ def contamination_report(
     # in the Project above the explode and re-derive the whole n-gram
     # expression from raw text once per exploded row — measured 16x
     # slower on this query (56s -> 3.5s at sf0.1).
-    doc_grams = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+    # Both explodes run behind _spread (the window_fingerprints
+    # convention): one small parquet file = one scan task, so without
+    # the round-robin repartition the gram explode + broadcast probe —
+    # 10-20x the scan's work — runs single-task (profiled at sf0.1:
+    # a 1.3 s one-task job on a 32-core session).
+    doc_grams = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("g")).distinct()
+        _spread(benchmark.select(F.col(text_col)))
+        .select(F.explode(grams).alias("g"))
+        .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)

@@ -632,11 +632,18 @@ def dsir_log_weights(
     drop out (whitespace-only text is the only way there under the
     ASCII tokenizer).
     """
+    from dog_data_pipeline_spark.operators.dedup import _spread
     from dog_data_pipeline_spark.operators.text import tokens, word_ngrams
 
     toks = tokens(F.col(text_col))
     grams = F.concat(toks, word_ngrams(toks, 2))
-    occ = df.select(
+    # _spread before the explode (the window_fingerprints convention):
+    # one small parquet file = one scan task, and the gram explode +
+    # bucket hash multiply the scan's work 10-20x — profiled at sf0.1
+    # as four 1.3-1.7 s SINGLE-task jobs on a 32-core session.
+    occ = _spread(
+        df.select(F.col(id_col), F.col(target_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(target_col).cast("boolean").alias("__is_target"),
         F.explode(grams).alias("__g"),
@@ -648,10 +655,19 @@ def dsir_log_weights(
             % n_buckets
         ).alias("__bucket"),
     )
+    # The n_buckets-row bucket model is EAGERLY materialized
+    # (localCheckpoint): `tot` and `lr` both consume `bc`, and the two
+    # broadcast subqueries plan independently under AQE, so without the
+    # checkpoint the corpus-sized gram explode under `bc` executes once
+    # PER consumer (profiled: the count pass ran 2x per scoring, 3
+    # corpus text passes total where the docstring promises two). The
+    # checkpointed frame is KB-sized at any corpus size; eager (not
+    # lazy) per the triangle_stats lesson — concurrent broadcast stages
+    # race a lazy checkpoint and each recompute the un-materialized RDD.
     bc = occ.groupBy("__bucket").agg(
         F.sum(F.col("__is_target").cast("long")).alias("__t_cnt"),
         F.count(F.lit(1)).alias("__r_cnt"),
-    )
+    ).localCheckpoint()
     tot = bc.agg(
         F.sum("__t_cnt").alias("__t_total"), F.sum("__r_cnt").alias("__r_total")
     )

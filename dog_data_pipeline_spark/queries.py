@@ -8039,23 +8039,37 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
     )
     corpus = docs.unionByName(dupes)
+    # Stage materialization (eager localCheckpoint x3): every composed
+    # stage below is consumed TWICE — `kept` by the dup-group agg and
+    # the fingerprint join, `deduped` by the span detector and the span
+    # rewriter, `cleaned` by mixture_sample's totals subquery and its
+    # threshold join — so without truncation the union+quality prefix
+    # executed 4x and the whole span machinery 2x per run (profiled at
+    # sf0.1: 17 jobs with duplicate fingerprint stage pairs and a
+    # 1.4-3.4 s Catalyst gap planning the 84-Exchange composed plan).
+    # Each checkpoint materializes one corpus-bounded (doc_id, source,
+    # text[, n_*]) frame once and cuts both the recompute and the plan
+    # size; eager, not lazy — mixture's broadcast subquery runs
+    # concurrently with the main pass and races a lazy checkpoint into
+    # recomputing it (the triangle_stats lesson). Rows are unchanged:
+    # checkpointing is lineage truncation only.
     kept = (
         with_quality_score(corpus, "text")
         .filter(F.col("quality") >= 0.5)
         .select("doc_id", "source", "text")
-    )
+    ).localCheckpoint()
     groups = exact_dup_groups(kept, "doc_id", "text")
     with_fp = kept.withColumn("__fp", F.md5(normalized_text(F.col("text"))))
     deduped = (
         with_fp.join(groups, with_fp["__fp"] == groups["fingerprint"], "left")
         .filter(F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")))
         .select("doc_id", "source", "text")
-    )
+    ).localCheckpoint()
     cleaned = remove_duplicate_spans(
         deduped, "doc_id", "text", window_tokens=16, fingerprint="rolling"
     ).withColumn(
         "n_clean", F.size(_tokens(F.col("text"))) - F.col("n_removed_tokens")
-    ).filter(F.col("n_clean") > 0)
+    ).filter(F.col("n_clean") > 0).localCheckpoint()
     sampled = mixture_sample(
         cleaned, "doc_id", "source", "n_clean",
         alpha=0.5, budget_tokens=8000.0, salt="cur2",
@@ -8572,7 +8586,16 @@ def benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src1").select("doc_id", "text")
     bench = docs.filter(F.col("source") == "src1").select("doc_id", "text")
-    spans = contamination_spans(corpus, bench, window_tokens=8)
+    # fingerprint="rolling": the Rabin-Karp double-modulus engine hashes
+    # each token ONCE and folds 8 multiply-adds per window position,
+    # where the md5 engine re-hashes the ~48-byte window slice at every
+    # position (~window_len x the hash work). The fingerprints are an
+    # internal equality key only — the (id, pos) hit set, and therefore
+    # every output row, is identical for any collision-free window
+    # fingerprint (double 31-bit moduli: ~n^2/2^62 collision odds), and
+    # the oracle replays window EQUALITY (its md5 is also just a key).
+    # Verified output-identical to the md5 engine at sf0.1/0.01/0.001.
+    spans = contamination_spans(corpus, bench, window_tokens=8, fingerprint="rolling")
     perdoc = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("removed"),
@@ -10014,6 +10037,13 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # Eagerly materialize the per-doc scores (one row per doc — the
+    # DSIR paper's own shape: scores are persisted, then resampled):
+    # `kept` and the report join BOTH consume `scored`, and without the
+    # checkpoint the whole two-pass scoring pipeline (gram explode +
+    # bucket model) executed once PER consumer (profiled at sf0.1:
+    # 2x the heavy jobs; AQE exchange reuse does not cover the
+    # TakeOrdered leg).
     scored = dsir_log_weights(
         docs.withColumn("is_target", F.col("lang") == "en"),
         "doc_id",
@@ -10021,7 +10051,7 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target",
         n_buckets=1024,
         alpha=1.0,
-    )
+    ).localCheckpoint()
     kept = dsir_resample(scored, "doc_id", k=60).select(
         "doc_id", F.lit(True).alias("kept")
     )
