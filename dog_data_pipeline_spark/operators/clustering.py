@@ -303,6 +303,13 @@ def kmeans_fit(
     per-iteration history measured AGAINST the centroids that iteration
     assigned with (so Lloyd guarantees it non-increasing).
     """
+    # NOT behind _spread (measured r13): unlike the gram explodes, every
+    # pass here is LINEAR per row (one BLAS matmul), so parallelism can
+    # follow the scan — and on the bench corpus (2k vectors, one file)
+    # a 32-way round-robin made the ~10 passes 1.35x SLOWER on
+    # interleaved floors (32 near-empty python tasks of fixed cost per
+    # pass vs one trivial matmul). At real scale the scan has real
+    # partitions and the passes parallelize on their own.
     vdf = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -476,7 +483,16 @@ def kmeans_parallel_init(
             + F.lit(0.5)
         ) / F.lit(4294967296.0)
         drawn = scored.filter(u < F.lit(float(l)) * F.col("__d2") / F.lit(float(phi)))
-        new = [list(map(float, row["__cv"])) for row in drawn.collect()]
+        # canonical candidate order: collect() yields partition order,
+        # which depends on the input layout (scan files, _spread width,
+        # cluster parallelism) — and the farthest-first reduce below is
+        # order-sensitive on ties, so an unsorted extend would make the
+        # fitted init a function of partitioning, not of the data. Sort
+        # by the draw id to keep init a pure function of the data.
+        new = [
+            list(map(float, row["__cv"]))
+            for row in sorted(drawn.collect(), key=lambda r: r["__cid"])
+        ]
         seen = {tuple(c) for c in centers}
         centers.extend([c for c in new if tuple(c) not in seen])
     # weight candidates by how many points they'd absorb, then reduce

@@ -2628,6 +2628,26 @@ def _roundtrip_dir(name: str) -> str:
     return tempfile.mkdtemp(prefix=f"ddps_{name}_")
 
 
+def _arrow_local(spark: SparkSession, pdf, schema: str) -> DataFrame:
+    """Arrow-backed ONE-partition local frame (the 16e65be certificate
+    convention, shared here after growing 4 inline copies — r12 advice):
+    a plain-list createDataFrame parallelizes into defaultParallelism
+    pickled python slices, so every downstream certificate stage pays a
+    python-worker round trip per slice (and coalescing THAT kind of
+    frame serializes the pulls); the Arrow path scans JVM-side and
+    coalesce(1) keeps the bounded certificate joins single-task. The
+    Arrow conf toggle is save/restore because the driver's session may
+    run with Arrow off; queries execute one-at-a-time under both the
+    bench and the driver, so the session-global flip cannot race."""
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev_arrow = spark.conf.get(arrow_key, "false")
+    spark.conf.set(arrow_key, "true")
+    try:
+        return spark.createDataFrame(pdf, schema).coalesce(1)
+    finally:
+        spark.conf.set(arrow_key, prev_arrow)
+
+
 @query(
     "csv_catalog_roundtrip",
     """
@@ -3103,6 +3123,56 @@ def _staged_bounded_stream(spark, df, tmp: str, n_files: int, split_col: str):
     )
 
 
+def _staged_bounded_streams(spark, sides, n_files: int, split_col: str):
+    """``_staged_bounded_stream`` for SEVERAL same-schema frames in ONE
+    partitionBy write (r13 setup trim): the sides union under a side
+    tag, one job writes partitionBy(side, bucket), and each group's
+    single data file moves into its side's flat source dir. Returns one
+    bounded stream per side, identical in file content and replay shape
+    to staging each side separately — the repartition keys on
+    (side, bucket) so every group still lands in exactly one task and
+    stages exactly one file. ``sides`` = [(df, tmp), ...]."""
+    import os
+    import shutil
+    from functools import reduce
+
+    stage = os.path.join(sides[0][1], "..", "stage_all")
+    tagged = [
+        df.withColumn("__side", F.lit(i)).withColumn(
+            "__b", F.col(split_col) % n_files
+        )
+        for i, (df, _) in enumerate(sides)
+    ]
+    allrows = reduce(lambda a, b: a.unionByName(b), tagged)
+    (
+        allrows.repartition(len(sides) * n_files, "__side", "__b")
+        .write.partitionBy("__side", "__b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    out = []
+    for i, (df, tmp) in enumerate(sides):
+        src = os.path.join(tmp, "src")
+        os.makedirs(src, exist_ok=True)
+        for k in range(n_files):
+            bdir = os.path.join(stage, f"__side={i}", f"__b={k}")
+            if not os.path.isdir(bdir):  # an empty split stages no file
+                continue
+            part = next(
+                f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(bdir, part), os.path.join(src, f"batch_{k}.parquet")
+            )
+        out.append(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def _staged_time_ordered_stream(
     spark, df, tmp: str, n_files: int, ts_col: str, tiebreak: str
 ):
@@ -3285,9 +3355,15 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _roundtrip_dir("ivjoin")
     purchases = slim.filter(F.col("event_type") == "purchase")
     clicks = slim.filter(F.col("event_type") == "click")
-    n_rows = purchases.count() + clicks.count()
-    left = _staged_bounded_stream(spark, purchases, tmp + "/l", 2, "event_id")
-    right = _staged_bounded_stream(spark, clicks, tmp + "/r", 2, "event_id")
+    # setup-action fusion (r13 trim): the two side counts are ONE scan
+    # (the types are disjoint, so the sum equals the filtered count),
+    # and both sides stage in ONE partitionBy write instead of two —
+    # the certificate's replay shape (2 full-span micro-batches per
+    # side) is untouched; only the setup jobs are fewer.
+    n_rows = slim.filter(F.col("event_type").isin("purchase", "click")).count()
+    left, right = _staged_bounded_streams(
+        spark, [(purchases, tmp + "/l"), (clicks, tmp + "/r")], 2, "event_id"
+    )
     joined = interval_join_streams(
         left,
         right,
@@ -5378,22 +5454,17 @@ def knn_ivf_index_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     def _local_scores(rows):
-        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev_arrow = spark.conf.get(arrow_key, "false")
-        spark.conf.set(arrow_key, "true")
-        try:
-            return spark.createDataFrame(
-                _pd.DataFrame(
-                    {
-                        "query_id": [r["query_id"] for r in rows],
-                        "vec_id": [r["vec_id"] for r in rows],
-                        "cosine": [r["cosine"] for r in rows],
-                    }
-                ),
-                schema,
-            ).coalesce(1)
-        finally:
-            spark.conf.set(arrow_key, prev_arrow)
+        return _arrow_local(
+            spark,
+            _pd.DataFrame(
+                {
+                    "query_id": [r["query_id"] for r in rows],
+                    "vec_id": [r["vec_id"] for r in rows],
+                    "cosine": [r["cosine"] for r in rows],
+                }
+            ),
+            schema,
+        )
 
     exact_df = _local_scores(exact_rows)
     approx_df = _local_scores(approx_rows)
@@ -5587,15 +5658,6 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = build_ivf_index(corpus, root, n_lists=4, seed=42, enable_upsert=True)
     probe_all = len(meta["centroids"])
 
-    def _arrow_local(pdf, schema):
-        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev_arrow = spark.conf.get(arrow_key, "false")
-        spark.conf.set(arrow_key, "true")
-        try:
-            return spark.createDataFrame(pdf, schema).coalesce(1)
-        finally:
-            spark.conf.set(arrow_key, prev_arrow)
-
     q_rows = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in corpus.filter(F.col("vec_id") < 12)
@@ -5603,6 +5665,7 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q = _arrow_local(
+        spark,
         _pd.DataFrame(
             {"vec_id": [i for i, _ in q_rows], "embedding": [v for _, v in q_rows]}
         ),
@@ -5621,6 +5684,7 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot has real lineage state to drop and a real fold to carry
     ivf_append(
         _arrow_local(
+            spark,
             _pd.DataFrame(
                 {"vec_id": [10**6 + 1], "embedding": [q_rows[0][1]]}
             ),
@@ -5653,6 +5717,7 @@ def ivf_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ap = ivf_append(
         _arrow_local(
+            spark,
             _pd.DataFrame(
                 {"vec_id": [10**6 + 2], "embedding": [q_rows[0][1]]}
             ),
@@ -5871,15 +5936,6 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = build_ivf_index(corpus, root, n_lists=4, seed=42, enable_upsert=True)
     probe_all = len(meta["centroids"])  # full probe: exact modulo fold
 
-    def _arrow_local(pdf: "_pd.DataFrame", schema: str) -> DataFrame:
-        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev_arrow = spark.conf.get(arrow_key, "false")
-        spark.conf.set(arrow_key, "true")
-        try:
-            return spark.createDataFrame(pdf, schema).coalesce(1)
-        finally:
-            spark.conf.set(arrow_key, prev_arrow)
-
     # the 3 query vectors, collected ONCE: every downstream job plans
     # over an Arrow local frame instead of re-scanning the embeddings
     # parquet per serving call (16e65be fixed-cost convention)
@@ -5890,6 +5946,7 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q = _arrow_local(
+        spark,
         _pd.DataFrame(
             {"vec_id": [i for i, _ in q_rows], "embedding": [v for _, v in q_rows]}
         ),
@@ -5966,6 +6023,7 @@ def ivf_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_vec = [float(x) + 1.0 for x in old_vec]
     up_df = _arrow_local(
+        spark,
         _pd.DataFrame({"vec_id": [up_id], "embedding": [new_vec]}),
         "vec_id long, embedding array<double>",
     )
