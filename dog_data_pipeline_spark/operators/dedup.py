@@ -70,7 +70,8 @@ def shingles(
     toks = tokens(F.col(text_col))
     grams = word_ngrams(toks, n)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -101,8 +102,17 @@ def hashed_shingles(
 
     toks = tokens(F.col(text_col))
     grams = F.transform(word_ngrams(toks, n), lambda g: F.xxhash64(g))
+    # _spread before the explode (the window_fingerprints convention,
+    # extended here r13): one small parquet file = one scan task, so
+    # the shingle explode + hash — 10-20x the scan's work — ran as a
+    # SINGLE 1.0-1.8 s task on a 32-core session in every consumer
+    # (profiled: minhash_lsh_dedup, incremental_dedup_newbatch,
+    # ngram_jaccard_dedup_prefix, dedup_best_keeper). Consumers still
+    # build the identical subtree, so composed candidate+verify plans
+    # keep their ReusedExchange.
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -140,7 +150,7 @@ def ngram_novelty(
     from dog_data_pipeline_spark.operators.text import word_ngrams
 
     grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
     )
     first = F.min("id").over(Window.partitionBy("shingle"))
@@ -462,7 +472,9 @@ def simhash64(
     reassembled with bit-shifts. Near-dups = pairs with small hamming
     distance (see ``simhash_pairs``).
     """
-    tok = df.select(
+    # _spread: the token explode fans out ~doc_len rows each paying 64
+    # conditional sums — single-task on a one-file scan otherwise
+    tok = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     one = F.lit(1).cast("long")
