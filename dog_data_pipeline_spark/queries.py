@@ -2364,7 +2364,13 @@ def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    from dog_data_pipeline_spark.operators.dedup import _spread
+
+    # _spread: the per-row repetition profile builds several n-gram
+    # arrays per document and the bigram side explodes — both ran in
+    # the one scan task of the single-file documents read (profiled:
+    # a 1.7 s single-task job on a 32-core session)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     prof = with_repetition_profile(docs, "text")
     bigrams = docs.select(
         "doc_id", F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bigram")
